@@ -1,0 +1,199 @@
+"""DOM tree -> text blocks / separators (the contours-stage analog).
+
+Walks the node table from ``tokenizer.build_tree`` and emits *leaf text
+blocks*: block-level elements whose inline content (direct text + inline
+descendants, stopping at nested block elements) is non-empty.  Tables
+become one TABULAR block rendered psql-style; ``<ul>/<ol>`` become one
+multi-line TEXT block (one line per ``<li>``); ``<hr>`` becomes an H
+separator; media elements become ILLUSTRATION.
+
+Reference analog: ``core/contours.py`` raster->polygon extraction plus the
+label taxonomy of ``core/predict.py:123-146`` (REGION labels TEXT/TABULAR/
+ILLUSTRATION; SEPARATOR labels H/V/T).  Chrome detection (nav/header/
+footer/aside ancestry) is recorded here but *classified out* in the Spark
+layout stage — mirroring how origami's ``HeuristicFrameDetector``
+(``core/contours.py:354-426``) removes margin noise as a separate rule.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .render import render_table
+from .tokenizer import BLOCK_TAGS, DROP_TAGS, Node, Page, build_tree, normalize_text
+
+CHROME_TAGS = frozenset("nav header footer aside form button".split())
+MEDIA_TAGS = frozenset("img picture figure video audio canvas".split())
+LIST_TAGS = frozenset(("ul", "ol", "menu", "dir"))
+TABLE_TAG = "table"
+_TERMINAL = tuple(".!?:;…")
+
+
+@dataclass
+class Block:
+    seq: int           # document-order index among emitted blocks
+    node_id: int
+    parent_id: int
+    label: str         # TEXT | TABULAR | ILLUSTRATION | SEPARATOR
+    tag: str
+    tag_path: str
+    depth: int
+    start: int         # raw byte span of the source element
+    end: int
+    text: str          # normalized text, lines joined with '\n'
+    n_lines: int
+    text_len: int
+    link_len: int
+    in_chrome: bool
+    ends_clean: bool = False
+    ws_gap_next: bool = False  # only whitespace between this and next block
+    path: str = ""
+
+
+def _is_block(tag: str) -> bool:
+    return tag in BLOCK_TAGS
+
+
+_BR = "\x00"  # line-break sentinel; never occurs in normalized text
+
+
+def _gather_inline(page: Page, node: Node, parts: list, link_parts: list,
+                   in_link: bool) -> None:
+    """Collect raw text fragments of `node`'s inline content into `parts`.
+
+    '\\n' sentinels mark <br> line breaks.  Stops at nested block elements.
+    """
+    items = []
+    for (s, e) in node.texts:
+        items.append((s, "text", (s, e)))
+    for cid in node.children:
+        child = page.nodes[cid]
+        items.append((child.start, "node", cid))
+    items.sort(key=lambda t: t[0])
+    for _, kind, payload in items:
+        if kind == "text":
+            s, e = payload
+            raw = page.text_of(s, e)
+            parts.append(raw)
+            if in_link:
+                link_parts.append(raw)
+        else:
+            child = page.nodes[payload]
+            if child.tag in DROP_TAGS or _is_block(child.tag):
+                continue
+            if child.tag == "br":
+                parts.append(_BR)
+                continue
+            _gather_inline(page, child, parts, link_parts,
+                           in_link or child.tag == "a")
+
+
+def _inline_text(page: Page, node: Node):
+    """-> (lines, text_len, link_len). Lines are normalized, empties dropped."""
+    parts, link_parts = [], []
+    _gather_inline(page, node, parts, link_parts, node.tag == "a")
+    lines = [normalize_text(seg) for seg in "".join(parts).split(_BR)]
+    lines = [ln for ln in lines if ln]
+    text_len = sum(len(ln) for ln in lines)
+    link_len = len(normalize_text(" ".join(link_parts))) if link_parts else 0
+    return lines, text_len, min(link_len, text_len)
+
+
+def _table_cells(page: Page, table: Node):
+    """-> (rows:list[list[str]], has_header). Walks tr/td/th descendants."""
+    rows, header_flags = [], []
+
+    def walk(node: Node):
+        for cid in node.children:
+            child = page.nodes[cid]
+            if child.tag == "tr":
+                cells, all_th = [], True
+                for gid in child.children:
+                    cell = page.nodes[gid]
+                    if cell.tag in ("td", "th"):
+                        lines, _, _ = _inline_text(page, cell)
+                        cells.append(" ".join(lines))
+                        all_th = all_th and cell.tag == "th"
+                if cells:
+                    rows.append(cells)
+                    header_flags.append(all_th)
+            elif child.tag in ("thead", "tbody", "tfoot", TABLE_TAG):
+                walk(child)
+    walk(table)
+    has_header = bool(header_flags) and header_flags[0] and len(rows) > 1
+    return rows, has_header
+
+
+_WS_ONLY = re.compile(rb"[ \t\r\n\f]*")
+
+
+def extract_page(data: bytes) -> list:
+    """html bytes -> list[Block] in document order."""
+    page = build_tree(data)
+    blocks: list = []
+    tag_stack: list = []
+
+    def chrome(tag_path_parts) -> bool:
+        return any(t in CHROME_TAGS for t in tag_path_parts)
+
+    def emit(node: Node, label: str, text: str, n_lines: int,
+             text_len: int, link_len: int, path_parts) -> None:
+        blocks.append(Block(
+            seq=len(blocks), node_id=node.node_id, parent_id=node.parent_id,
+            label=label, tag=node.tag, tag_path="/".join(path_parts),
+            depth=node.depth, start=node.start, end=node.end, text=text,
+            n_lines=n_lines, text_len=text_len, link_len=link_len,
+            in_chrome=chrome(path_parts),
+            ends_clean=text.endswith(_TERMINAL) if text else True,
+        ))
+
+    def walk(node: Node, path_parts: list) -> None:
+        for cid in node.children:
+            child = page.nodes[cid]
+            tag = child.tag
+            if tag in DROP_TAGS:
+                continue
+            parts = path_parts + [tag]
+            if tag == "hr":
+                emit(child, "SEPARATOR", "", 0, 0, 0, parts)
+            elif tag == TABLE_TAG:
+                rows, has_header = _table_cells(page, child)
+                text = render_table(rows, has_header)
+                tlen = sum(len(c) for r in rows for c in r)
+                emit(child, "TABULAR", text,
+                     text.count("\n") + 1 if text else 0, tlen, 0, parts)
+            elif tag in LIST_TAGS:
+                lines = []
+                for gid in child.children:
+                    li = page.nodes[gid]
+                    if li.tag == "li":
+                        li_lines, _, _ = _inline_text(page, li)
+                        lines.extend(li_lines)
+                if lines:
+                    emit(child, "TEXT", "\n".join(lines), len(lines),
+                         sum(len(ln) for ln in lines), 0, parts)
+            elif tag in MEDIA_TAGS:
+                emit(child, "ILLUSTRATION", "", 0, 0, 0, parts)
+            elif _is_block(tag):
+                lines, text_len, link_len = _inline_text(page, child)
+                if lines:
+                    emit(child, "TEXT", "\n".join(lines), len(lines),
+                         text_len, link_len, parts)
+                walk(child, parts)
+            # inline elements at block level: their text was already
+            # captured by the nearest block ancestor via _gather_inline
+    walk(page.nodes[0], [])
+
+    # per-label block numbering -> origami-style paths label/idx
+    counters: dict = {}
+    for b in blocks:
+        i = counters.get(b.label, 0)
+        counters[b.label] = i + 1
+        b.path = f"{b.label}/{i}"
+
+    # whitespace-gap adjacency flags (fragment-merge evidence)
+    for a, b in zip(blocks, blocks[1:]):
+        if a.end <= b.start:
+            a.ws_gap_next = bool(_WS_ONLY.fullmatch(data, a.end, b.start))
+    return blocks

@@ -1,0 +1,236 @@
+"""HTML byte tokenizer + tree builder with exact byte offsets.
+
+No external parser (bs4/lxml unavailable, and neither tracks byte offsets).
+A small regex token scanner over *bytes* keeps every node's span as a true
+offset into the raw document, which the pipeline carries end-to-end so the
+final output's ``spans`` index into the stored ``html`` column.
+
+Reference analog: origami labels page pixels with a CNN and vectorizes the
+label raster into contours (``core/predict.py:158-301``,
+``core/contours.py:59-73``); here the "raster" is the byte stream and the
+"contours" are DOM nodes with byte spans.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from dataclasses import dataclass, field
+
+# --- token patterns (bytes) -------------------------------------------------
+
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+_DOCTYPE_RE = re.compile(rb"<![^>]*>", re.S)
+_RAWTEXT_RE = {
+    b"script": re.compile(rb"</script\s*>", re.I),
+    b"style": re.compile(rb"</style\s*>", re.I),
+}
+_TAG_RE = re.compile(
+    rb"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>", re.S
+)
+_ATTR_RE = re.compile(
+    rb"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
+)
+_WS_COLLAPSE_RE = re.compile(r"\s+")
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# tags whose subtree is dropped entirely (never text content)
+DROP_TAGS = frozenset(
+    "script style noscript template svg iframe object head title".split()
+)
+
+# elements that establish a block boundary in the rendered document
+BLOCK_TAGS = frozenset(
+    (
+        "address article aside blockquote body caption dd details dir div dl dt "
+        "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr html "
+        "li main menu nav ol p pre section summary table tbody td tfoot th thead "
+        "tr ul"
+    ).split()
+)
+
+# implicit close pairs for tag-soup tolerance: opening key closes an open value
+_IMPLICIT_CLOSE = {
+    "li": {"li"},
+    "p": {"p"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "tr": {"tr", "td", "th"},
+    "option": {"option"},
+    "dd": {"dd", "dt"},
+    "dt": {"dd", "dt"},
+}
+
+
+@dataclass
+class Node:
+    """One DOM element. ``start``/``end`` are byte offsets of the whole
+    element (open tag through close tag); ``inner_start``/``inner_end``
+    bound its content."""
+
+    node_id: int
+    parent_id: int
+    tag: str
+    depth: int
+    start: int
+    end: int
+    inner_start: int
+    inner_end: int
+    attrs: dict
+    children: list = field(default_factory=list)  # node_ids
+    texts: list = field(default_factory=list)  # (start, end) direct text runs
+
+
+@dataclass
+class Page:
+    nodes: list  # list[Node], document order; nodes[0] is synthetic root
+    data: bytes
+
+    def text_of(self, start: int, end: int) -> str:
+        return self.data[start:end].decode("utf-8", errors="replace")
+
+
+def _parse_attrs(raw: bytes) -> dict:
+    attrs = {}
+    for m in _ATTR_RE.finditer(raw):
+        k = m.group(1).decode("ascii", "replace").lower()
+        v = m.group(2)
+        if v is None:
+            attrs[k] = ""
+        else:
+            v = v.strip(b"\"'").decode("utf-8", "replace")
+            attrs[k] = v
+    return attrs
+
+
+def tokenize(data: bytes):
+    """Yield (kind, payload) events over the byte stream.
+
+    kinds: ("open", tag:str, attrs_raw:bytes, start, end, selfclose:bool),
+           ("close", tag:str, start, end), ("text", start, end).
+    Comments/doctype/script/style bodies are skipped (DROP semantics).
+    """
+    pos, n = 0, len(data)
+    while pos < n:
+        lt = data.find(b"<", pos)
+        if lt < 0:
+            yield ("text", pos, n)
+            break
+        if lt > pos:
+            yield ("text", pos, lt)
+        m = _COMMENT_RE.match(data, lt) or _DOCTYPE_RE.match(data, lt)
+        if m and data[lt : lt + 2] in (b"<!", b"<?"):
+            pos = m.end()
+            continue
+        m = _TAG_RE.match(data, lt)
+        if not m:
+            # stray '<' — treat as text up to next '<'
+            nxt = data.find(b"<", lt + 1)
+            nxt = n if nxt < 0 else nxt
+            yield ("text", lt, nxt)
+            pos = nxt
+            continue
+        closing, tagb, attrs_raw, selfclose = m.group(1), m.group(2), m.group(3), m.group(4)
+        tag = tagb.decode("ascii", "replace").lower()
+        if closing:
+            yield ("close", tag, lt, m.end())
+            pos = m.end()
+            continue
+        yield ("open", tag, attrs_raw, lt, m.end(), bool(selfclose))
+        pos = m.end()
+        # raw-text elements: skip body to the matching end tag
+        raw_re = _RAWTEXT_RE.get(tagb.lower())
+        if raw_re and not selfclose:
+            em = raw_re.search(data, pos)
+            if em:
+                yield ("close", tag, em.start(), em.end())
+                pos = em.end()
+            else:
+                pos = n
+
+
+def build_tree(data: bytes) -> Page:
+    """Build a flat node table (document order) with byte spans.
+
+    Tag-soup tolerant: unmatched close tags pop to the nearest matching
+    ancestor or are ignored; unclosed elements close at document end
+    (matches the reference's tolerance of imperfect inputs —
+    ``Decompose``/``buffer(0)`` fixes, ``core/contours.py:157-164``).
+    """
+    root = Node(0, -1, "#root", 0, 0, len(data), 0, len(data), {})
+    nodes = [root]
+    stack = [root]  # open elements
+
+    def close_node(node: Node, inner_end: int, end: int):
+        node.inner_end = inner_end
+        node.end = end
+
+    for ev in tokenize(data):
+        kind = ev[0]
+        if kind == "text":
+            _, s, e = ev
+            stack[-1].texts.append((s, e))
+        elif kind == "open":
+            _, tag, attrs_raw, s, e, selfclose = ev
+            implicit = _IMPLICIT_CLOSE.get(tag)
+            if implicit:
+                while len(stack) > 1 and stack[-1].tag in implicit:
+                    top = stack.pop()
+                    close_node(top, s, s)
+            # HTML5: any block-level start tag implies </p> for an open <p>,
+            # popping through any unclosed inline formatting elements
+            if tag in BLOCK_TAGS:
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].tag == "p":
+                        while len(stack) > i:
+                            close_node(stack.pop(), s, s)
+                        break
+                    if stack[i].tag in BLOCK_TAGS:
+                        break
+            parent = stack[-1]
+            node = Node(
+                node_id=len(nodes),
+                parent_id=parent.node_id,
+                tag=tag,
+                depth=len(stack),
+                start=s,
+                end=e,
+                inner_start=e,
+                inner_end=e,
+                attrs=_parse_attrs(attrs_raw),
+            )
+            nodes.append(node)
+            parent.children.append(node.node_id)
+            if not selfclose and tag not in VOID_TAGS:
+                stack.append(node)
+        else:  # close
+            _, tag, s, e = ev
+            # find matching open element; unmatched close tags are ignored
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    while len(stack) > i + 1:  # implicitly close children
+                        close_node(stack.pop(), s, s)
+                    matched = stack.pop()
+                    matched.inner_end = s
+                    matched.end = e
+                    break
+    while len(stack) > 1:
+        top = stack.pop()
+        close_node(top, len(data), len(data))
+    return Page(nodes=nodes, data=data)
+
+
+def normalize_text(raw: str) -> str:
+    """Entity-decode and whitespace-collapse one text run.
+
+    The web analog of origami's harmonization/LetterFilter normalization
+    (``batch/detect/compose.py:588-593``): deterministic, idempotent.
+    """
+    return _WS_COLLAPSE_RE.sub(" ", _htmllib.unescape(raw)).strip()
+
+
+def decode_bytes(data: bytes) -> str:
+    return data.decode("utf-8", errors="replace")
