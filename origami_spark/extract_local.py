@@ -89,6 +89,7 @@ def extract_document(html: bytes) -> dict:
             {
                 "label": first.label,
                 "path": first.path,
+                "seq": first.seq,
                 "start": first.start,
                 "end": max(m.end for m in g),
                 "text": text,
@@ -96,10 +97,21 @@ def extract_document(html: bytes) -> dict:
             }
         )
 
-    # rule 4: deterministic order
-    merged.sort(key=lambda m: (m["start"], m["path"]))
+    # rule 4: drop blocks contained in an earlier block's span
+    # (OverlapMerger analog — running-max containment, see
+    # operators/layout.py drop_contained)
+    merged.sort(key=lambda m: (m["start"], m["seq"]))
+    max_end = -1
+    deduped = []
+    for m in merged:
+        if m["end"] > max_end:
+            deduped.append(m)
+        max_end = max(max_end, m["end"])
+    merged = deduped
 
-    # rule 5: compose
+    # rule 5: deterministic order (already sorted by start)
+
+    # rule 6: compose
     text = "\n\n".join(m["text"] for m in merged)
     if text:
         text += "\n"

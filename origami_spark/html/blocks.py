@@ -58,12 +58,28 @@ def _is_block(tag: str) -> bool:
 _BR = "\x00"  # line-break sentinel; never occurs in normalized text
 
 
-def _gather_inline(page: Page, node: Node, parts: list, link_parts: list,
-                   in_link: bool) -> None:
-    """Collect raw text fragments of `node`'s inline content into `parts`.
+class _Gather:
+    """Inline-content accumulator: text parts, link parts, the byte hull
+    of consumed text runs, and whether nested block children were skipped
+    (container evidence)."""
 
-    '\\n' sentinels mark <br> line breaks.  Stops at nested block elements.
-    """
+    def __init__(self):
+        self.parts: list = []
+        self.link_parts: list = []
+        self.hull_s: int | None = None
+        self.hull_e: int | None = None
+        self.skipped_block = False
+
+    def add_run(self, s: int, e: int):
+        self.hull_s = s if self.hull_s is None else min(self.hull_s, s)
+        self.hull_e = e if self.hull_e is None else max(self.hull_e, e)
+
+
+def _gather_inline(page: Page, node: Node, g: _Gather, in_link: bool) -> None:
+    """Collect raw text fragments of `node`'s inline content into `g`.
+
+    Stops at nested block elements (marking `skipped_block`); recursion
+    through inline elements only."""
     items = []
     for (s, e) in node.texts:
         items.append((s, "text", (s, e)))
@@ -75,29 +91,38 @@ def _gather_inline(page: Page, node: Node, parts: list, link_parts: list,
         if kind == "text":
             s, e = payload
             raw = page.text_of(s, e)
-            parts.append(raw)
+            g.parts.append(raw)
+            if raw.strip():
+                g.add_run(s, e)
             if in_link:
-                link_parts.append(raw)
+                g.link_parts.append(raw)
         else:
             child = page.nodes[payload]
-            if child.tag in DROP_TAGS or _is_block(child.tag):
+            if child.tag in DROP_TAGS:
+                continue
+            if _is_block(child.tag):
+                g.skipped_block = True
                 continue
             if child.tag == "br":
-                parts.append(_BR)
+                g.parts.append(_BR)
                 continue
-            _gather_inline(page, child, parts, link_parts,
-                           in_link or child.tag == "a")
+            _gather_inline(page, child, g, in_link or child.tag == "a")
+            if child.texts or child.children:
+                pass  # child spans contribute via their own text runs
 
 
 def _inline_text(page: Page, node: Node):
-    """-> (lines, text_len, link_len). Lines are normalized, empties dropped."""
-    parts, link_parts = [], []
-    _gather_inline(page, node, parts, link_parts, node.tag == "a")
-    lines = [normalize_text(seg) for seg in "".join(parts).split(_BR)]
+    """-> (lines, text_len, link_len, gather).
+
+    Lines are normalized with empties dropped; `gather` carries the text
+    hull + container evidence for span assignment."""
+    g = _Gather()
+    _gather_inline(page, node, g, node.tag == "a")
+    lines = [normalize_text(seg) for seg in "".join(g.parts).split(_BR)]
     lines = [ln for ln in lines if ln]
     text_len = sum(len(ln) for ln in lines)
-    link_len = len(normalize_text(" ".join(link_parts))) if link_parts else 0
-    return lines, text_len, min(link_len, text_len)
+    link_len = len(normalize_text(" ".join(g.link_parts))) if g.link_parts else 0
+    return lines, text_len, min(link_len, text_len), g
 
 
 def _table_cells(page: Page, table: Node):
@@ -112,7 +137,7 @@ def _table_cells(page: Page, table: Node):
                 for gid in child.children:
                     cell = page.nodes[gid]
                     if cell.tag in ("td", "th"):
-                        lines, _, _ = _inline_text(page, cell)
+                        lines, _, _, _g = _inline_text(page, cell)
                         cells.append(" ".join(lines))
                         all_th = all_th and cell.tag == "th"
                 if cells:
@@ -138,11 +163,13 @@ def extract_page(data: bytes) -> list:
         return any(t in CHROME_TAGS for t in tag_path_parts)
 
     def emit(node: Node, label: str, text: str, n_lines: int,
-             text_len: int, link_len: int, path_parts) -> None:
+             text_len: int, link_len: int, path_parts,
+             span: tuple | None = None) -> None:
+        start, end = span if span else (node.start, node.end)
         blocks.append(Block(
             seq=len(blocks), node_id=node.node_id, parent_id=node.parent_id,
             label=label, tag=node.tag, tag_path="/".join(path_parts),
-            depth=node.depth, start=node.start, end=node.end, text=text,
+            depth=node.depth, start=start, end=end, text=text,
             n_lines=n_lines, text_len=text_len, link_len=link_len,
             in_chrome=chrome(path_parts),
             ends_clean=text.endswith(_TERMINAL) if text else True,
@@ -168,7 +195,7 @@ def extract_page(data: bytes) -> list:
                 for gid in child.children:
                     li = page.nodes[gid]
                     if li.tag == "li":
-                        li_lines, _, _ = _inline_text(page, li)
+                        li_lines, _, _, _g = _inline_text(page, li)
                         lines.extend(li_lines)
                 if lines:
                     emit(child, "TEXT", "\n".join(lines), len(lines),
@@ -176,13 +203,28 @@ def extract_page(data: bytes) -> list:
             elif tag in MEDIA_TAGS:
                 emit(child, "ILLUSTRATION", "", 0, 0, 0, parts)
             elif _is_block(tag):
-                lines, text_len, link_len = _inline_text(page, child)
+                lines, text_len, link_len, g = _inline_text(page, child)
                 if lines:
+                    # container elements (nested block children skipped):
+                    # the block covers only its own text hull, NOT the
+                    # whole element — otherwise one stray text run in
+                    # <body> would span (and swallow, via overlap dedupe)
+                    # every other block on the page
+                    span = (
+                        (g.hull_s, g.hull_e)
+                        if g.skipped_block and g.hull_s is not None
+                        else None
+                    )
                     emit(child, "TEXT", "\n".join(lines), len(lines),
-                         text_len, link_len, parts)
+                         text_len, link_len, parts, span=span)
                 walk(child, parts)
-            # inline elements at block level: their text was already
-            # captured by the nearest block ancestor via _gather_inline
+            else:
+                # inline element at block level: its text belongs to the
+                # nearest block ancestor, but it may still hide nested
+                # block elements (tag soup) — recurse to find them
+                if any(_is_block(page.nodes[g_].tag) or page.nodes[g_].children
+                       for g_ in child.children):
+                    walk(child, parts)
     walk(page.nodes[0], [])
 
     # per-label block numbering -> origami-style paths label/idx

@@ -1,0 +1,55 @@
+"""Parse+segment kernel: pages -> exploded block rows (stages S1+S2).
+
+One Arrow batch of (url, html) in, one batch of block rows out.  This
+fuses origami's segment (pixel labeling, ``batch/detect/segment.py``) and
+contours (raster->vector, ``batch/detect/contours.py``) stages: for HTML
+the DOM parse yields labeled vector blocks directly, so splitting them
+into two passes would only re-parse the same bytes.
+
+The per-document work is pure Python over bytes (the tokenizer), executed
+batch-at-a-time inside mapInPandas — the web analog of origami's numpy
+raster kernels: no Spark-level per-row Python, and the expensive inner
+loop is a compiled regex scanner.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..html.blocks import extract_page
+
+BLOCKS_SCHEMA = (
+    "url string, seq int, path string, label string, tag string, "
+    "tag_path string, depth int, parent_id int, start bigint, end bigint, "
+    "text string, n_lines int, text_len bigint, link_len bigint, "
+    "in_chrome boolean, ends_clean boolean, ws_gap_next boolean"
+)
+
+_COLS = [f.split()[0] for f in BLOCKS_SCHEMA.split(", ")]
+
+
+def parse_blocks(batches):
+    """mapInPandas kernel: (url, html[, ...]) -> block rows."""
+    for pdf in batches:
+        out = {c: [] for c in _COLS}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            data = bytes(html) if html is not None else b""
+            for b in extract_page(data):
+                out["url"].append(url)
+                out["seq"].append(b.seq)
+                out["path"].append(b.path)
+                out["label"].append(b.label)
+                out["tag"].append(b.tag)
+                out["tag_path"].append(b.tag_path)
+                out["depth"].append(b.depth)
+                out["parent_id"].append(b.parent_id)
+                out["start"].append(b.start)
+                out["end"].append(b.end)
+                out["text"].append(b.text)
+                out["n_lines"].append(b.n_lines)
+                out["text_len"].append(b.text_len)
+                out["link_len"].append(b.link_len)
+                out["in_chrome"].append(b.in_chrome)
+                out["ends_clean"].append(b.ends_clean)
+                out["ws_gap_next"].append(b.ws_gap_next)
+        yield pd.DataFrame(out)

@@ -1,0 +1,129 @@
+"""Layout stage: boilerplate classification + block refinement (S5).
+
+The web re-expression of origami's biggest stage — the rule pipeline of
+``batch/detect/layout.py`` + ``custom/layouts/bbz.py:50-86`` — as pure
+DataFrame algebra (every rule is a filter / window / groupBy, no UDFs):
+
+rule 1  frame removal       — ``HeuristicFrameDetector``
+                              (``core/contours.py:354-426``): drop blocks
+                              with chrome ancestry -> `filter`
+rule 2  boilerplate filter  — link-density classifier + empty-block drop
+                              (`AreaFilter` ``layout.py:872-883``;
+                              `reliable_contours` ``batch/core/lines.py:
+                              15-48``) -> `filter`
+rule 3  adjacency merge     — `AdjacencyMerger`+`IsOnSameLine`
+                              (``layout.py:369-468``): Voronoi adjacency
+                              becomes DOM adjacency = window lag; the
+                              connected-component merge becomes a running
+                              group-id sum + groupBy span-union
+rule 4  overlap dedupe      — `OverlapMerger` (``layout.py:471-500``):
+                              contained-span drop via running max(end)
+                              window (no O(n^2) self-join)
+
+SEPARATOR rows ride through rules 1-3 as merge *barriers* (a separator
+between two fragments must block their merge — `check_obstacles` analog,
+``core/separate.py:64-72``) and drop at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LINK_DENSITY_MAX = 0.5
+
+_SEQ_WIN = lambda: Window.partitionBy("url").orderBy("seq")  # noqa: E731
+
+
+def classify(blocks: DataFrame) -> DataFrame:
+    """Rules 1+2: survivors + separators (kept as merge barriers)."""
+    is_sep = F.col("label") == "SEPARATOR"
+    survives = (
+        (~F.col("in_chrome"))
+        & (
+            ((F.col("label") == "TABULAR") & (F.col("text") != ""))
+            | (
+                (F.col("label") == "TEXT")
+                & (F.col("text_len") > 0)
+                & (F.col("link_len") <= F.lit(LINK_DENSITY_MAX) * F.col("text_len"))
+            )
+        )
+    )
+    return blocks.filter(is_sep | survives)
+
+
+def merge_adjacent(classified: DataFrame) -> DataFrame:
+    """Rule 3: merge runs of single-line <p> fragments; then drop separators.
+
+    Criterion (must match extract_local.merge_with_prev): consecutive rows
+    in the classified frame, both TEXT <p> single-line with the same DOM
+    parent, previous not sentence-terminal, only whitespace between them
+    in the raw bytes."""
+    w = _SEQ_WIN()
+    prev = lambda c: F.lag(c).over(w)  # noqa: E731
+    mergeable = (
+        (F.col("label") == "TEXT")
+        & (prev("label") == "TEXT")
+        & (F.col("tag") == "p")
+        & (prev("tag") == "p")
+        & (F.col("parent_id") == prev("parent_id"))
+        & (F.col("n_lines") == 1)
+        & (prev("n_lines") == 1)
+        & (~prev("ends_clean"))
+        & prev("ws_gap_next")
+    )
+    with_groups = classified.withColumn(
+        "grp",
+        F.sum(F.when(mergeable, F.lit(0)).otherwise(F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    members = F.array_sort(
+        F.collect_list(
+            F.struct("seq", "path", "label", "tag", "start", "end", "text",
+                     "n_lines", "text_len", "link_len")
+        )
+    )
+    merged = (
+        with_groups.groupBy("url", "grp")
+        .agg(members.alias("ms"))
+        .select(
+            "url",
+            F.element_at("ms", 1)["seq"].alias("seq"),
+            F.element_at("ms", 1)["path"].alias("path"),
+            F.element_at("ms", 1)["label"].alias("label"),
+            F.element_at("ms", 1)["start"].alias("start"),
+            F.array_max(F.transform("ms", lambda m: m["end"])).alias("end"),
+            F.array_join(F.transform("ms", lambda m: m["text"]), " ").alias("text"),
+            F.aggregate("ms", F.lit(0), lambda acc, m: acc + m["n_lines"]).alias("n_lines"),
+            F.aggregate("ms", F.lit(0).cast("bigint"), lambda acc, m: acc + m["text_len"]).alias("text_len"),
+            F.aggregate("ms", F.lit(0).cast("bigint"), lambda acc, m: acc + m["link_len"]).alias("link_len"),
+            F.slice(F.transform("ms", lambda m: m["path"]), 2, 100000).alias("merged_from"),
+        )
+    )
+    return merged.filter(F.col("label") != "SEPARATOR")
+
+
+def drop_contained(refined: DataFrame) -> DataFrame:
+    """Rule 4: drop a block whose span is contained in an earlier block.
+
+    Ordered by (start, seq) per url, a row is contained iff the running
+    max of `end` over all *preceding* rows already covers its `end`
+    (preceding starts are <= its start by the sort).  O(n) window instead
+    of an O(n^2) span self-join — the 1-D gift the 2-D reference never
+    had."""
+    w = (
+        Window.partitionBy("url")
+        .orderBy("start", "seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        refined.withColumn("_maxend", F.max("end").over(w))
+        .filter(F.col("_maxend").isNull() | (F.col("end") > F.col("_maxend")))
+        .drop("_maxend")
+    )
+
+
+def refine(blocks: DataFrame) -> DataFrame:
+    """Full layout stage: classify -> merge -> dedupe."""
+    return drop_contained(merge_adjacent(classify(blocks)))

@@ -1,0 +1,87 @@
+"""Reading order stage (S7) — deterministic block ordering.
+
+Origami orders 2-D regions with a recursive XY-cut (``core/xycut.py:
+187-241``) plus separator-aware gap scoring (``ObstacleSampler``,
+``core/separate.py:96-162``).  Character spans are 1-D, where the XY-cut
+recursion collapses to exactly "sort by span start": every gap between
+non-overlapping spans is a valid cut, recursion depth n, leaves in start
+order.  So the *operator* here is a window ``row_number`` — the honest
+1-D XY-cut — and ``xy_cut_1d`` below keeps the recursive form (with gap
+scoring and overlap-tolerant splitting) for parity, property tests, and
+any future 2-D layout source (PDF).
+
+Output mirrors ``order.json``'s ``{"*": [paths...]}`` contract
+(``docs/formats.md:337-379``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_blocks(refined: DataFrame) -> DataFrame:
+    """Add `rank` = reading-order position per url (1-based)."""
+    w = Window.partitionBy("url").orderBy("start", "seq")
+    return refined.withColumn("rank", F.row_number().over(w))
+
+
+def orders_table(ranked: DataFrame) -> DataFrame:
+    """S7 table: (url, orders map<label-family, array<path>>), '*' = global.
+
+    Reference: ``xycut_orders`` emits one order per label family plus the
+    global '*' order, ILLUSTRATION excluded (``batch/detect/order.py:
+    74-94``)."""
+    per_label = (
+        ranked.groupBy("url", "label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "path"))),
+                lambda s: s["path"],
+            ).alias("paths")
+        )
+    )
+    star = (
+        ranked.groupBy("url")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "path"))),
+                lambda s: s["path"],
+            ).alias("paths")
+        )
+        .withColumn("label", F.lit("*"))
+    )
+    both = per_label.unionByName(star.select("url", "label", "paths"))
+    return both.groupBy("url").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("label", "paths")))
+        ).alias("orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive 1-D XY-cut (parity implementation; used by property tests and
+# as the tie-break kernel for overlapping spans from non-HTML sources)
+# ---------------------------------------------------------------------------
+
+def xy_cut_1d(spans, score="widest_gap"):
+    """spans: list of (id, start, end). Returns ids in reading order.
+
+    Recursive gap cut: find candidate cut positions (gaps no span
+    crosses), pick the best-scored one, recurse.  Overlapping spans that
+    admit no cut are emitted in (start, id) order — the reference's
+    grouped-leaf fallback (``core/xycut.py:244-276``)."""
+    if len(spans) <= 1:
+        return [s[0] for s in spans]
+    items = sorted(spans, key=lambda s: (s[1], s[2], s[0]))
+    best_gap, best_at = -1, None
+    max_end = items[0][2]
+    for i in range(1, len(items)):
+        gap = items[i][1] - max_end
+        if gap >= 0 and (gap > best_gap):
+            best_gap, best_at = gap, i
+        max_end = max(max_end, items[i][2])
+    if best_at is None:
+        return [s[0] for s in items]  # unresolvable overlap group
+    left, right = items[:best_at], items[best_at:]
+    return xy_cut_1d(left, score) + xy_cut_1d(right, score)

@@ -1,0 +1,118 @@
+"""Checkpointed stage runner: scan -> anti-join resume -> transform ->
+commit + per-partition lineage.
+
+The Spark-native survivor of origami's whole batch framework
+(``batch/core/processor.py``):
+
+* readiness check / skip-done   (``processor.py:365-394``)  ->
+  **left-anti join** of the source against the stage output's committed
+  keys — resume-from-checkpoint without any mutex, because partition
+  writes are idempotent per url and the commit is atomic at the
+  directory level (Iceberg snapshot commit on a real deployment; local
+  parquet here with the same append semantics)
+* sqlite/file mutex work claiming (``batch/core/mutex.py``)  ->
+  not needed: the driver owns task assignment
+* runtime.json lineage          (``processor.py:628-662``)  ->
+  `_lineage` rows per (stage, partition): doc count, order-insensitive
+  url digest (bit_xor of xxhash64), wall time, status
+* stats batch                   (``batch/utils/stats.py:88-103``) ->
+  `lineage_stats`: count + min/median/p90 over wall times
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_DIR = "_lineage"
+
+
+def _exists(path: str) -> bool:
+    # local-fs check; on a cluster the catalog answers this (table exists)
+    return os.path.exists(path)
+
+
+def run_stage(
+    spark: SparkSession,
+    name: str,
+    src: DataFrame,
+    build,
+    work_dir: str,
+    key: str = "url",
+    run_id: str | None = None,
+) -> DataFrame:
+    """Run one pipeline stage with resume + lineage; return the full
+    committed stage table (previous snapshots + this run's appends).
+
+    `build`: DataFrame -> DataFrame (kernels and/or relational ops).
+    Only rows whose `key` is not yet committed are computed (anti-join
+    resume); the transform result is appended atomically.
+    """
+    out_path = os.path.join(work_dir, name)
+    lineage_path = os.path.join(work_dir, LINEAGE_DIR)
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    todo = src
+    if _exists(out_path):
+        done = spark.read.parquet(out_path).select(key).distinct()
+        todo = src.join(done, key, "left_anti")
+        if todo.isEmpty():  # fully resumed: nothing to compute or commit
+            return spark.read.parquet(out_path).drop("_part_id")
+
+    t0 = time.monotonic()
+    status = "COMPLETED"
+    try:
+        result = build(todo).withColumn("_part_id", F.spark_partition_id())
+        result.write.mode("append").parquet(out_path)
+    except Exception:
+        status = "FAILED"
+        raise
+    finally:
+        wall = time.monotonic() - t0
+        try:
+            if status == "COMPLETED":
+                lineage = (
+                    spark.read.parquet(out_path)
+                    .groupBy("_part_id")
+                    .agg(
+                        F.count(F.lit(1)).alias("doc_count"),
+                        F.expr(f"bit_xor(xxhash64({key}))").alias("digest"),
+                    )
+                    .select(
+                        F.lit(name).alias("stage"),
+                        F.lit(run_id).alias("run_id"),
+                        F.col("_part_id").alias("partition_id"),
+                        "doc_count",
+                        F.conv(F.col("digest").cast("string"), 10, 16).alias("digest"),
+                        F.lit(wall).alias("wall_time"),
+                        F.lit(status).alias("status"),
+                    )
+                )
+            else:
+                lineage = spark.createDataFrame(
+                    [(name, run_id, -1, 0, "", wall, status)],
+                    "stage string, run_id string, partition_id int, "
+                    "doc_count bigint, digest string, wall_time double, "
+                    "status string",
+                )
+            lineage.write.mode("append").parquet(lineage_path)
+        except Exception:
+            pass  # lineage failures never mask the stage result
+
+    return spark.read.parquet(out_path).drop("_part_id")
+
+
+def lineage_stats(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Per-stage doc counts + wall-time quantiles (stats.py analog)."""
+    lin = spark.read.parquet(os.path.join(work_dir, LINEAGE_DIR))
+    return lin.groupBy("stage", "run_id", "status").agg(
+        F.sum("doc_count").alias("docs"),
+        F.count(F.lit(1)).alias("partitions"),
+        F.min("wall_time").alias("wall_min"),
+        F.expr("percentile(wall_time, 0.5)").alias("wall_median"),
+        F.expr("percentile(wall_time, 0.9)").alias("wall_p90"),
+    )

@@ -1,0 +1,41 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the pipeline's shape: wide binary payloads through Arrow
+kernels + relational glue.  On a real cluster the same settings apply;
+only ``master`` changes (spark-submit provides it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+# html payloads can be MBs; bound Arrow batch size so one batch of large
+# pages never blows executor memory (the reference bounds worker RSS via
+# maxtasksperchild=4, processor.py:483 — same concern, Spark-native knob)
+ARROW_MAX_RECORDS = 512
+
+
+def get_spark(app: str = "origami_spark", cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sp = shuffle_partitions or int(
+        os.environ.get("ORIGAMI_SHUFFLE_PARTITIONS", str(max(cores, DEFAULT_SHUFFLE_PARTITIONS)))
+    )
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("ORIGAMI_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

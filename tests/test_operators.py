@@ -1,0 +1,120 @@
+"""Unit tests for the relational layout/order operators on synthetic
+frames (rule-by-rule goldens, SURVEY.md §7)."""
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from origami_spark.kernels.parse import BLOCKS_SCHEMA
+from origami_spark.operators.layout import classify, drop_contained, merge_adjacent, refine
+from origami_spark.operators.order import xy_cut_1d
+
+
+def mkblocks(spark, rows):
+    """rows: list of dicts with block-row fields (defaults filled)."""
+    defaults = dict(
+        url="u", seq=0, path="TEXT/0", label="TEXT", tag="p", tag_path="body/p",
+        depth=2, parent_id=1, start=0, end=10, text="t.", n_lines=1,
+        text_len=2, link_len=0, in_chrome=False, ends_clean=True,
+        ws_gap_next=True,
+    )
+    full = []
+    for i, r in enumerate(rows):
+        d = dict(defaults, seq=i, path=f"TEXT/{i}")
+        d.update(r)
+        full.append(tuple(d[c] for c in [f.split()[0] for f in BLOCKS_SCHEMA.split(", ")]))
+    return spark.createDataFrame(full, BLOCKS_SCHEMA)
+
+
+def test_classify_drops_chrome_linkfarm_empty(spark):
+    df = mkblocks(spark, [
+        {"text": "keep.", "text_len": 5},
+        {"in_chrome": True},
+        {"link_len": 8, "text_len": 10},          # 0.8 link density
+        {"text_len": 0, "text": ""},
+        {"label": "ILLUSTRATION", "text": "", "text_len": 0},
+        {"label": "SEPARATOR", "text": "", "text_len": 0},  # barrier survives
+        {"label": "TABULAR", "text": "+--+", "text_len": 4},
+    ])
+    got = {r["seq"] for r in classify(df).collect()}
+    assert got == {0, 5, 6}
+
+
+def test_merge_adjacent_fragments(spark):
+    df = mkblocks(spark, [
+        {"text": "first part", "ends_clean": False, "start": 0, "end": 10,
+         "text_len": 10},
+        {"text": "second part.", "start": 11, "end": 25, "text_len": 12},
+        {"text": "standalone.", "start": 26, "end": 40, "text_len": 11},
+    ])
+    rows = {r["path"]: r for r in merge_adjacent(df).collect()}
+    assert set(rows) == {"TEXT/0", "TEXT/2"}
+    m = rows["TEXT/0"]
+    assert m["text"] == "first part second part."
+    assert (m["start"], m["end"]) == (0, 25)
+    assert m["merged_from"] == ["TEXT/1"]
+    assert m["text_len"] == 22
+
+
+def test_separator_blocks_merge(spark):
+    df = mkblocks(spark, [
+        {"text": "first part", "ends_clean": False, "start": 0, "end": 10},
+        {"label": "SEPARATOR", "tag": "hr", "text": "", "text_len": 0,
+         "start": 11, "end": 15},
+        {"text": "not merged.", "start": 16, "end": 30},
+    ])
+    got = merge_adjacent(df)
+    assert got.count() == 2  # separator dropped, no merge across it
+    assert got.filter("text = 'first part'").count() == 1
+
+
+def test_merge_requires_same_parent_and_tag(spark):
+    df = mkblocks(spark, [
+        {"text": "frag", "ends_clean": False, "parent_id": 1},
+        {"text": "other parent.", "parent_id": 2},
+        {"text": "frag2", "ends_clean": False, "tag": "h1"},
+        {"text": "tag mismatch.", "tag": "p"},
+    ])
+    assert merge_adjacent(df).count() == 4
+
+
+def test_drop_contained(spark):
+    df = mkblocks(spark, [
+        {"start": 0, "end": 100},
+        {"start": 10, "end": 50},    # contained -> dropped
+        {"start": 60, "end": 120},   # overlaps but extends -> kept
+        {"start": 200, "end": 300},
+    ])
+    kept = sorted(r["start"] for r in drop_contained(df).collect())
+    assert kept == [0, 60, 200]
+
+
+def test_refine_multiple_urls_independent(spark):
+    df = mkblocks(spark, [
+        {"url": "a", "text": "frag", "ends_clean": False, "start": 0, "end": 5},
+        {"url": "a", "text": "ment.", "start": 6, "end": 12},
+        {"url": "b", "text": "solo.", "start": 0, "end": 5},
+    ])
+    got = refine(df)
+    assert got.filter("url = 'a'").count() == 1
+    assert got.filter("url = 'b'").count() == 1
+
+
+# --- xy-cut parity implementation ---
+
+def test_xycut_disjoint_is_start_order():
+    spans = [(2, 50, 60), (0, 0, 10), (1, 20, 30)]
+    assert xy_cut_1d(spans) == [0, 1, 2]
+
+
+def test_xycut_overlap_group_falls_back():
+    spans = [(0, 0, 100), (1, 50, 150), (2, 140, 200)]
+    assert xy_cut_1d(spans) == [0, 1, 2]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1000), st.integers(0, 50)), max_size=30))
+def test_xycut_is_permutation(raw):
+    spans = [(i, s, s + w) for i, (s, w) in enumerate(raw)]
+    out = xy_cut_1d(spans)
+    assert sorted(out) == list(range(len(spans)))

@@ -1,0 +1,76 @@
+"""The Spark engine end-to-end: byte-identical vs goldens, staged resume,
+determinism across parallelism, plan shape."""
+
+import json
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from origami_spark.pipeline import extract, extract_staged
+from origami_spark.plans.runner import lineage_stats
+from origami_spark.sources.corpus import pages_df
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_df(spark, 300, num_partitions=8).cache()
+
+
+def test_extract_byte_identical(spark, pages):
+    out = extract(spark, pages)
+    cmp = out.join(pages.select("url", F.col("text").alias("golden"), "spans_json"), "url")
+    assert cmp.count() == 300
+    assert cmp.filter("text != golden").count() == 0
+    for r in cmp.select("spans", "spans_json").collect():
+        got = [{"label": s["label"], "start": s["start"], "end": s["end"]}
+               for s in r["spans"]]
+        assert got == json.loads(r["spans_json"])
+
+
+def test_empty_page_rows_present(spark, pages):
+    out = extract(spark, pages)
+    # every url present, even ones with zero surviving blocks
+    assert out.select("url").distinct().count() == 300
+    empties = out.filter("text = ''")
+    for r in empties.select("spans").collect():
+        assert r["spans"] == []
+
+
+def test_staged_resume(spark, pages, tmp_path):
+    wd = str(tmp_path / "stages")
+    half = pages.limit(150)
+    out1 = extract_staged(spark, half, wd)
+    assert out1.count() == 150
+    out2 = extract_staged(spark, pages, wd)
+    assert out2.count() == 300
+    assert out2.select("url").distinct().count() == 300
+    # rerun: no duplicates (anti-join resume is a no-op)
+    out3 = extract_staged(spark, pages, wd)
+    assert out3.count() == 300
+    # byte-identity holds through the staged path too
+    cmp = out3.join(pages.select("url", F.col("text").alias("golden")), "url")
+    assert cmp.filter("text != golden").count() == 0
+    # lineage rows exist for every stage
+    stats = {r["stage"] for r in lineage_stats(spark, wd).collect()}
+    assert stats == {"s2_blocks", "s5_layout", "s7_order", "s8_compose"}
+
+
+def test_parallelism_invariance(spark, pages):
+    """Same input, different partitioning -> identical output set
+    (digest stability across cluster sizes, BASELINE.md)."""
+    a = extract(spark, pages, partitions=2)
+    b = extract(spark, pages, partitions=16)
+    ha = a.select(F.sha2(F.concat_ws("\x01", "url", "text"), 256).alias("h"))
+    hb = b.select(F.sha2(F.concat_ws("\x01", "url", "text"), 256).alias("h"))
+    assert ha.subtract(hb).count() == 0
+    assert hb.subtract(ha).count() == 0
+
+
+def test_no_python_udf_after_parse(spark, pages):
+    """Everything after the parse kernel must be JVM-side: the composed
+    plan contains exactly one Python evaluation node chain (mapInPandas
+    of parse + corpus generation), no BatchEvalPython (per-row UDFs)."""
+    out = extract(spark, pages_df(spark, 10))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

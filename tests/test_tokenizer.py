@@ -1,0 +1,75 @@
+"""Tokenizer/tree: byte-offset exactness and tag-soup tolerance."""
+
+from origami_spark.html.tokenizer import build_tree
+
+
+def find(page, tag):
+    return [n for n in page.nodes if n.tag == tag]
+
+
+def test_spans_are_exact_byte_offsets():
+    data = b'<html><body><p id="x">hi</p></body></html>'
+    page = build_tree(data)
+    p = find(page, "p")[0]
+    assert data[p.start : p.end] == b'<p id="x">hi</p>'
+    assert data[p.inner_start : p.inner_end] == b"hi"
+    assert p.attrs == {"id": "x"}
+
+
+def test_multibyte_spans_stay_byte_accurate():
+    data = "<p>héllo</p><p>wörld.</p>".encode()
+    page = build_tree(data)
+    ps = find(page, "p")
+    assert data[ps[0].start : ps[0].end].decode() == "<p>héllo</p>"
+    assert data[ps[1].start : ps[1].end].decode() == "<p>wörld.</p>"
+
+
+def test_implicit_p_close():
+    page = build_tree(b"<body><p>one<p>two</p></body>")
+    ps = find(page, "p")
+    assert len(ps) == 2
+    assert ps[0].parent_id == ps[1].parent_id
+
+
+def test_implied_p_close_through_inline():
+    # HTML5: block start implies </p> even through open inline elements
+    data = b"<div><p>a <b>bold<div>next</div></div>"
+    page = build_tree(data)
+    divs = find(page, "div")
+    assert divs[1].parent_id == divs[0].node_id  # not a child of <b>
+
+
+def test_void_and_selfclose():
+    page = build_tree(b"<p>a<br>b<img src='x'/>c</p>")
+    assert len(find(page, "br")) == 1
+    assert len(find(page, "img")) == 1
+    p = find(page, "p")[0]
+    assert [page.data[s:e] for s, e in p.texts] == [b"a", b"b", b"c"]
+
+
+def test_script_body_not_parsed():
+    data = b"<script>var s = '<p>x</p>';</script><p>real</p>"
+    page = build_tree(data)
+    assert len(find(page, "p")) == 1
+
+
+def test_comment_and_doctype_skipped():
+    page = build_tree(b"<!doctype html><!-- <p>no</p> --><p>yes</p>")
+    assert len(find(page, "p")) == 1
+
+
+def test_unmatched_close_ignored():
+    page = build_tree(b"<p>a</div></p>")
+    assert find(page, "p")[0].texts
+
+
+def test_unclosed_elements_close_at_eof():
+    data = b"<div><p>hang"
+    page = build_tree(data)
+    assert find(page, "p")[0].end == len(data)
+
+
+def test_table_implicit_cells():
+    page = build_tree(b"<table><tr><td>a<td>b<tr><td>c</table>")
+    assert len(find(page, "td")) == 3
+    assert len(find(page, "tr")) == 2
