@@ -1,38 +1,636 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``     — flagship extraction pipeline on sf0.001 (pages derived
+                deterministically from the documents table).
+``queries``   — one entry per implemented operator family (SURVEY.md §2
+                relational checklist + training-data ops); each callable
+                takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql``— matching ANSI SQL for DuckDB on the same parquet views.
+                Extraction-pipeline entries are rows-only (DuckDB cannot
+                parse HTML); their byte-identity gate is the pytest
+                golden suite (tests/test_local_golden.py,
+                tests/test_spark_pipeline.py).
+
+Column-name + value parity rules used throughout: every aggregate is
+aliased identically on both sides; doubles are rounded; sums of integers
+cast to bigint; hashes use the md5-based portable 60-bit hash so Spark
+and DuckDB agree bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from origami_spark.operators import dedup as D  # noqa: E402
+from origami_spark.operators import similarity as S  # noqa: E402
+from origami_spark.operators import text as T  # noqa: E402
+from origami_spark.operators import multimodal as M  # noqa: E402
+from origami_spark.pipeline import extract  # noqa: E402
+from origami_spark.sources.corpus import PAGES_SCHEMA, generate_page  # noqa: E402
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Common-Crawl-style pages keyed by doc_id (seed=42).
+
+    The corpus generator is a pure function of (seed, doc_id), so the
+    same sf_dir always yields the same pages on any cluster."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([generate_page(42, int(i)) for i in pdf["doc_id"]])
+
+    return ids.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline at sf0.001."""
+    pages = _pages_from_documents(spark, SF_DEFAULT)
+    out = extract(spark, pages)
+    return out.select("url", "text", F.size("spans").alias("n_blocks"))
+
+
+# ---------------------------------------------------------------------------
+# relational checklist queries (SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2024-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_topk_orders(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q03_region_revenue(spark, sf):
+    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    c, n, r = (_t(spark, sf, "customer"), _t(spark, sf, "nation"),
+               _t(spark, sf, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q04_anti_join(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    inactive = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_inactive")
+    )
+
+
+def q05_semi_join(spark, sf):
+    p, li = _t(spark, sf, "part"), _t(spark, sf, "lineitem")
+    heavy = p.join(
+        li.filter(F.col("l_quantity") > 45), p.p_partkey == li.l_partkey,
+        "left_semi",
+    )
+    return heavy.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+def q06_window_adjacency(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("new_session",
+                      F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q07_running_containment(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn("prev_max", F.max("value").over(w))
+        .withColumn(
+            "contained",
+            F.when(F.col("value") <= F.col("prev_max"), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("contained").cast("bigint").alias("n_contained"))
+    )
+
+
+def q08_group_percentiles(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q09_ordered_assembly(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("l_linenumber", "l_partkey"))
+                    ),
+                    lambda s: s["l_partkey"].cast("string"),
+                ),
+                ",",
+            ).alias("parts_in_line_order")
+        )
+    )
+
+
+def q10_interval_overlap(spark, sf):
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "value")
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("a.value") < F.col("b.value") + 50)
+        & (F.col("b.value") < F.col("a.value") + 50),
+    )
+    return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_overlapping")
+    )
+
+
+def q11_rollup(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q12_week_buckets(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def q13_set_except(spark, sf):
+    ev = _t(spark, sf, "events")
+    signup = ev.filter("event_type = 'signup'").select("user_id").distinct()
+    errors = ev.filter("event_type = 'error'").select("user_id").distinct()
+    return signup.exceptAll(errors).select(F.col("user_id").alias("clean_user"))
+
+
+def q14_exploded_tokens(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(T.tokens_col()).alias("pos", "token")
+    ).withColumn("pos", (F.col("pos") + 1).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# training-data operators
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark, sf):
+    return D.exact_duplicates(_t(spark, sf, "documents"))
+
+
+def dedup_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.2)
+
+
+def dedup_minhash_lsh(spark, sf):
+    return D.minhash_lsh_candidates(_t(spark, sf, "documents"), n=3, k=16, bands=4)
+
+
+def dedup_simhash(spark, sf):
+    return D.simhash_near_dups(_t(spark, sf, "documents"), bits=32, bands=4,
+                               max_hamming=6)
+
+
+def dedup_embedding(spark, sf):
+    return D.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.9)
+
+
+def ann_cosine_topk(spark, sf):
+    return S.cosine_topk(_t(spark, sf, "embeddings"), list(range(8)), k=5)
+
+
+def text_token_stats(spark, sf):
+    return T.token_stats(_t(spark, sf, "documents"))
+
+
+def text_quality(spark, sf):
+    return T.quality_score(_t(spark, sf, "documents"))
+
+
+def text_langid(spark, sf):
+    return T.lang_id(_t(spark, sf, "documents"))
+
+
+def text_fingerprint(spark, sf):
+    return T.fingerprint(_t(spark, sf, "documents"))
+
+
+def multimodal_payload(spark, sf):
+    media = M.media_from_documents(_t(spark, sf, "documents"))
+    feats = M.media_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.count(F.when(F.col("digest").startswith("0"), 1)).alias("digest_0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline (rows-only: DuckDB cannot parse HTML; byte-identity
+# is gated by the pytest golden suite instead)
+# ---------------------------------------------------------------------------
+
+def extract_compose(spark, sf):
+    pages = _pages_from_documents(spark, sf)
+    out = extract(spark, pages)
+    return out.select("url", "text", F.size("spans").alias("n_blocks"))
+
+
+def extract_blocks(spark, sf):
+    from origami_spark.pipeline import parse_stage
+
+    pages = _pages_from_documents(spark, sf)
+    return parse_stage(pages).select(
+        "url", "seq", "path", "label", "start", "end", "text_len", "link_len"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_topk_orders": q02_topk_orders,
+        "q03_region_revenue": q03_region_revenue,
+        "q04_anti_join": q04_anti_join,
+        "q05_semi_join": q05_semi_join,
+        "q06_window_adjacency": q06_window_adjacency,
+        "q07_running_containment": q07_running_containment,
+        "q08_group_percentiles": q08_group_percentiles,
+        "q09_ordered_assembly": q09_ordered_assembly,
+        "q10_interval_overlap": q10_interval_overlap,
+        "q11_rollup": q11_rollup,
+        "q12_week_buckets": q12_week_buckets,
+        "q13_set_except": q13_set_except,
+        "q14_exploded_tokens": q14_exploded_tokens,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
+        "ann_cosine_topk": ann_cosine_topk,
+        "text_token_stats": text_token_stats,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "text_fingerprint": text_fingerprint,
+        "multimodal_payload": multimodal_payload,
+        "extract_compose": extract_compose,
+        "extract_blocks": extract_blocks,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_H60 = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _shingle_cte(n: int = 3) -> str:
+    return f"""
+toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL unnest(range(1, greatest(len(t) - {n - 2}, 1))) AS r(i)
+  WHERE len(t) >= {n}
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "q02_topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+        "q03_region_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "q04_anti_join": """
+            SELECT c_mktsegment, count(*) AS n_inactive
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY c_mktsegment""",
+        "q05_semi_join": """
+            SELECT p_brand, count(*) AS n_parts
+            FROM part
+            WHERE p_partkey IN (
+              SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+            GROUP BY p_brand""",
+        "q06_window_adjacency": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch(ts) - epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+              FROM events)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id""",
+        "q07_running_containment": """
+            WITH rm AS (
+              SELECT user_id, value,
+                     max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM events)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN value <= prev_max THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_contained
+            FROM rm GROUP BY user_id""",
+        "q08_group_percentiles": """
+            SELECT o_orderpriority,
+                   round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4)
+                     AS median_price,
+                   round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4)
+                     AS p90_price,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority""",
+        "q09_ordered_assembly": """
+            SELECT l_orderkey,
+                   string_agg(CAST(l_partkey AS VARCHAR), ','
+                              ORDER BY l_linenumber, l_partkey)
+                     AS parts_in_line_order
+            FROM lineitem GROUP BY l_orderkey""",
+        "q10_interval_overlap": """
+            SELECT a.user_id AS user_id, count(*) AS n_overlapping
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND a.value < b.value + 50 AND b.value < a.value + 50
+            GROUP BY a.user_id""",
+        "q11_rollup": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY ROLLUP(event_type)""",
+        "q12_week_buckets": """
+            SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                   count(*) AS n, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1""",
+        "q13_set_except": """
+            SELECT DISTINCT user_id AS clean_user FROM events
+            WHERE event_type = 'signup'
+            EXCEPT ALL
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""",
+        "q14_exploded_tokens": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS t FROM documents WHERE doc_id < 50)
+            SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS token
+            FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS r(i)""",
+        "dedup_exact": """
+            SELECT md5(text) AS digest, min(doc_id) AS keeper,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1 HAVING count(*) > 1""",
+        "dedup_ngram_jaccard": f"""
+            WITH {_shingle_cte(3)},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM shingles a JOIN shingles b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, common,
+                   round(common * 1.0 / (sa.sz + sb.sz - common), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(common * 1.0 / (sa.sz + sb.sz - common), 4) >= 0.2""",
+        "dedup_minhash_lsh": f"""
+            WITH {_shingle_cte(3)},
+            mh AS (
+              SELECT doc_id, i,
+                     min({_H60.format(x="CAST(i AS VARCHAR) || '|' || shingle")}) AS mh
+              FROM shingles, LATERAL unnest(range(0, 16)) AS r(i)
+              GROUP BY doc_id, i),
+            buckets AS (
+              SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                     string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+              FROM mh GROUP BY doc_id, band)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id""",
+        "dedup_simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+            th AS (SELECT doc_id, {_H60.format(x="tok")} AS h FROM toks),
+            votes AS (
+              SELECT doc_id, CAST(bit AS INT) AS bit,
+                     sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS vote
+              FROM th, LATERAL unnest(range(0, 32)) AS r(bit)
+              GROUP BY doc_id, bit),
+            sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN vote > 0
+                              THEN (CAST(1 AS BIGINT) << bit)
+                              ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, simhash, CAST(band AS INT) AS band,
+                     (simhash >> (CAST(band AS INT) * 8)) & 255 AS bucket
+              FROM sh, LATERAL unnest(range(0, 4)) AS r(band)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS ha, b.simhash AS hb
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 6""",
+        "dedup_embedding": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                         AS DOUBLE), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.9""",
+        "ann_cosine_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     round(CAST(list_cosine_similarity(q.embedding, c.embedding)
+                           AS DOUBLE), 4) AS cosine
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 8),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
+              FROM scored)
+            SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5""",
+        "text_token_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS t, length(text) AS chars
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+                   CAST(chars AS BIGINT) AS chars,
+                   round(list_sum(list_transform(t, x -> length(x))) * 1.0
+                         / greatest(len(t), 1), 4) AS mean_token_len
+            FROM toks""",
+        "text_quality": f"""
+            WITH base AS (
+              SELECT doc_id, length(text) AS chars, {_TOKENS} AS t,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                       / greatest(length(text), 1) AS punct_ratio,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                       / greatest(length(text), 1) AS digit_ratio
+              FROM documents),
+            wr AS (
+              SELECT *, len(list_filter(t, x -> x IN
+                     ('the','a','of','and','to','in','is','on','for','it')))
+                     * 1.0 / greatest(len(t), 1) AS stop_ratio
+              FROM base)
+            SELECT doc_id, CAST(chars AS BIGINT) AS chars, CAST(len(t) AS BIGINT) AS n_tokens,
+                   round(punct_ratio, 4) AS punct_ratio,
+                   round(digit_ratio, 4) AS digit_ratio,
+                   round(stop_ratio, 4) AS stop_ratio,
+                   CASE WHEN len(t) >= 20 AND stop_ratio > 0.05 THEN 'high'
+                        WHEN len(t) >= 5 THEN 'medium'
+                        ELSE 'low' END AS quality
+            FROM wr""",
+        "text_langid": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, {_TOKENS} AS t FROM documents),
+            scored AS (
+              SELECT doc_id, lang,
+                len(list_filter(t, x -> x IN ('the','and','of','to','in'))) AS s_en,
+                len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+                len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+                len(list_filter(t, x -> x IN ('el','la','los','que','de'))) AS s_es,
+                len(list_filter(t, x -> x IN ('de','shi','le','bu','wo'))) AS s_zh
+              FROM toks)
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN s_zh > greatest(s_en, s_de, s_fr, s_es) THEN 'zh'
+                     WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+                     WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+                     WHEN s_de > s_en THEN 'de'
+                     ELSE 'en' END AS pred_lang,
+                   CAST(greatest(s_en, s_de, s_fr, s_es, s_zh) AS BIGINT)
+                     AS best_score
+            FROM scored""",
+        "text_fingerprint": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                     ELSE [] END AS shingles
+              FROM toks)
+            SELECT doc_id,
+                   CASE WHEN len(shingles) > 0 THEN
+                     list_min(list_transform(shingles,
+                       s -> {_H60.format(x="s")}))
+                   ELSE NULL END AS fp,
+                   CAST(len(shingles) AS BIGINT) AS n_shingles
+            FROM sh""",
+        "multimodal_payload": """
+            WITH media AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'image'
+                          WHEN doc_id % 3 = 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                     encode(text) AS payload, text
+              FROM documents)
+            SELECT kind, count(*) AS n,
+                   CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+                   CAST(sum(CASE WHEN sha256(text) LIKE '0%'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS digest_0
+            FROM media GROUP BY kind""",
+    }
+    return sql

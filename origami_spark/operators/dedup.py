@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB: every method is candidate-generation-by-equality-join
+(hash bucket / LSH band / simhash band) so the expensive comparison only
+runs inside buckets — never an O(n^2) cross join.  The only cross join
+in this module is the small-scale *verification* used by the oracle
+checks at sf<=0.01.
+
+All hashes are the portable 60-bit md5 hash (operators/text.py), so the
+DuckDB oracles reproduce results bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import portable_hash60, shingles_expr, tokens_col
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicate *content* with the
+    keeper (min doc_id) and the member count.  Map-side partial agg, one
+    shuffle on the digest."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) distinct word-n-gram shingles."""
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    return (
+        t.select("doc_id", F.explode(shingles_expr("toks", n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold.
+
+    Inverted-index join on shingle (equality, shuffle on shingle) ->
+    per-pair intersection counts -> sizes joined in -> Jaccard.  Scales
+    as sum of bucket^2 per shingle; at web scale pair this with minhash
+    banding below as the pre-filter."""
+    sh = _shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16) -> DataFrame:
+    """(doc_id, sig: array of k minhashes).  Hash family: portable
+    md5-hash of (i || shingle) — the standard k-permutation approximation
+    (shingle->minhash per MMDS ch.3, public algorithm)."""
+    sh = _shingles(docs, n)
+    exploded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "i",
+        portable_hash60(F.concat_ws("|", F.col("i").cast("string"), "shingle")).alias("h"),
+    )
+    per_i = exploded.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    return per_i.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s["mh"]
+        ).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
+                           bands: int = 4) -> DataFrame:
+    """LSH banding: docs sharing any band of minhashes become a candidate
+    pair (shingle -> minhash -> band -> bucket equality join)."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, n, k)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", F.col("band") * rows_per_band + j + 1).cast("string")
+                for j in range(rows_per_band)
+            ],
+        ).alias("bucket"),
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over token hashes (Charikar 2002, public).
+
+    Pure relational formulation: explode (token x bit), sum +/-1 votes,
+    pack bits — stays in codegen; the packing is an aggregate over a
+    small (doc x bit) frame."""
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    toks = toks.select("doc_id", portable_hash60(F.col("tok")).alias("h"))
+    votes = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            "h",
+        )
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN (shiftright(h, cast(bit as int)) & 1) = 1 "
+                       "THEN 1 ELSE -1 END")
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN vote > 0 "
+                   "THEN shiftleft(cast(1 as bigint), cast(bit as int)) "
+                   "ELSE cast(0 as bigint) END")
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dups(docs: DataFrame, bits: int = 32, bands: int = 4,
+                      max_hamming: int = 3) -> DataFrame:
+    """Banded simhash near-dup pairs: any equal band (pigeonhole for
+    hamming <= bands-1) -> candidate; verify hamming distance."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh = simhash(docs, bits)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"shiftright(simhash, cast(band * {band_bits} as int)) & {mask}"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Cosine >= threshold pairs.  Small-scale exact form (pair join on
+    vec_id inequality); the scale path is operators/similarity.py's LSH
+    bucketing — this operator is the verification kernel both share."""
+    dot = F.aggregate(
+        F.zip_with("a.embedding", "b.embedding", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(f"{side}.embedding", F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x * x)
+    )
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (norm("a") * norm("b")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

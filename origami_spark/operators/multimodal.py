@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct;
+decode / feature-extraction are Arrow-batched kernels over
+``mapInPandas``.  The image/audio codecs are NOT in this container, so
+``decode_stub`` raises ``NotImplementedError`` behind a flag and the
+default path computes deterministic payload features (length, sha
+digest, byte histogram head) — the Spark-side plumbing (schema,
+batching, partitioning) is real and tested; only the codec call is
+faked (mirrors origami's OCR ``FAKE`` mode, ``batch/detect/ocr.py:
+97-101``, which exercises pipeline plumbing without models).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>"
+)
+
+FEATURES_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, digest string, "
+    "head_histogram array<int>"
+)
+
+REAL_DECODE = False  # flip when PIL/libav are available on the cluster
+
+
+def decode_stub(payload: bytes, kind: str):
+    """Placeholder for the codec call (resize / frame-sample / spectro).
+
+    Deliberately unimplemented in this container."""
+    raise NotImplementedError(
+        f"no {kind} codec in this environment; feature kernel uses "
+        "deterministic payload features instead"
+    )
+
+
+def media_features_kernel(batches):
+    """mapInPandas kernel: payload -> deterministic features.
+
+    Batch shape: one Arrow batch of binary payloads; per-batch Python,
+    per-row only cheap byte ops (hashlib + histogram)."""
+    for pdf in batches:
+        rows = {k: [] for k in
+                ("media_id", "kind", "n_bytes", "digest", "head_histogram")}
+        for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+            data = bytes(payload) if payload is not None else b""
+            if REAL_DECODE:
+                decode_stub(data, kind)  # pragma: no cover
+            hist = [0] * 16
+            for byte in data[:4096]:
+                hist[byte >> 4] += 1
+            rows["media_id"].append(int(mid))
+            rows["kind"].append(kind)
+            rows["n_bytes"].append(len(data))
+            rows["digest"].append(hashlib.sha256(data).hexdigest())
+            rows["head_histogram"].append(hist)
+        yield pd.DataFrame(rows)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents corpus: the
+    utf-8 payload stands in for image bytes (same plumbing, fake codec —
+    the point is schema + batching, not pixels)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        media_features_kernel, schema=FEATURES_SCHEMA
+    )

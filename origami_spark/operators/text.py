@@ -1,0 +1,158 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure DataFrame expressions (JVM-side, whole-stage codegen): token
+counting, quality scoring, language-ID heuristic, document
+fingerprinting.  Each has a matching DuckDB oracle in
+``__spark_entry__.oracle_sql`` — the tokenizer regex and the portable
+md5-based hash are chosen so both engines compute bit-identical results.
+
+Reference parity note: origami has no text analytics, but its OCR
+confidence scoring (``core/block.py:71-102``) and evidence histograms
+(``batch/detect/lines.py:25-54``) are the same shape: per-unit scalar
+features from batched content — here computed by Catalyst instead of a
+kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# shared with the DuckDB oracles — keep in sync with __spark_entry__
+TOKEN_SPLIT = "[^a-z0-9]+"
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+# tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic (public-knowledge function words)
+LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "que", "de"),
+    "zh": ("de", "shi", "le", "bu", "wo"),
+}
+
+
+def tokens_col(col: str = "text"):
+    """Lower + split + drop empties — identical in the DuckDB oracle."""
+    return F.filter(F.split(F.lower(F.col(col)), TOKEN_SPLIT), lambda x: x != "")
+
+
+def portable_hash60(col):
+    """Deterministic 60-bit hash identical in Spark and DuckDB:
+    first 15 hex chars of md5 -> bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles_expr(toks_col: str, n: int):
+    """Word n-gram shingle array (empty when fewer than n tokens).
+
+    NB: guard the sequence bounds — Spark's sequence(1, 0) is a
+    *descending* [1, 0], not empty."""
+    seq = F.when(
+        F.size(toks_col) >= n,
+        F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        seq,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks_col, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Tokens / distinct tokens / chars / mean token length per doc."""
+    t = docs.select("doc_id", tokens_col().alias("toks"),
+                    F.length("text").cast("bigint").alias("chars"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        "chars",
+        F.round(
+            F.aggregate("toks", F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.length(x)).cast("double")
+            / F.greatest(F.size("toks"), F.lit(1)),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Boilerplate-grade quality features + bucket per document."""
+    t = docs.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        tokens_col().alias("toks"),
+        (
+            F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("digit_ratio"),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = t.withColumn(
+        "stop_ratio",
+        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / F.greatest(F.size("toks"), F.lit(1)),
+    )
+    return t.select(
+        "doc_id",
+        F.col("chars").cast("bigint").alias("chars"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("digit_ratio", 4).alias("digit_ratio"),
+        F.round("stop_ratio", 4).alias("stop_ratio"),
+        F.when((F.size("toks") >= 20) & (F.col("stop_ratio") > 0.05), "high")
+        .when(F.size("toks") >= 5, "medium")
+        .otherwise("low")
+        .alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language scorer; argmax with deterministic
+    tie-break on profile order."""
+    t = docs.select("doc_id", "lang", tokens_col().alias("toks"))
+    scores = [
+        F.size(
+            F.filter("toks", lambda x: F.array_contains(
+                F.array(*[F.lit(w) for w in ws]), x))
+        ).alias(f"score_{lg}")
+        for lg, ws in LANG_PROFILES.items()
+    ]
+    t = t.select("doc_id", "lang", *scores)
+    # deterministic argmax: greatest score, first profile wins ties
+    pred = None
+    best = None
+    for lg in LANG_PROFILES:
+        c = F.col(f"score_{lg}")
+        if pred is None:
+            pred, best = F.lit(lg), c
+        else:
+            pred = F.when(c > best, F.lit(lg)).otherwise(pred)
+            best = F.greatest(best, c)
+    return t.select("doc_id", "lang", pred.alias("pred_lang"),
+                    best.cast("bigint").alias("best_score"))
+
+
+def fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Winnowing-lite document fingerprint: min portable hash over
+    word n-gram shingles (rolling-hash analog, deterministic)."""
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    sh = t.select("doc_id", shingles_expr("toks", n).alias("shingles"))
+    hashed = sh.select(
+        "doc_id",
+        F.transform("shingles",
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                    .cast("bigint")).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.when(F.size("hs") > 0, F.array_min("hs")).otherwise(F.lit(None)).alias("fp"),
+        F.size("hs").cast("bigint").alias("n_shingles"),
+    )
