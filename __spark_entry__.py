@@ -271,6 +271,11 @@ def dedup_embedding(spark, sf):
     return D.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.9)
 
 
+def dedup_embedding_lsh(spark, sf):
+    return D.embedding_near_dups_lsh(_t(spark, sf, "embeddings"),
+                                     threshold=0.9, planes=8)
+
+
 def ann_cosine_topk(spark, sf):
     return S.cosine_topk(_t(spark, sf, "embeddings"), list(range(8)), k=5)
 
@@ -342,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_cosine_topk": ann_cosine_topk,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
@@ -372,6 +378,34 @@ shingles AS (
   FROM toks, LATERAL unnest(range(1, greatest(len(t) - {n - 2}, 1))) AS r(i)
   WHERE len(t) >= {n}
 )"""
+
+
+
+def _lsh_oracle_sql(planes: int = 8, dim: int = 64,
+                    threshold: float = 0.9) -> str:
+    """Programmatically build the hyperplane-LSH oracle with the same
+    inlined deterministic plane coefficients the Spark operator uses."""
+    from origami_spark.operators.similarity import plane_coefficients
+
+    coeffs = plane_coefficients(planes, dim)
+    bits = []
+    for pidx in range(planes):
+        dot = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({coeffs[pidx][d]!r})"
+            for d in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN 1 ELSE 0 END) * {1 << pidx}")
+    bucket = " + ".join(bits)
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                     AS DOUBLE), 4) AS cosine
+        FROM sig a JOIN sig b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                    AS DOUBLE), 4) >= {threshold}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -633,4 +667,5 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS digest_0
             FROM media GROUP BY kind""",
     }
+    sql["dedup_embedding_lsh"] = _lsh_oracle_sql(8, 64, 0.9)
     return sql

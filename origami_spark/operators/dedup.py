@@ -204,6 +204,34 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, bands: int = 4,
     )
 
 
+def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95,
+                            planes: int = 8) -> DataFrame:
+    """Scale path: random-hyperplane bucket join, exact cosine verify
+    inside buckets only.  Recall < 1 by construction (near-identical
+    vectors land in the same bucket with prob (1 - theta/pi)^planes);
+    raise recall with multiple tables.  At 10^12 rows this is the only
+    viable shape — the exact variant below is the small-scale oracle."""
+    from .similarity import _cosine, hyperplane_signature
+
+    signed = hyperplane_signature(emb, planes).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "bucket",
+    )
+    return (
+        signed.alias("a")
+        .join(signed.alias("b"),
+              (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_cosine("a.embedding", "b.embedding"), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Cosine >= threshold pairs.  Small-scale exact form (pair join on
     vec_id inequality); the scale path is operators/similarity.py's LSH

@@ -54,23 +54,33 @@ def cosine_topk(emb: DataFrame, query_ids, k: int = 5) -> DataFrame:
     )
 
 
+def plane_coefficients(planes: int, dim: int) -> list:
+    """Deterministic pseudo-random hyperplane components in [-1, 1]:
+    coeff(p, d) = ((md5-hash60("p|d") mod 2001) - 1000) / 1000.
+
+    Computed driver-side once and inlined as literals, so any engine
+    (the DuckDB oracle included) reproduces identical signatures."""
+    import hashlib
+
+    return [
+        [
+            ((int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:15], 16)
+              % 2001) - 1000) / 1000.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
 def hyperplane_signature(emb: DataFrame, planes: int = 8,
                          dim: int = 64) -> DataFrame:
-    """Sign-bit signature per vector from deterministic hyperplanes.
-
-    Plane component (p, d) = ((md5-hash60(p|d) mod 2001) - 1000)/1000.0,
-    reproducible in any engine (the DuckDB oracle recomputes it)."""
-    def plane_component(p: int, d: int):
-        h = F.conv(
-            F.substring(F.md5(F.lit(f"{p}|{d}")), 1, 15), 16, 10
-        ).cast("bigint")
-        return ((h % 2001) - 1000).cast("double") / 1000.0
-
+    """Sign-bit signature per vector from deterministic hyperplanes."""
+    coeffs = plane_coefficients(planes, dim)
     bit_exprs = []
     for p in range(planes):
         dot = None
         for d in range(dim):
-            term = F.element_at("embedding", d + 1).cast("double") * plane_component(p, d)
+            term = F.element_at("embedding", d + 1).cast("double") * F.lit(coeffs[p][d])
             dot = term if dot is None else dot + term
         bit_exprs.append(F.when(dot >= 0, 1).otherwise(0).alias(f"b{p}"))
     sig = None

@@ -31,15 +31,17 @@ from .plans.runner import run_stage
 def parse_stage(pages: DataFrame, partitions: int | None = None) -> DataFrame:
     """S1+S2: pages -> exploded block rows.
 
-    Repartitioning by url hash balances documents across executors
-    regardless of host skew (urls are unique, so hot hosts cannot gang
-    up in one partition — the explicit skew handling the north rule
-    asks for; size skew is bounded by the Arrow max-records batch knob
-    in session.py)."""
+    The explicit url-hash repartition before the kernel is the SURVEY §4
+    physical plan's one-shuffle-per-stage: it (a) balances documents
+    across executors regardless of host skew (urls are unique, so hot
+    hosts cannot gang up in one partition) and (b) decouples kernel
+    parallelism from scan-split granularity — html compresses well, so a
+    128 MB parquet split can hold 10^5 documents and would otherwise
+    starve the CPU-bound parse kernel of tasks.  Size skew within a task
+    is bounded by the Arrow max-records batch knob in session.py."""
     src = pages.select("url", "html")
-    if partitions:
-        src = src.repartition(partitions, "url")
-    return src.mapInPandas(parse_blocks, schema=BLOCKS_SCHEMA)
+    n = partitions or src.sparkSession.sparkContext.defaultParallelism * 4
+    return src.repartition(n, "url").mapInPandas(parse_blocks, schema=BLOCKS_SCHEMA)
 
 
 def extract(spark: SparkSession, pages: DataFrame,
@@ -49,6 +51,50 @@ def extract(spark: SparkSession, pages: DataFrame,
     refined = layout_op.refine(blocks)
     ranked = order_op.rank_blocks(refined)
     return compose_op.compose(ranked, pages)
+
+
+FUSED_SCHEMA = (
+    "url string, text string, "
+    "spans array<struct<path:string,label:string,start:bigint,end:bigint>>"
+)
+
+
+def _fused_kernel(batches):
+    import pandas as pd
+
+    from .extract_local import extract_document
+
+    for pdf in batches:
+        urls, texts, spans = [], [], []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            r = extract_document(bytes(html) if html is not None else b"")
+            urls.append(url)
+            texts.append(r["text"])
+            spans.append([
+                {"path": m["path"], "label": m["label"],
+                 "start": m["start"], "end": m["end"]}
+                for m in r["blocks"]
+            ])
+        yield pd.DataFrame({"url": urls, "text": texts, "spans": spans})
+
+
+def extract_fused(spark: SparkSession, pages: DataFrame,
+                  partitions: int | None = None) -> DataFrame:
+    """Zero-shuffle-after-repartition fast path: the full rule sequence
+    runs per document inside one Arrow kernel.
+
+    This is the reference's own execution shape (one page = one unit of
+    local work, ``processor.py:396-441``) and the throughput winner: the
+    relational `extract` pays three exchanges of exploded block text to
+    make each rule a visible DataFrame operator; at 10^12 documents the
+    embarrassingly-parallel form saves that traffic entirely.  Both
+    paths are golden-tested byte-identical to the same fixtures; the
+    staged/resumable deployment (extract_staged) keeps the relational
+    form because its checkpoint tables are the resume + lineage story.
+    """
+    src = pages.select("url", "html")
+    n = partitions or src.sparkSession.sparkContext.defaultParallelism * 4
+    return src.repartition(n, "url").mapInPandas(_fused_kernel, schema=FUSED_SCHEMA)
 
 
 def extract_staged(spark: SparkSession, pages: DataFrame, work_dir: str,

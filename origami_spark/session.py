@@ -31,6 +31,15 @@ def get_spark(app: str = "origami_spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # extracted text compresses ~5-10x in shuffle files; the 64m
+        # default advisory size makes AQE coalesce post-shuffle stages of
+        # small corpora down to 1-4 tasks and serializes the relational
+        # chain.  8m keeps local runs parallel; on a 100 TB cluster the
+        # shuffles are far above either threshold so this is a no-op.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("ORIGAMI_ADVISORY_PARTITION", "8m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.sql.files.maxPartitionBytes", "128m")
