@@ -49,6 +49,8 @@ class Block:
     ends_clean: bool = False
     ws_gap_next: bool = False  # only whitespace between this and next block
     path: str = ""
+    cells: list | None = None   # TABULAR only: rows of normalized cell text
+    has_header: bool = False
 
 
 def _is_block(tag: str) -> bool:
@@ -190,6 +192,8 @@ def extract_page(data: bytes) -> list:
                 tlen = sum(len(c) for r in rows for c in r)
                 emit(child, "TABULAR", text,
                      text.count("\n") + 1 if text else 0, tlen, 0, parts)
+                blocks[-1].cells = rows
+                blocks[-1].has_header = has_header
             elif tag in LIST_TAGS:
                 lines = []
                 for gid in child.children:

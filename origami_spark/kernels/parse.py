@@ -14,6 +14,8 @@ loop is a compiled regex scanner.
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
 
 from ..html.blocks import extract_page
@@ -22,7 +24,8 @@ BLOCKS_SCHEMA = (
     "url string, seq int, path string, label string, tag string, "
     "tag_path string, depth int, parent_id int, start bigint, end bigint, "
     "text string, n_lines int, text_len bigint, link_len bigint, "
-    "in_chrome boolean, ends_clean boolean, ws_gap_next boolean"
+    "in_chrome boolean, ends_clean boolean, ws_gap_next boolean, "
+    "cells_json string"
 )
 
 _COLS = [f.split()[0] for f in BLOCKS_SCHEMA.split(", ")]
@@ -52,4 +55,8 @@ def parse_blocks(batches):
                 out["in_chrome"].append(b.in_chrome)
                 out["ends_clean"].append(b.ends_clean)
                 out["ws_gap_next"].append(b.ws_gap_next)
+                out["cells_json"].append(
+                    json.dumps({"rows": b.cells, "has_header": b.has_header})
+                    if b.cells is not None else None
+                )
         yield pd.DataFrame(out)
