@@ -246,6 +246,117 @@ def q14_exploded_tokens(spark, sf):
     ).withColumn("pos", (F.col("pos") + 1).cast("bigint"))
 
 
+def q15_cube(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .cube("event_type", F.year("ts").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def q16_topk_per_group(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q17_harmonize(spark, sf):
+    """Text harmonization chain (the reference's only golden-pair tests
+    live in its harmonization schema, custom/harmonizations/default.py:
+    36-50): regexp_replace pipeline + trim + lowercase, applied to
+    documents and grouped by outcome length."""
+    docs = _t(spark, sf, "documents")
+    harmonized = docs.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[0-9]+", "#"),
+                "\\s+", " ",
+            )
+        ).alias("harm"),
+    )
+    return harmonized.select(
+        "doc_id",
+        F.length("harm").cast("bigint").alias("harm_len"),
+        F.substring("harm", 1, 20).alias("harm_head"),
+    )
+
+
+def q18_date_arithmetic(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.datediff(F.lit("2025-01-01").cast("date"),
+                       F.col("o_orderdate").cast("date"))
+            .cast("bigint").alias("age_days"),
+            F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+            F.date_format(F.add_months(F.col("o_orderdate"), 3), "yyyy-MM")
+            .alias("plus3m"),
+        )
+    )
+
+
+def q19_union_intersect(spark, sf):
+    ev = _t(spark, sf, "events")
+    a = ev.filter("event_type = 'click'").select("user_id").distinct()
+    b = ev.filter("event_type = 'purchase'").select("user_id").distinct()
+    return (
+        a.intersect(b).withColumn("kind", F.lit("both"))
+        .unionByName(
+            a.union(b).distinct().withColumn("kind", F.lit("either"))
+        )
+        .groupBy("kind").agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q20_salted_groupby(spark, sf):
+    """Two-phase skew-safe aggregation (SURVEY.md §4 skew handling):
+    salt the hot key, partial-agg per (key, salt), then final agg.
+    Must be value-identical to the direct groupBy — the oracle is the
+    direct form."""
+    ev = _t(spark, sf, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("psum"), 2).alias("sum_value"),
+    )
+
+
+def q21_correlated_subquery(spark, sf):
+    """Orders above their customer's average price (decorrelation —
+    Catalyst rewrites this to a join; the reference has no optimizer,
+    SURVEY.md §4)."""
+    o = _t(spark, sf, "orders")
+    o.createOrReplaceTempView("_orders_v")
+    return spark.sql("""
+        SELECT o.o_orderkey, o.o_custkey,
+               round(o.o_totalprice, 2) AS price
+        FROM _orders_v o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT avg(i.o_totalprice) FROM _orders_v i
+            WHERE i.o_custkey = o.o_custkey)
+    """)
+
+
+def q22_distinct_counts(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data operators
 # ---------------------------------------------------------------------------
@@ -342,6 +453,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_week_buckets": q12_week_buckets,
         "q13_set_except": q13_set_except,
         "q14_exploded_tokens": q14_exploded_tokens,
+        "q15_cube": q15_cube,
+        "q16_topk_per_group": q16_topk_per_group,
+        "q17_harmonize": q17_harmonize,
+        "q18_date_arithmetic": q18_date_arithmetic,
+        "q19_union_intersect": q19_union_intersect,
+        "q20_salted_groupby": q20_salted_groupby,
+        "q21_correlated_subquery": q21_correlated_subquery,
+        "q22_distinct_counts": q22_distinct_counts,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -502,6 +621,63 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, {_TOKENS} AS t FROM documents WHERE doc_id < 50)
             SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS token
             FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS r(i)""",
+        "q15_cube": """
+            SELECT event_type, CAST(year(ts) AS INT) AS yr, count(*) AS n,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY CUBE(event_type, year(ts))""",
+        "q16_topk_per_group": """
+            WITH r AS (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+                       AS rk
+              FROM orders)
+            SELECT * FROM r WHERE rk <= 3""",
+        "q17_harmonize": """
+            WITH h AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                       '\\s+', ' ', 'g')) AS harm
+              FROM documents)
+            SELECT doc_id, CAST(length(harm) AS BIGINT) AS harm_len,
+                   substring(harm, 1, 20) AS harm_head
+            FROM h""",
+        "q18_date_arithmetic": """
+            SELECT o_orderkey,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        DATE '2025-01-01') AS BIGINT) AS age_days,
+                   CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+                   strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+                            '%Y-%m') AS plus3m
+            FROM orders""",
+        "q19_union_intersect": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase'),
+                 both_u AS (SELECT user_id FROM a INTERSECT
+                            SELECT user_id FROM b),
+                 either_u AS (SELECT user_id FROM a UNION
+                              SELECT user_id FROM b)
+            SELECT 'both' AS kind, count(*) AS n_users FROM both_u
+            UNION ALL
+            SELECT 'either' AS kind, count(*) AS n_users FROM either_u""",
+        "q20_salted_groupby": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY user_id""",
+        "q21_correlated_subquery": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   round(o.o_totalprice, 2) AS price
+            FROM orders o
+            WHERE o.o_totalprice > 1.5 * (
+                SELECT avg(i.o_totalprice) FROM orders i
+                WHERE i.o_custkey = o.o_custkey)""",
+        "q22_distinct_counts": """
+            SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
         "dedup_exact": """
             SELECT md5(text) AS digest, min(doc_id) AS keeper,
                    count(*) AS n_docs

@@ -64,24 +64,41 @@ def orders_table(ranked: DataFrame) -> DataFrame:
 # as the tie-break kernel for overlapping spans from non-HTML sources)
 # ---------------------------------------------------------------------------
 
-def xy_cut_1d(spans, score="widest_gap"):
+def xy_cut_1d(spans, separators=None):
     """spans: list of (id, start, end). Returns ids in reading order.
 
     Recursive gap cut: find candidate cut positions (gaps no span
     crosses), pick the best-scored one, recurse.  Overlapping spans that
     admit no cut are emitted in (start, id) order — the reference's
-    grouped-leaf fallback (``core/xycut.py:244-276``)."""
-    if len(spans) <= 1:
-        return [s[0] for s in spans]
-    items = sorted(spans, key=lambda s: (s[1], s[2], s[0]))
-    best_gap, best_at = -1, None
-    max_end = items[0][2]
-    for i in range(1, len(items)):
-        gap = items[i][1] - max_end
-        if gap >= 0 and (gap > best_gap):
-            best_gap, best_at = gap, i
-        max_end = max(max_end, items[i][2])
-    if best_at is None:
-        return [s[0] for s in items]  # unresolvable overlap group
-    left, right = items[:best_at], items[best_at:]
-    return xy_cut_1d(left, score) + xy_cut_1d(right, score)
+    grouped-leaf fallback (``core/xycut.py:244-276``).
+
+    `separators`: optional list of (start, end) separator spans.  A gap
+    containing a separator scores double — the ObstacleSampler "flow"
+    boost (``core/separate.py:96-162``: separators parallel to the cut
+    multiply the gap score by (1 + flow); in 1-D a cut can never pierce
+    a span, so the perpendicular "obstacle" penalty is structurally
+    impossible and only the boost survives)."""
+    seps = sorted(separators or [])
+
+    def gap_score(lo: int, hi: int) -> float:
+        width = hi - lo
+        boost = any(lo <= s and e <= hi for (s, e) in seps)
+        return width * (2.0 if boost else 1.0)
+
+    def rec(items):
+        if len(items) <= 1:
+            return [s[0] for s in items]
+        best_score, best_at = -1.0, None
+        max_end = items[0][2]
+        for i in range(1, len(items)):
+            gap = items[i][1] - max_end
+            if gap >= 0:
+                sc = gap_score(max_end, items[i][1])
+                if sc > best_score:
+                    best_score, best_at = sc, i
+            max_end = max(max_end, items[i][2])
+        if best_at is None:
+            return [s[0] for s in items]  # unresolvable overlap group
+        return rec(items[:best_at]) + rec(items[best_at:])
+
+    return rec(sorted(spans, key=lambda s: (s[1], s[2], s[0])))

@@ -99,8 +99,15 @@ def extract_fused(spark: SparkSession, pages: DataFrame,
 
 def extract_staged(spark: SparkSession, pages: DataFrame, work_dir: str,
                    partitions: int | None = None,
-                   run_id: str | None = None) -> DataFrame:
-    """Checkpointed chain with resume + lineage (see plans/runner.py)."""
+                   run_id: str | None = None,
+                   artifacts: bool = False) -> DataFrame:
+    """Checkpointed chain with resume + lineage (see plans/runner.py).
+
+    `artifacts=True` additionally commits the side artifact tables the
+    reference writes per page (s4_features <- flow/dewarp features,
+    s6_lines <- lines.3, s6_tables <- tables.json, s7_orders <-
+    order.json) — each resumable and lineage-tracked like the main
+    chain."""
     blocks = run_stage(
         spark, "s2_blocks", pages,
         lambda df: parse_stage(df, partitions), work_dir, run_id=run_id,
@@ -111,6 +118,19 @@ def extract_staged(spark: SparkSession, pages: DataFrame, work_dir: str,
     ranked = run_stage(
         spark, "s7_order", refined, order_op.rank_blocks, work_dir, run_id=run_id,
     )
+    if artifacts:
+        from .operators import features as features_op
+        from .operators import lines as lines_op
+        from .operators import tables as tables_op
+
+        run_stage(spark, "s4_features", blocks, features_op.block_features,
+                  work_dir, run_id=run_id)
+        run_stage(spark, "s6_tables", blocks, tables_op.table_cells,
+                  work_dir, run_id=run_id)
+        run_stage(spark, "s6_lines", refined, lines_op.lines_table,
+                  work_dir, run_id=run_id)
+        run_stage(spark, "s7_orders_map", ranked, order_op.orders_table,
+                  work_dir, run_id=run_id)
     # compose resumes on the page universe: only not-yet-composed urls
     # (the `pg` passed to build) pull their ranked blocks via semi-join
     return run_stage(

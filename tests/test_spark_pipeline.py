@@ -56,6 +56,18 @@ def test_staged_resume(spark, pages, tmp_path):
     assert stats == {"s2_blocks", "s5_layout", "s7_order", "s8_compose"}
 
 
+def test_staged_artifacts(spark, pages, tmp_path):
+    import os
+
+    wd = str(tmp_path / "art")
+    extract_staged(spark, pages.limit(60), wd, artifacts=True)
+    for stage in ("s4_features", "s6_tables", "s6_lines", "s7_orders_map"):
+        assert os.path.exists(f"{wd}/{stage}"), stage
+        assert spark.read.parquet(f"{wd}/{stage}").count() > 0, stage
+    stats = {r["stage"] for r in lineage_stats(spark, wd).collect()}
+    assert {"s4_features", "s6_tables", "s6_lines", "s7_orders_map"} <= stats
+
+
 def test_parallelism_invariance(spark, pages):
     """Same input, different partitioning -> identical output set
     (digest stability across cluster sizes, BASELINE.md)."""
