@@ -50,3 +50,15 @@ def test_spans_monotone_nonoverlapping():
         spans = extract_document(p["html"])["spans"]
         for a, b in zip(spans, spans[1:]):
             assert a["end"] <= b["start"]  # non-overlapping, monotone
+
+
+def test_spans_rewarp_roundtrip():
+    """The rewarp contract (reference ``compose.py:413-432``): spans
+    index the RAW html such that re-extracting just the sliced bytes
+    reproduces exactly that block's composed text."""
+    for p in generate_pages(42, 200):
+        r = extract_document(p["html"])
+        for m in r["blocks"]:
+            sliced = extract_document(p["html"][m["start"]:m["end"] + 1])
+            assert sliced["text"].rstrip("\n") == m["text"], (
+                p["url"], m["path"])

@@ -1,0 +1,83 @@
+"""Physical-plan assertions: the plans Catalyst actually picks.
+
+The scale contract (SURVEY.md §4) is not just "right answers" but
+"right plans": small dims broadcast, filters reach the parquet scan,
+column pruning works, the relational chain reuses one url partitioning,
+and nothing after the parse kernel runs in Python."""
+
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as E
+from origami_spark.pipeline import extract
+from origami_spark.sources.corpus import pages_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q03_broadcasts_dimensions(spark):
+    plan = plan_of(E.q03_region_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the two big tables join however AQE prefers, but nation/region/
+    # customer must never be shuffled: at most one sort-merge join
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = plan_of(E.q01_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q01_column_pruning(spark):
+    plan = plan_of(E.q01_pricing_summary(spark, SF))
+    # scan must read only the 6 needed columns, not all 11
+    scan_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_comment" not in scan_schema
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_tax"):
+        assert col not in scan_schema, scan_schema
+
+
+def test_q04_uses_hash_anti_join(spark):
+    plan = plan_of(E.q04_anti_join(spark, SF))
+    assert "LeftAnti" in plan
+
+
+@pytest.fixture(scope="module")
+def parquet_pages(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan") / "pages")
+    pages_df(spark, 30).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_extract_single_python_stage(spark, parquet_pages):
+    plan = plan_of(extract(spark, parquet_pages))
+    # with a storage-backed source, exactly ONE Python node exists (the
+    # parse kernel); everything downstream is JVM.  The compose stage's
+    # second read of pages prunes to the url column (no html re-read).
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    url_only_scans = [
+        seg.split("\n")[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+        if seg.startswith("struct<url:string>")
+    ]
+    assert url_only_scans, "compose's url-universe scan must prune to url"
+
+
+def test_extract_relational_chain_reuses_partitioning(spark, parquet_pages):
+    plan = plan_of(extract(spark, parquet_pages))
+    # exchanges: explicit repartition before the kernel, ONE
+    # hashpartitioning(url) for all windows/groupBys, and the final
+    # join's pages side.  Anything >4 means a rule broke co-partitioning
+    # (e.g. a groupBy key stopped including url).
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+
+def test_ann_topk_broadcasts_queries(spark):
+    plan = plan_of(E.ann_cosine_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
