@@ -29,6 +29,10 @@ LIST_TAGS = frozenset(("ul", "ol", "menu", "dir"))
 TABLE_TAG = "table"
 _TERMINAL = tuple(".!?:;…")
 
+# a line that is only separator glyphs acts as an explicit T separator
+# (textual rule), like <hr> — SplitDetector analog
+_RULE_RE = re.compile(r"[-=*_~#]{3,}")
+
 
 @dataclass
 class Block:
@@ -51,6 +55,7 @@ class Block:
     path: str = ""
     cells: list | None = None   # TABULAR only: rows of normalized cell text
     has_header: bool = False
+    line_spans: list | None = None  # per line: (raw_start, raw_end) hull
 
 
 def _is_block(tag: str) -> bool:
@@ -61,20 +66,18 @@ _BR = "\x00"  # line-break sentinel; never occurs in normalized text
 
 
 class _Gather:
-    """Inline-content accumulator: text parts, link parts, the byte hull
-    of consumed text runs, and whether nested block children were skipped
-    (container evidence)."""
+    """Inline-content accumulator: (text, raw-span) parts, link parts,
+    and whether nested block children were skipped (container evidence).
+
+    Parts carry their raw byte spans so every *line* gets an exact hull
+    into the source document — the forward/inverse offset map of
+    origami's dewarp grid (``core/dewarp.py:496-576``), at the
+    granularity compose and the lines stage consume."""
 
     def __init__(self):
-        self.parts: list = []
+        self.parts: list = []        # (str, (s, e) | None); span None for sentinels
         self.link_parts: list = []
-        self.hull_s: int | None = None
-        self.hull_e: int | None = None
         self.skipped_block = False
-
-    def add_run(self, s: int, e: int):
-        self.hull_s = s if self.hull_s is None else min(self.hull_s, s)
-        self.hull_e = e if self.hull_e is None else max(self.hull_e, e)
 
 
 def _gather_inline(page: Page, node: Node, g: _Gather, in_link: bool) -> None:
@@ -93,9 +96,7 @@ def _gather_inline(page: Page, node: Node, g: _Gather, in_link: bool) -> None:
         if kind == "text":
             s, e = payload
             raw = page.text_of(s, e)
-            g.parts.append(raw)
-            if raw.strip():
-                g.add_run(s, e)
+            g.parts.append((raw, (s, e) if raw.strip() else None))
             if in_link:
                 g.link_parts.append(raw)
         else:
@@ -106,24 +107,45 @@ def _gather_inline(page: Page, node: Node, g: _Gather, in_link: bool) -> None:
                 g.skipped_block = True
                 continue
             if child.tag == "br":
-                g.parts.append(_BR)
+                g.parts.append((_BR, None))
                 continue
             _gather_inline(page, child, g, in_link or child.tag == "a")
-            if child.texts or child.children:
-                pass  # child spans contribute via their own text runs
+
+
+def _assemble_lines(parts):
+    """(text, span) parts -> list of (normalized_line, hull_s, hull_e);
+    empty lines dropped.  Hull = min/max raw span of the line's
+    contributing non-whitespace runs."""
+    lines = []
+    buf, hs, he = [], None, None
+    for text, span in parts:
+        if text == _BR:
+            lines.append(("".join(buf), hs, he))
+            buf, hs, he = [], None, None
+            continue
+        buf.append(text)
+        if span is not None:
+            hs = span[0] if hs is None else min(hs, span[0])
+            he = span[1] if he is None else max(he, span[1])
+    lines.append(("".join(buf), hs, he))
+    out = []
+    for raw, s, e in lines:
+        norm = normalize_text(raw)
+        if norm:
+            out.append((norm, s, e))
+    return out
 
 
 def _inline_text(page: Page, node: Node):
-    """-> (lines, text_len, link_len, gather).
-
-    Lines are normalized with empties dropped; `gather` carries the text
-    hull + container evidence for span assignment."""
+    """-> (lines, text_len, link_len, gather) where lines is a list of
+    (normalized_text, hull_start, hull_end)."""
     g = _Gather()
     _gather_inline(page, node, g, node.tag == "a")
-    lines = [normalize_text(seg) for seg in "".join(g.parts).split(_BR)]
-    lines = [ln for ln in lines if ln]
-    text_len = sum(len(ln) for ln in lines)
-    link_len = len(normalize_text(" ".join(g.link_parts))) if g.link_parts else 0
+    lines = _assemble_lines(g.parts)
+    text_len = sum(len(ln) for (ln, _s, _e) in lines)
+    link_len = (
+        len(normalize_text(" ".join(g.link_parts))) if g.link_parts else 0
+    )
     return lines, text_len, min(link_len, text_len), g
 
 
@@ -140,7 +162,7 @@ def _table_cells(page: Page, table: Node):
                     cell = page.nodes[gid]
                     if cell.tag in ("td", "th"):
                         lines, _, _, _g = _inline_text(page, cell)
-                        cells.append(" ".join(lines))
+                        cells.append(" ".join(ln for (ln, _s, _e) in lines))
                         all_th = all_th and cell.tag == "th"
                 if cells:
                     rows.append(cells)
@@ -166,7 +188,8 @@ def extract_page(data: bytes) -> list:
 
     def emit(node: Node, label: str, text: str, n_lines: int,
              text_len: int, link_len: int, path_parts,
-             span: tuple | None = None) -> None:
+             span: tuple | None = None,
+             line_spans: list | None = None) -> None:
         start, end = span if span else (node.start, node.end)
         blocks.append(Block(
             seq=len(blocks), node_id=node.node_id, parent_id=node.parent_id,
@@ -175,7 +198,49 @@ def extract_page(data: bytes) -> list:
             n_lines=n_lines, text_len=text_len, link_len=link_len,
             in_chrome=chrome(path_parts),
             ends_clean=text.endswith(_TERMINAL) if text else True,
+            line_spans=line_spans,
         ))
+
+    def emit_text_groups(child, lines, text_len, link_len, parts, g):
+        """Emit TEXT blocks from assembled lines, splitting at textual
+        rule lines (SplitDetector analog, ``layout.py:915-944``: a run
+        of separator glyphs is a whitespace-gutter in 1-D).  Rule lines
+        become T separators (barriers, like <hr>)."""
+        groups, cur = [], []
+        for ln in lines:
+            if _RULE_RE.fullmatch(ln[0]):
+                groups.append(("sep", [ln]))
+                cur = []
+            else:
+                if not cur:
+                    cur = []
+                    groups.append(("text", cur))
+                cur.append(ln)
+        n_groups = sum(1 for k, _ in groups if k == "text")
+        for kind, gl in groups:
+            hull = (
+                (min(s for (_t, s, _e) in gl if s is not None),
+                 max(e for (_t, _s, e) in gl if e is not None))
+                if any(s is not None for (_t, s, _e) in gl)
+                else None
+            )
+            if kind == "sep":
+                emit(child, "SEPARATOR", "", 0, 0, 0,
+                     parts, span=hull or (child.start, child.end))
+                continue
+            texts = [t for (t, _s, _e) in gl]
+            tlen = sum(len(t) for t in texts)
+            # whole-element span only when this is the single group of a
+            # non-container element; otherwise the group's text hull
+            # (container rationale: a stray text run in <body> must not
+            # swallow sibling blocks via overlap dedupe)
+            span = None
+            if n_groups > 1 or (g is not None and g.skipped_block):
+                span = hull
+            emit(child, "TEXT", "\n".join(texts), len(texts),
+                 tlen, link_len if n_groups == 1 else 0, parts,
+                 span=span,
+                 line_spans=[(s, e) for (_t, s, e) in gl])
 
     def walk(node: Node, path_parts: list) -> None:
         for cid in node.children:
@@ -202,25 +267,17 @@ def extract_page(data: bytes) -> list:
                         li_lines, _, _, _g = _inline_text(page, li)
                         lines.extend(li_lines)
                 if lines:
-                    emit(child, "TEXT", "\n".join(lines), len(lines),
-                         sum(len(ln) for ln in lines), 0, parts)
+                    emit(child, "TEXT",
+                         "\n".join(ln for (ln, _s, _e) in lines), len(lines),
+                         sum(len(ln) for (ln, _s, _e) in lines), 0, parts,
+                         line_spans=[(s, e) for (_t, s, e) in lines])
             elif tag in MEDIA_TAGS:
                 emit(child, "ILLUSTRATION", "", 0, 0, 0, parts)
             elif _is_block(tag):
                 lines, text_len, link_len, g = _inline_text(page, child)
                 if lines:
-                    # container elements (nested block children skipped):
-                    # the block covers only its own text hull, NOT the
-                    # whole element — otherwise one stray text run in
-                    # <body> would span (and swallow, via overlap dedupe)
-                    # every other block on the page
-                    span = (
-                        (g.hull_s, g.hull_e)
-                        if g.skipped_block and g.hull_s is not None
-                        else None
-                    )
-                    emit(child, "TEXT", "\n".join(lines), len(lines),
-                         text_len, link_len, parts, span=span)
+                    emit_text_groups(child, lines, text_len, link_len,
+                                     parts, g)
                 walk(child, parts)
             else:
                 # inline element at block level: its text belongs to the
@@ -230,6 +287,18 @@ def extract_page(data: bytes) -> list:
                        for g_ in child.children):
                     walk(child, parts)
     walk(page.nodes[0], [])
+
+    # bare text at document root (no enclosing block element — plain-text
+    # payloads, fragments, sliced spans): gather it like any block
+    root = page.nodes[0]
+    if root.texts:
+        lines, text_len, link_len, g = _inline_text(page, root)
+        if lines:
+            emit_text_groups(root, lines, text_len, link_len, ["#root"], g)
+            # keep document order: root text precedes element blocks
+            blocks.sort(key=lambda b: (b.start, b.node_id))
+            for i, b in enumerate(blocks):
+                b.seq = i
 
     # per-label block numbering -> origami-style paths label/idx
     counters: dict = {}

@@ -25,7 +25,8 @@ BLOCKS_SCHEMA = (
     "tag_path string, depth int, parent_id int, start bigint, end bigint, "
     "text string, n_lines int, text_len bigint, link_len bigint, "
     "in_chrome boolean, ends_clean boolean, ws_gap_next boolean, "
-    "cells_json string"
+    "cells_json string, "
+    "line_spans array<struct<start:bigint,end:bigint>>"
 )
 
 _COLS = [f.split()[0] for f in BLOCKS_SCHEMA.split(", ")]
@@ -58,5 +59,10 @@ def parse_blocks(batches):
                 out["cells_json"].append(
                     json.dumps({"rows": b.cells, "has_header": b.has_header})
                     if b.cells is not None else None
+                )
+                out["line_spans"].append(
+                    [{"start": s_, "end": e_} for (s_, e_) in b.line_spans
+                     if s_ is not None]
+                    if b.line_spans is not None else None
                 )
         yield pd.DataFrame(out)

@@ -81,7 +81,7 @@ def merge_adjacent(classified: DataFrame) -> DataFrame:
     members = F.array_sort(
         F.collect_list(
             F.struct("seq", "path", "label", "tag", "start", "end", "text",
-                     "n_lines", "text_len", "link_len")
+                     "n_lines", "text_len", "link_len", "line_spans")
         )
     )
     merged = (
@@ -99,6 +99,15 @@ def merge_adjacent(classified: DataFrame) -> DataFrame:
             F.aggregate("ms", F.lit(0).cast("bigint"), lambda acc, m: acc + m["text_len"]).alias("text_len"),
             F.aggregate("ms", F.lit(0).cast("bigint"), lambda acc, m: acc + m["link_len"]).alias("link_len"),
             F.slice(F.transform("ms", lambda m: m["path"]), 2, 100000).alias("merged_from"),
+            # merged fragments fuse into ONE logical line -> one hull
+            # span; single-member groups keep their per-line spans
+            F.when(
+                F.size("ms") > 1,
+                F.array(F.struct(
+                    F.element_at("ms", 1)["start"].alias("start"),
+                    F.array_max(F.transform("ms", lambda m: m["end"])).alias("end"),
+                )),
+            ).otherwise(F.element_at("ms", 1)["line_spans"]).alias("line_spans"),
         )
     )
     return merged.filter(F.col("label") != "SEPARATOR")

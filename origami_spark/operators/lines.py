@@ -29,17 +29,25 @@ def lines_table(refined: DataFrame) -> DataFrame:
     Line ids are 1-based within their block; path extends the block path
     (origami line paths are block path + line index, docs/formats.md:219).
     """
+    has_spans = "line_spans" in refined.columns
+    zipped = (
+        F.arrays_zip(F.split("text", "\n"), F.col("line_spans"))
+        if has_spans
+        else F.arrays_zip(F.split("text", "\n"))
+    )
     exploded = refined.select(
         "url",
         F.col("path").alias("block_path"),
         "label",
-        F.posexplode(F.split("text", "\n")).alias("line_id", "line_text"),
+        F.posexplode(zipped).alias("line_id", "z"),
     )
     return exploded.select(
         "url",
         F.concat_ws("/", "block_path", (F.col("line_id") + 1).cast("string")).alias("path"),
         "block_path",
         (F.col("line_id") + 1).alias("line_id"),
-        F.col("line_text").alias("text"),
+        F.col("z")["0"].alias("text"),
+        (F.col("z")["line_spans"]["start"] if has_spans else F.lit(None).cast("bigint")).alias("raw_start"),
+        (F.col("z")["line_spans"]["end"] if has_spans else F.lit(None).cast("bigint")).alias("raw_end"),
         F.lit(1.0).alias("confidence"),
-    ).filter(F.length("text") > 0)
+    ).filter(F.length(F.col("z")["0"]) > 0)

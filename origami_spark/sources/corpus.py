@@ -224,7 +224,7 @@ def generate_page(seed: int, doc_id: int) -> dict:
                 b.add(_sentence_html(rng, ht[k:]))
                 _, e = b.add(".</p>\n")
                 golden_blocks.append((" ".join(gt) + ".", s, e - 1, "TEXT"))
-            elif r < 0.62:  # multi-line paragraph via <br>
+            elif r < 0.60:  # multi-line paragraph via <br>
                 nlines = rng.randint(2, 3)
                 lines = []
                 s, _ = b.add("<p>")
@@ -237,6 +237,22 @@ def generate_page(seed: int, doc_id: int) -> dict:
                     lines.append(" ".join(gt) + ".")
                 _, e = b.add("</p>\n")
                 golden_blocks.append(("\n".join(lines), s, e - 1, "TEXT"))
+            elif r < 0.66:  # textual-rule split (SplitDetector analog):
+                # one <p> holding two pieces separated by a '-----' line
+                # -> TWO golden blocks with exact text-hull spans
+                ht1, gt1 = _tokens(rng, rng.randint(4, 10))
+                ht2, gt2 = _tokens(rng, rng.randint(4, 10))
+                b.add("<p>")
+                s1, _ = b.add(" ".join(ht1))
+                _, e1 = b.add(".")
+                b.add("<br>")
+                b.add(rng.choice(["-----", "=====", "*****", "____"]))
+                b.add("<br>")
+                s2, _ = b.add(" ".join(ht2))
+                _, e2 = b.add(".")
+                b.add("</p>\n")
+                golden_blocks.append((" ".join(gt1) + ".", s1, e1, "TEXT"))
+                golden_blocks.append((" ".join(gt2) + ".", s2, e2, "TEXT"))
             else:  # plain paragraph
                 tag = "blockquote" if rng.random() < 0.12 else "p"
                 ht, gt = _tokens(rng, rng.randint(6, 30))

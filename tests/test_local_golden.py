@@ -59,6 +59,6 @@ def test_spans_rewarp_roundtrip():
     for p in generate_pages(42, 200):
         r = extract_document(p["html"])
         for m in r["blocks"]:
-            sliced = extract_document(p["html"][m["start"]:m["end"] + 1])
+            sliced = extract_document(p["html"][m["start"]:m["end"]])
             assert sliced["text"].rstrip("\n") == m["text"], (
                 p["url"], m["path"])

@@ -16,7 +16,7 @@ def mkblocks(spark, rows):
         url="u", seq=0, path="TEXT/0", label="TEXT", tag="p", tag_path="body/p",
         depth=2, parent_id=1, start=0, end=10, text="t.", n_lines=1,
         text_len=2, link_len=0, in_chrome=False, ends_clean=True,
-        ws_gap_next=True, cells_json=None,
+        ws_gap_next=True, cells_json=None, line_spans=None,
     )
     full = []
     for i, r in enumerate(rows):
