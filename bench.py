@@ -59,7 +59,9 @@ BENCH_QUERIES = [
 
 
 def _pages_path(n: int) -> str:
-    return f"/tmp/origami_bench_pages_{n}"
+    from origami_spark.sources.corpus import VERSION
+
+    return f"/tmp/origami_bench_pages_v{VERSION}_{n}"
 
 
 def ensure_pages(spark, n: int) -> str:

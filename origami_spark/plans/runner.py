@@ -106,6 +106,51 @@ def run_stage(
     return spark.read.parquet(out_path).drop("_part_id")
 
 
+def reset_stages(work_dir: str, stages) -> list:
+    """Delete chosen stage checkpoints so they recompute on the next run
+    (the `reset` batch analog, ``batch/utils/reset.py:14-60``; with
+    Iceberg this is a snapshot rollback / DROP TABLE).  Returns the
+    stages actually removed."""
+    import shutil
+
+    removed = []
+    for stage in stages:
+        path = os.path.join(work_dir, stage)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+            removed.append(stage)
+    return removed
+
+
+def cleanup_incomplete(work_dir: str) -> list:
+    """Remove stage dirs whose write never committed (no _SUCCESS) — the
+    corrupt-artifact cleanup analog (``batch/utils/cleanup.py:14-50``).
+    Parquet dir writes are atomic-at-commit, so a missing marker means a
+    crashed writer left partial files."""
+    import shutil
+
+    removed = []
+    if not os.path.isdir(work_dir):
+        return removed
+    for stage in os.listdir(work_dir):
+        path = os.path.join(work_dir, stage)
+        if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            shutil.rmtree(path)
+            removed.append(stage)
+    return removed
+
+
+def sample_stage(spark: SparkSession, work_dir: str, stage: str,
+                 fraction: float = 0.01, seed: int = 42) -> DataFrame:
+    """Deterministic sample of a stage table for eyeballing (the
+    `sample` export analog, ``batch/utils/sample.py``)."""
+    return spark.read.parquet(os.path.join(work_dir, stage)).sample(
+        fraction=fraction, seed=seed
+    )
+
+
 def lineage_stats(spark: SparkSession, work_dir: str) -> DataFrame:
     """Per-stage doc counts + wall-time quantiles (stats.py analog)."""
     lin = spark.read.parquet(os.path.join(work_dir, LINEAGE_DIR))

@@ -35,6 +35,9 @@ import random
 
 from ..html.render import render_table
 
+# bump when the generator's output changes: bench caches keyed by VERSION
+VERSION = 2
+
 HOSTS = [f"site{i:02d}.example.org" for i in range(12)]
 LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]  # en-heavy
 
@@ -167,7 +170,13 @@ def generate_page(seed: int, doc_id: int) -> dict:
             _, e = b.add("</h1>\n")
             golden_blocks.append((" ".join(gt), s, e - 1, "TEXT"))
 
-        n_para = rng.randint(40, 70) if rng.random() < 0.03 else rng.randint(2, 6)
+        size_r = rng.random()
+        if size_r < 0.005:       # rare very large page (size-skew tail)
+            n_para = rng.randint(150, 300)
+        elif size_r < 0.03:      # large page
+            n_para = rng.randint(40, 70)
+        else:
+            n_para = rng.randint(2, 6)
         for _ in range(n_para):
             r = rng.random()
             if r < 0.12:  # table
