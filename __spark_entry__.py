@@ -362,7 +362,10 @@ def q22_distinct_counts(spark, sf):
 # ---------------------------------------------------------------------------
 
 def dedup_exact(spark, sf):
-    return D.exact_duplicates(_t(spark, sf, "documents"))
+    # min_count=1: the testdata corpus has no exact duplicates, so the
+    # evidence-bearing result is the full digest table the dedup join
+    # consumes (0 matching rows would be a trivially-true oracle)
+    return D.exact_duplicates(_t(spark, sf, "documents"), min_count=1)
 
 
 def dedup_ngram_jaccard(spark, sf):
@@ -379,12 +382,13 @@ def dedup_simhash(spark, sf):
 
 
 def dedup_embedding(spark, sf):
-    return D.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.9)
+    # max pairwise cosine in the testdata is ~0.51; 0.4 yields real pairs
+    return D.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.4)
 
 
 def dedup_embedding_lsh(spark, sf):
     return D.embedding_near_dups_lsh(_t(spark, sf, "embeddings"),
-                                     threshold=0.9, planes=8)
+                                     threshold=0.4, planes=6, tables=8)
 
 
 def ann_cosine_topk(spark, sf):
@@ -500,30 +504,44 @@ shingles AS (
 
 
 
-def _lsh_oracle_sql(planes: int = 8, dim: int = 64,
-                    threshold: float = 0.9) -> str:
-    """Programmatically build the hyperplane-LSH oracle with the same
-    inlined deterministic plane coefficients the Spark operator uses."""
+def _lsh_oracle_sql(planes: int = 6, tables: int = 8, dim: int = 64,
+                    threshold: float = 0.4) -> str:
+    """Programmatically build the multi-table hyperplane-LSH oracle with
+    the same inlined deterministic plane coefficients the Spark operator
+    uses (operators/dedup.embedding_near_dups_lsh)."""
     from origami_spark.operators.similarity import plane_coefficients
 
-    coeffs = plane_coefficients(planes, dim)
+    total = planes * tables
+    coeffs = plane_coefficients(total, dim)
     bits = []
-    for pidx in range(planes):
+    for pidx in range(total):
         dot = " + ".join(
             f"CAST(embedding[{d + 1}] AS DOUBLE) * ({coeffs[pidx][d]!r})"
             for d in range(dim)
         )
-        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN 1 ELSE 0 END) * {1 << pidx}")
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN CAST({1 << pidx} AS BIGINT) "
+                    f"ELSE 0 END)")
     bucket = " + ".join(bits)
+    mask = (1 << planes) - 1
     return f"""
         WITH sig AS (
-          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+        banded AS (
+          SELECT vec_id, embedding, CAST(tbl AS INT) AS tbl,
+                 (bucket >> (CAST(tbl AS INT) * {planes})) & {mask} AS tbucket
+          FROM sig, LATERAL unnest(range(0, {tables})) AS r(tbl)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM banded a JOIN banded b
+            ON a.tbl = b.tbl AND a.tbucket = b.tbucket
+           AND a.vec_id < b.vec_id)
+        SELECT c.vec_a, c.vec_b,
+               round(CAST(list_cosine_similarity(ea.embedding, eb.embedding)
                      AS DOUBLE), 4) AS cosine
-        FROM sig a JOIN sig b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        WHERE round(CAST(list_cosine_similarity(ea.embedding, eb.embedding)
                     AS DOUBLE), 4) >= {threshold}"""
 
 
@@ -681,7 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS digest, min(doc_id) AS keeper,
                    count(*) AS n_docs
-            FROM documents GROUP BY 1 HAVING count(*) > 1""",
+            FROM documents GROUP BY 1""",
         "dedup_ngram_jaccard": f"""
             WITH {_shingle_cte(3)},
             sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
@@ -746,7 +764,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding)
                          AS DOUBLE), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.9""",
+            WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.4""",
         "ann_cosine_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -843,5 +861,5 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS digest_0
             FROM media GROUP BY kind""",
     }
-    sql["dedup_embedding_lsh"] = _lsh_oracle_sql(8, 64, 0.9)
+    sql["dedup_embedding_lsh"] = _lsh_oracle_sql(6, 8, 64, 0.4)
     return sql

@@ -19,10 +19,11 @@ from pyspark.sql import functions as F
 from .text import portable_hash60, shingles_expr, tokens_col
 
 
-def exact_duplicates(docs: DataFrame) -> DataFrame:
-    """Hash-groupBy exact dedup: one row per duplicate *content* with the
+def exact_duplicates(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per content digest with the
     keeper (min doc_id) and the member count.  Map-side partial agg, one
-    shuffle on the digest."""
+    shuffle on the digest.  min_count=2 -> duplicates only; min_count=1
+    -> the full digest table (what a dedup job joins back against)."""
     return (
         docs.select("doc_id", F.md5("text").alias("digest"))
         .groupBy("digest")
@@ -30,7 +31,7 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
             F.min("doc_id").alias("keeper"),
             F.count(F.lit(1)).alias("n_docs"),
         )
-        .filter(F.col("n_docs") > 1)
+        .filter(F.col("n_docs") >= min_count)
     )
 
 
@@ -205,28 +206,52 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, bands: int = 4,
 
 
 def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95,
-                            planes: int = 8) -> DataFrame:
-    """Scale path: random-hyperplane bucket join, exact cosine verify
-    inside buckets only.  Recall < 1 by construction (near-identical
-    vectors land in the same bucket with prob (1 - theta/pi)^planes);
-    raise recall with multiple tables.  At 10^12 rows this is the only
-    viable shape — the exact variant below is the small-scale oracle."""
+                            planes: int = 6, tables: int = 8) -> DataFrame:
+    """Scale path: multi-table random-hyperplane LSH — candidates share
+    a bucket in ANY of `tables` independent hash tables; exact cosine
+    verify inside buckets only.
+
+    Recall per table is (1 - theta/pi)^planes; L tables lift it to
+    1 - (1 - r)^L (e.g. cos 0.95: ~0.46/table -> ~0.99 with 8 tables).
+    At 10^12 rows this bucket-equality join is the only viable shape —
+    the exact pair join below is the small-scale oracle."""
     from .similarity import _cosine, hyperplane_signature
 
-    signed = hyperplane_signature(emb, planes).select(
+    e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # table t uses planes [t*planes, (t+1)*planes) of one coefficient
+    # stream -> independent tables, still fully deterministic/portable
+    signed = hyperplane_signature(emb, planes * tables)
+    banded = signed.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(tables - 1))).alias("tbl"),
         "bucket",
+    ).select(
+        "vec_id",
+        "tbl",
+        F.expr(f"shiftright(bucket, cast(tbl * {planes} as int)) "
+               f"& {(1 << planes) - 1}").alias("tbucket"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.tbl") == F.col("b.tbl"))
+              & (F.col("a.tbucket") == F.col("b.tbucket"))
+              & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
     return (
-        signed.alias("a")
-        .join(signed.alias("b"),
-              (F.col("a.bucket") == F.col("b.bucket"))
-              & (F.col("a.vec_id") < F.col("b.vec_id")))
+        cand.join(e.select(F.col("vec_id").alias("vec_a"),
+                           F.col("embedding").alias("ea")), "vec_a")
+        .join(e.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").alias("eb")), "vec_b")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(_cosine("a.embedding", "b.embedding"), 4).alias("cosine"),
+            "vec_a", "vec_b",
+            F.round(_cosine("ea", "eb"), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
