@@ -85,31 +85,39 @@ def _gather_inline(page: Page, node: Node, g: _Gather, in_link: bool) -> None:
 
     Stops at nested block elements (marking `skipped_block`); recursion
     through inline elements only."""
-    items = []
-    for (s, e) in node.texts:
-        items.append((s, "text", (s, e)))
-    for cid in node.children:
-        child = page.nodes[cid]
-        items.append((child.start, "node", cid))
-    items.sort(key=lambda t: t[0])
-    for _, kind, payload in items:
-        if kind == "text":
+    parts = g.parts
+    if not node.children:  # fast path: text-only node (most leaves)
+        for (s, e) in node.texts:
+            raw = page.text_of(s, e)
+            parts.append((raw, (s, e) if raw.strip() else None))
+            if in_link:
+                g.link_parts.append(raw)
+        return
+    if node.texts:
+        items = [(s, (s, e)) for (s, e) in node.texts]
+        items += [(page.nodes[cid].start, cid) for cid in node.children]
+        items.sort(key=lambda t: t[0])
+    else:  # children only: already in document order
+        items = [(0, cid) for cid in node.children]
+    for _, payload in items:
+        if type(payload) is tuple:
             s, e = payload
             raw = page.text_of(s, e)
-            g.parts.append((raw, (s, e) if raw.strip() else None))
+            parts.append((raw, (s, e) if raw.strip() else None))
             if in_link:
                 g.link_parts.append(raw)
         else:
             child = page.nodes[payload]
-            if child.tag in DROP_TAGS:
+            ctag = child.tag
+            if ctag in DROP_TAGS:
                 continue
-            if _is_block(child.tag):
+            if ctag in BLOCK_TAGS:
                 g.skipped_block = True
                 continue
-            if child.tag == "br":
-                g.parts.append((_BR, None))
+            if ctag == "br":
+                parts.append((_BR, None))
                 continue
-            _gather_inline(page, child, g, in_link or child.tag == "a")
+            _gather_inline(page, child, g, in_link or ctag == "a")
 
 
 def _assemble_lines(parts):

@@ -47,6 +47,19 @@ def test_void_and_selfclose():
     assert [page.data[s:e] for s, e in p.texts] == [b"a", b"b", b"c"]
 
 
+def test_xhtml_selfclose_nonvoid():
+    # greedy attrs regex must not eat the '/' of <tag/>: a self-closed
+    # script has no raw body, so following text belongs to the parent
+    page = build_tree(b"<script/>after.<p>x</p>")
+    script = find(page, "script")[0]
+    assert script.end == len(b"<script/>")
+    assert page.nodes[0].texts  # 'after.' attached to root, not lost
+    page2 = build_tree(b'<div id="d"/><p>y</p>')
+    div = find(page2, "div")[0]
+    assert div.children == []
+    assert div.attrs == {"id": "d"}
+
+
 def test_script_body_not_parsed():
     data = b"<script>var s = '<p>x</p>';</script><p>real</p>"
     page = build_tree(data)
