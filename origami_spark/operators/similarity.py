@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -74,22 +75,52 @@ def plane_coefficients(planes: int, dim: int) -> list:
 
 def hyperplane_signature(emb: DataFrame, planes: int = 8,
                          dim: int = 64) -> DataFrame:
-    """Sign-bit signature per vector from deterministic hyperplanes."""
-    coeffs = plane_coefficients(planes, dim)
-    bit_exprs = []
-    for p in range(planes):
-        dot = None
-        for d in range(dim):
-            term = F.element_at("embedding", d + 1).cast("double") * F.lit(coeffs[p][d])
-            dot = term if dot is None else dot + term
-        bit_exprs.append(F.when(dot >= 0, 1).otherwise(0).alias(f"b{p}"))
-    sig = None
-    for p in range(planes):
-        term = F.col(f"b{p}") * F.lit(1 << p)
-        sig = term if sig is None else sig + term
-    return emb.select("vec_id", "embedding", *bit_exprs).select(
-        "vec_id", "embedding", sig.alias("bucket")
-    )
+    """Sign-bit signature per vector from deterministic hyperplanes.
+
+    Computed as one Arrow-batched matmul (n x dim) @ (dim x planes) —
+    the inline-expression formulation is bit-identical but costs
+    seconds of janino codegen once planes*dim passes ~10^3 terms."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(plane_coefficients(planes, dim), dtype=np.float64).T
+    weights = (np.int64(1) << np.arange(planes, dtype=np.int64))
+
+    @pandas_udf("bigint")
+    def bucket(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.asarray(col.tolist(), dtype=np.float64)
+        bits = (x @ mat >= 0).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return emb.select("vec_id", "embedding", bucket("embedding").alias("bucket"))
+
+
+def hyperplane_buckets(emb: DataFrame, planes: int, tables: int,
+                       dim: int = 64) -> DataFrame:
+    """Multi-table signatures: one bucket per table (array<bigint>),
+    table t using planes [t*planes, (t+1)*planes) of the deterministic
+    coefficient stream.  Unlike packing all tables into one integer,
+    this has no 63-bit ceiling."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    total = planes * tables
+    mat = np.asarray(plane_coefficients(total, dim), dtype=np.float64).T
+    w = (np.int64(1) << np.arange(planes, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def buckets(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        x = np.asarray(col.tolist(), dtype=np.float64)
+        bits = (x @ mat >= 0).astype(np.int64)          # (n, total)
+        per_table = bits.reshape(len(x), tables, planes) @ w  # (n, tables)
+        return pd.Series(list(per_table))
+
+    return emb.select("vec_id", "embedding", buckets("embedding").alias("buckets"))
 
 
 def lsh_topk(emb: DataFrame, query_ids, k: int = 5, planes: int = 8) -> DataFrame:
