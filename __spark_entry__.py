@@ -349,6 +349,21 @@ def q21_correlated_subquery(spark, sf):
     """)
 
 
+def q23_json_extract(spark, sf):
+    """JSON scalar extraction from the events props column (string/json
+    function family of the checklist)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("sum_k"))
+    )
+
+
 def q22_distinct_counts(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy("event_type").agg(
@@ -468,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_salted_groupby": q20_salted_groupby,
         "q21_correlated_subquery": q21_correlated_subquery,
         "q22_distinct_counts": q22_distinct_counts,
+        "q23_json_extract": q23_json_extract,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -704,6 +720,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS exact_users,
                    count(*) AS n
             FROM events GROUP BY event_type""",
+        "q23_json_extract": """
+            SELECT k % 10 AS k_mod, count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k
+            FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY k % 10""",
         "dedup_exact": """
             SELECT md5(text) AS digest, min(doc_id) AS keeper,
                    count(*) AS n_docs

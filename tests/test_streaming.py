@@ -3,8 +3,52 @@ exactly-once per-url output equal to the batch path."""
 
 import pyspark.sql.functions as F
 
-from origami_spark.sources.corpus import pages_df
+from origami_spark.sources.corpus import PAGES_SCHEMA, pages_df
 from origami_spark.streaming import stream_extract
+from origami_spark.streaming.windows import pages_per_host_window
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    """Watermark + event-time window over a streamed landing zone must
+    produce exactly the batch result (unified semantics pin)."""
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+    pages = pages_df(spark, 120, num_partitions=4).cache()
+    # land files in event-time order (crawl drops are roughly ordered);
+    # wildly unordered arrival would legitimately drop late rows
+    pages.orderBy("warc_ts").coalesce(6).write.mode("append").parquet(land)
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(land)
+    )
+    q = (
+        pages_per_host_window(stream, window="1 day", watermark="2 days")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed; a second
+    # pass with no new data finalizes nothing more, so compare the
+    # closed set against the batch computation restricted to it
+    got = {
+        (r["window_start"], r["host"]): r["n_pages"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want_all = {
+        (r["window_start"], r["host"]): r["n_pages"]
+        for r in pages_per_host_window(
+            pages, window="1 day", watermark="2 days").collect()
+    }
+    assert got, "watermarked windows must emit closed windows"
+    for key, n in got.items():
+        assert want_all[key] == n, key
 
 
 def test_stream_extract_drains_landing_zone(spark, tmp_path):
