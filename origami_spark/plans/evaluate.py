@@ -45,6 +45,71 @@ def evaluate(extracted: DataFrame, truth: DataFrame) -> DataFrame:
     )
 
 
+def evaluate_cer(extracted: DataFrame, truth: DataFrame) -> DataFrame:
+    """Character-error-rate evaluation (the dinglehopper CER analog,
+    reference ``batch/utils/evaluate.py:89-94``): per-url Levenshtein
+    edits / truth length, plus the corpus-level rate.
+
+    Byte-identical pairs short-circuit to zero edits relationally; the
+    O(len^2) distance kernel only ever runs on mismatching documents —
+    on a healthy pipeline that's a vanishing fraction."""
+    import pandas as pd
+
+    joined = (
+        extracted.select("url", F.col("text").alias("got"))
+        .join(truth.select("url", F.col("text").alias("want")), "url", "inner")
+    )
+    exact = joined.filter(F.col("got") == F.col("want")).select(
+        "url",
+        F.lit(0).cast("bigint").alias("edits"),
+        F.length("want").cast("bigint").alias("truth_len"),
+    )
+    diff = joined.filter(
+        F.col("got").isNull() | F.col("want").isNull()
+        | (F.col("got") != F.col("want"))
+    )
+
+    def lev_kernel(batches):
+        def lev(a: str, b: str) -> int:
+            if a == b:
+                return 0
+            if not a:
+                return len(b)
+            if not b:
+                return len(a)
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "edits": [lev(g or "", w or "")
+                          for g, w in zip(pdf["got"], pdf["want"])],
+                "truth_len": [len(w or "") for w in pdf["want"]],
+            })
+
+    inexact = diff.mapInPandas(
+        lev_kernel, schema="url string, edits bigint, truth_len bigint"
+    )
+    per_url = exact.unionByName(inexact)
+    return per_url.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("edits").alias("total_edits"),
+        F.sum("truth_len").alias("total_chars"),
+        F.round(
+            F.sum("edits").cast("double")
+            / F.greatest(F.sum("truth_len"), F.lit(1)),
+            6,
+        ).alias("cer"),
+    )
+
+
 def track_changes(new: DataFrame, old: DataFrame, key: str = "url",
                   payload: str = "text") -> DataFrame:
     """Recompute-diff two snapshots: per-key status changed/checked/new/

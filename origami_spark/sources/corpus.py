@@ -36,7 +36,7 @@ import random
 from ..html.render import render_table
 
 # bump when the generator's output changes: bench caches keyed by VERSION
-VERSION = 2
+VERSION = 3
 
 HOSTS = [f"site{i:02d}.example.org" for i in range(12)]
 LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]  # en-heavy
@@ -99,7 +99,10 @@ def _sentence_html(rng, html_toks, link_prob: float = 0.15) -> str:
                 else:
                     linked = True
             href = ' href="/l%d"' % rng.randrange(100) if tag == "a" else ""
-            t = f"<{tag}{href}>{t}</{tag}>"
+            if tag != "a" and rng.random() < 0.25:  # nested inline pair
+                t = f"<{tag}><b>{t}</b></{tag}>"
+            else:
+                t = f"<{tag}{href}>{t}</{tag}>"
         out.append(t)
         if i < len(html_toks) - 1:
             out.append(_ws(rng))
@@ -178,6 +181,8 @@ def generate_page(seed: int, doc_id: int) -> dict:
         else:
             n_para = rng.randint(2, 6)
         for _ in range(n_para):
+            if rng.random() < 0.10:  # comments are invisible to extraction
+                b.add(f"<!-- generated block {rng.randrange(1000)} -->\n")
             r = rng.random()
             if r < 0.12:  # table
                 ncols = rng.randint(2, 4)

@@ -5,7 +5,7 @@ import pyspark.sql.functions as F
 from origami_spark.operators.layout import refine
 from origami_spark.operators.order import orders_table, rank_blocks
 from origami_spark.pipeline import extract_fused, parse_stage
-from origami_spark.plans.evaluate import evaluate, track_changes
+from origami_spark.plans.evaluate import evaluate, evaluate_cer, track_changes
 from origami_spark.sources.corpus import pages_df
 
 
@@ -30,6 +30,25 @@ def test_evaluate_detects_regressions(spark):
     row = evaluate(corrupted, pages.select("url", "text")).collect()[0]
     assert row["byte_identical"] == 49
     assert row["max_abs_len_delta"] == 1
+
+
+def test_evaluate_cer(spark):
+    pages = pages_df(spark, 40, num_partitions=4).cache()
+    out = extract_fused(spark, pages).cache()
+    # perfect extraction -> CER 0
+    row = evaluate_cer(out, pages.select("url", "text")).collect()[0]
+    assert row["cer"] == 0.0 and row["total_edits"] == 0
+    # one doc with 3 substituted chars at the start -> exactly 3 edits
+    target = out.filter("length(text) > 10").first()["url"]
+    corrupted = out.withColumn(
+        "text",
+        F.when(F.col("url") == target,
+               F.concat(F.lit("XYZ"), F.expr("substring(text, 4)")))
+        .otherwise(F.col("text")),
+    )
+    row = evaluate_cer(corrupted, pages.select("url", "text")).collect()[0]
+    assert row["total_edits"] == 3
+    assert 0 < row["cer"] < 0.01
 
 
 def test_track_changes(spark):
