@@ -413,6 +413,17 @@ def ann_cosine_topk(spark, sf):
     return S.cosine_topk(_t(spark, sf, "embeddings"), list(range(8)), k=5)
 
 
+def ann_lsh_topk(spark, sf):
+    # multi-table LSH approximate top-k; recall vs cosine_topk asserted
+    # in tests/test_similarity.py, value parity gated by the oracle below.
+    # planes=4/tables=16 is the weak-neighbour design point: this corpus's
+    # true top-5 sit at cos ~0.3 (theta ~72deg -> per-plane agreement
+    # ~0.6), so few planes + many tables buys recall ~0.95; a 0.95-cosine
+    # near-dup task uses 8 planes instead (see dedup_embedding_lsh)
+    return S.lsh_topk(_t(spark, sf, "embeddings"), list(range(8)), k=5,
+                      planes=4, tables=16)
+
+
 def text_token_stats(spark, sf):
     return T.token_stats(_t(spark, sf, "documents"))
 
@@ -491,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
@@ -523,11 +535,10 @@ shingles AS (
 
 
 
-def _lsh_oracle_sql(planes: int = 6, tables: int = 8, dim: int = 64,
-                    threshold: float = 0.4) -> str:
-    """Programmatically build the multi-table hyperplane-LSH oracle with
-    the same inlined deterministic plane coefficients the Spark operator
-    uses (operators/dedup.embedding_near_dups_lsh)."""
+def _bucket_array_sql(planes: int, tables: int, dim: int) -> str:
+    """The inlined multi-table bucket-array expression with the same
+    deterministic plane coefficients the Spark kernels use
+    (operators/similarity.plane_coefficients)."""
     from origami_spark.operators.similarity import plane_coefficients
 
     total = planes * tables
@@ -546,7 +557,15 @@ def _lsh_oracle_sql(planes: int = 6, tables: int = 8, dim: int = 64,
             bits.append(f"(CASE WHEN list_sum([{terms}]) >= 0 "
                         f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
         table_buckets.append(f"CAST(list_sum([{', '.join(bits)}]) AS BIGINT)")
-    buckets_arr = "[" + ", ".join(table_buckets) + "]"
+    return "[" + ", ".join(table_buckets) + "]"
+
+
+def _lsh_oracle_sql(planes: int = 6, tables: int = 8, dim: int = 64,
+                    threshold: float = 0.4) -> str:
+    """Programmatically build the multi-table hyperplane-LSH oracle with
+    the same inlined deterministic plane coefficients the Spark operator
+    uses (operators/dedup.embedding_near_dups_lsh)."""
+    buckets_arr = _bucket_array_sql(planes, tables, dim)
     return f"""
         WITH sig AS (
           SELECT vec_id, embedding, {buckets_arr} AS buckets FROM embeddings),
@@ -567,6 +586,41 @@ def _lsh_oracle_sql(planes: int = 6, tables: int = 8, dim: int = 64,
         JOIN embeddings eb ON eb.vec_id = c.vec_b
         WHERE round(CAST(list_cosine_similarity(ea.embedding, eb.embedding)
                     AS DOUBLE), 4) >= {threshold}"""
+
+
+def _lsh_topk_oracle_sql(planes: int = 8, tables: int = 8, dim: int = 64,
+                         k: int = 5, n_queries: int = 8) -> str:
+    """Oracle for the multi-table LSH approximate top-k
+    (operators/similarity.lsh_topk): identical bucket expressions,
+    candidate union across tables, exact-cosine re-rank."""
+    buckets_arr = _bucket_array_sql(planes, tables, dim)
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding, {buckets_arr} AS buckets FROM embeddings),
+        banded AS (
+          SELECT vec_id, CAST(tbl AS INT) AS tbl,
+                 buckets[CAST(tbl AS INT) + 1] AS tbucket
+          FROM sig, LATERAL unnest(range(0, {tables})) AS r(tbl)),
+        q AS (
+          SELECT vec_id AS query_id, tbl, tbucket FROM banded
+          WHERE vec_id < {n_queries}),
+        cand AS (
+          SELECT DISTINCT q.query_id, b.vec_id
+          FROM banded b JOIN q
+            ON b.tbl = q.tbl AND b.tbucket = q.tbucket
+           AND b.vec_id != q.query_id),
+        scored AS (
+          SELECT c.query_id, c.vec_id,
+                 round(CAST(list_cosine_similarity(eq.embedding, ec.embedding)
+                       AS DOUBLE), 4) AS cosine
+          FROM cand c
+          JOIN embeddings eq ON eq.vec_id = c.query_id
+          JOIN embeddings ec ON ec.vec_id = c.vec_id),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
+          FROM scored)
+        SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -892,4 +946,5 @@ def oracle_sql() -> dict[str, str]:
             FROM media GROUP BY kind""",
     }
     sql["dedup_embedding_lsh"] = _lsh_oracle_sql(8, 8, 64, 0.4)
+    sql["ann_lsh_topk"] = _lsh_topk_oracle_sql(4, 16, 64, 5, 8)
     return sql

@@ -92,10 +92,27 @@ def hyperplane_signature(emb: DataFrame, planes: int = 8,
         if len(col) == 0:
             return pd.Series([], dtype="int64")
         x = np.asarray(col.tolist(), dtype=np.float64)
-        bits = (x @ mat >= 0).astype(np.int64)
+        bits = (_seq_dot(x, mat) >= 0).astype(np.int64)
         return pd.Series(bits @ weights)
 
     return emb.select("vec_id", "embedding", bucket("embedding").alias("bucket"))
+
+
+def _seq_dot(x, mat):
+    """Dot products accumulated strictly left-to-right over dimensions.
+
+    numpy's `@` uses pairwise/SIMD summation whose rounding can differ
+    from the DuckDB oracle's sequential `list_sum` when a dot product
+    lands within float rounding of 0 — which would silently flip a sign
+    bit and change LSH candidate sets between engines.  Accumulating
+    dimension-by-dimension reproduces the oracle's term order exactly
+    (still vectorized: one (n, planes) FMA per dimension)."""
+    import numpy as np
+
+    acc = np.zeros((x.shape[0], mat.shape[1]), dtype=np.float64)
+    for d in range(mat.shape[0]):
+        acc += x[:, d : d + 1] * mat[d, :]
+    return acc
 
 
 def hyperplane_buckets(emb: DataFrame, planes: int, tables: int,
@@ -116,26 +133,47 @@ def hyperplane_buckets(emb: DataFrame, planes: int, tables: int,
         if len(col) == 0:
             return pd.Series([], dtype="object")
         x = np.asarray(col.tolist(), dtype=np.float64)
-        bits = (x @ mat >= 0).astype(np.int64)          # (n, total)
+        bits = (_seq_dot(x, mat) >= 0).astype(np.int64)  # (n, total)
         per_table = bits.reshape(len(x), tables, planes) @ w  # (n, tables)
         return pd.Series(list(per_table))
 
     return emb.select("vec_id", "embedding", buckets("embedding").alias("buckets"))
 
 
-def lsh_topk(emb: DataFrame, query_ids, k: int = 5, planes: int = 8) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket,
-    exact cosine re-rank within."""
-    dim = 64
-    signed = hyperplane_signature(emb, planes, dim)
-    q = signed.filter(F.col("vec_id").isin(list(query_ids))).select(
+def lsh_topk(emb: DataFrame, query_ids, k: int = 5, planes: int = 8,
+             tables: int = 8, dim: int = 64) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH — a corpus vector is
+    a candidate when it shares the query's bucket in ANY of `tables`
+    independent hash tables (per-table recall (1 - theta/pi)^planes is
+    lifted to 1 - (1 - r)^L); exact cosine re-rank inside the candidate
+    union.  Queries are tiny -> broadcast; the corpus is scanned once
+    and never shuffled before the candidate filter."""
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    signed = hyperplane_buckets(e, planes, tables, dim)
+    banded = signed.select(
+        "vec_id", "embedding",
+        F.posexplode("buckets").alias("tbl", "tbucket"),
+    )
+    q = banded.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+        F.col("tbl").alias("qtbl"),
+        F.col("tbucket").alias("qtbucket"),
     )
-    cand = signed.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    cand = (
+        banded.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("tbucket") == F.col("qtbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        # a pair found in several tables must score once; every copy
+        # carries the same vectors, so first-per-(query,vec) is exact
+        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "vec_id", "qv", "embedding")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -143,7 +181,7 @@ def lsh_topk(emb: DataFrame, query_ids, k: int = 5, planes: int = 8) -> DataFram
             "query_id", "vec_id",
             F.round(_cosine("qv", "embedding"), 4).alias("cosine"),
         )
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "cosine", "rk")
     )

@@ -61,12 +61,16 @@ def run_stage(
         done = spark.read.parquet(out_path).select(key).distinct()
         todo = src.join(done, key, "left_anti")
         if todo.isEmpty():  # fully resumed: nothing to compute or commit
-            return spark.read.parquet(out_path).drop("_part_id")
+            return spark.read.parquet(out_path).drop("_part_id", "_run_id")
 
     t0 = time.monotonic()
     status = "COMPLETED"
     try:
-        result = build(todo).withColumn("_part_id", F.spark_partition_id())
+        result = (
+            build(todo)
+            .withColumn("_part_id", F.spark_partition_id())
+            .withColumn("_run_id", F.lit(run_id))
+        )
         result.write.mode("append").parquet(out_path)
     except Exception:
         status = "FAILED"
@@ -75,8 +79,15 @@ def run_stage(
         wall = time.monotonic() - t0
         try:
             if status == "COMPLETED":
+                # lineage over THIS run's appends only: filtering on the
+                # stamped _run_id prunes other runs' files via parquet
+                # row-group stats (on Iceberg, run_id would be a partition
+                # column and this is a metadata-only prune), so per-run
+                # digests/doc-counts are never polluted by earlier runs
+                # that happened to share a partition id
                 lineage = (
                     spark.read.parquet(out_path)
+                    .filter(F.col("_run_id") == run_id)
                     .groupBy("_part_id")
                     .agg(
                         F.count(F.lit(1)).alias("doc_count"),
@@ -103,7 +114,7 @@ def run_stage(
         except Exception:
             pass  # lineage failures never mask the stage result
 
-    return spark.read.parquet(out_path).drop("_part_id")
+    return spark.read.parquet(out_path).drop("_part_id", "_run_id")
 
 
 def reset_stages(work_dir: str, stages) -> list:

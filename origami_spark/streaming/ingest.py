@@ -1,11 +1,16 @@
 """Continuous ingest: readStream over a pages landing zone -> fused
-extraction -> idempotent parquet appends per micro-batch.
+extraction -> idempotent per-micro-batch parquet commits.
 
 The streaming analog of the batch runner's anti-join resume: Structured
-Streaming's source offsets + checkpointLocation replace the committed-
-keys anti-join, giving the same at-least-once compute / exactly-once
-commit contract, while each micro-batch reuses the identical extraction
-plan (same kernel, same schema) as the batch path.
+Streaming's source offsets + checkpointLocation make compute
+at-least-once, and the sink makes the *effect* exactly-once by keying
+each write on the deterministic ``batch_id``: every micro-batch
+overwrites its own ``batch_id=N`` subdirectory, so a crash between the
+parquet write and the streaming checkpoint commit replays the batch into
+the same directory instead of duplicating rows (the standard
+foreachBatch idempotence recipe from the Structured Streaming guide).
+Readers see one directory of parquet files; ``batch_id`` is a normal
+partition column.
 """
 
 from __future__ import annotations
@@ -38,7 +43,11 @@ def stream_extract(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        extract_fused(spark, batch_df).write.mode("append").parquet(out_dir)
+        # overwrite-by-batch_id: replays of the same micro-batch land in
+        # the same subdirectory -> exactly-once output
+        extract_fused(spark, batch_df).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     writer = pages.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -29,19 +29,23 @@ def _sessionize_fn(gap_seconds: int):
             start = last = None
             n = 0
         closed = []
-        for pdf in pdfs:
-            for ts in sorted(pdf["ts"]):
-                t = int(pd.Timestamp(ts).timestamp())
-                if last is None:
-                    start = last = t
-                    n = 1
-                elif t - last > gap_seconds:
-                    closed.append((int(key[0]), start, last, n))
-                    start = last = t
-                    n = 1
-                else:
-                    last = max(last, t)
-                    n += 1
+        # materialize the whole group before sorting: Arrow may split one
+        # group across chunks with no cross-chunk ordering guarantee, and
+        # an out-of-order timestamp at a chunk boundary would falsely
+        # close a session
+        ts_all = sorted(ts for pdf in pdfs for ts in pdf["ts"])
+        for ts in ts_all:
+            t = int(pd.Timestamp(ts).timestamp())
+            if last is None:
+                start = last = t
+                n = 1
+            elif t - last > gap_seconds:
+                closed.append((int(key[0]), start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = max(last, t)
+                n += 1
         state.update((start, last, n))
         yield pd.DataFrame(
             closed,

@@ -1,0 +1,51 @@
+"""ANN operators: exact vs LSH top-k recall, determinism of the
+hyperplane signatures."""
+
+import pyspark.sql.functions as F
+
+from origami_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_buckets,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+QUERIES = list(range(8))
+K = 5
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, QUERIES, k=K).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_topk(emb, QUERIES, k=K, planes=4, tables=16).collect()
+    }
+    assert exact, "exact top-k must be non-empty"
+    recall = len(exact & approx) / len(exact)
+    # weak-neighbour corpus (true top-5 at cos ~0.3 -> per-plane
+    # agreement ~0.6): 4 planes x 16 tables lifts per-table recall
+    # ~0.6^4~0.13 to 1-(1-0.13)^16 ~ 0.90+; measured 0.95 on this corpus
+    # (single-table at 8 planes was ~0.03 — the round-1 weakness)
+    assert recall >= 0.8, f"recall {recall:.2f} below floor"
+    # every approximate hit must carry the exact cosine (re-rank inside
+    # candidates is exact, not approximate)
+    ex = {(r["query_id"], r["vec_id"]): r["cosine"]
+          for r in cosine_topk(emb, QUERIES, k=200).collect()}
+    for r in lsh_topk(emb, QUERIES, k=K, planes=4, tables=16).collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in ex:
+            assert abs(ex[key] - r["cosine"]) < 1e-9
+
+
+def test_hyperplane_buckets_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = hyperplane_buckets(emb, planes=8, tables=4).select(
+        "vec_id", F.col("buckets").cast("string").alias("b"))
+    b = hyperplane_buckets(emb, planes=8, tables=4).select(
+        "vec_id", F.col("buckets").cast("string").alias("b"))
+    assert a.subtract(b).count() == 0
+    assert b.subtract(a).count() == 0

@@ -40,13 +40,13 @@ def test_empty_page_rows_present(spark, pages):
 def test_staged_resume(spark, pages, tmp_path):
     wd = str(tmp_path / "stages")
     half = pages.limit(150)
-    out1 = extract_staged(spark, half, wd)
+    out1 = extract_staged(spark, half, wd, run_id="run1")
     assert out1.count() == 150
-    out2 = extract_staged(spark, pages, wd)
+    out2 = extract_staged(spark, pages, wd, run_id="run2")
     assert out2.count() == 300
     assert out2.select("url").distinct().count() == 300
     # rerun: no duplicates (anti-join resume is a no-op)
-    out3 = extract_staged(spark, pages, wd)
+    out3 = extract_staged(spark, pages, wd, run_id="run3")
     assert out3.count() == 300
     # byte-identity holds through the staged path too
     cmp = out3.join(pages.select("url", F.col("text").alias("golden")), "url")
@@ -54,6 +54,17 @@ def test_staged_resume(spark, pages, tmp_path):
     # lineage rows exist for every stage
     stats = {r["stage"] for r in lineage_stats(spark, wd).collect()}
     assert stats == {"s2_blocks", "s5_layout", "s7_order", "s8_compose"}
+    # per-run lineage counts THIS run's appends only: the incremental
+    # second run composed exactly the 150 new urls, not the whole table
+    lin = spark.read.parquet(f"{wd}/_lineage")
+    per_run = {
+        r["run_id"]: r["docs"]
+        for r in lin.filter("stage = 's8_compose' AND status = 'COMPLETED'")
+        .groupBy("run_id").agg(F.sum("doc_count").alias("docs")).collect()
+    }
+    assert per_run["run1"] == 150
+    assert per_run["run2"] == 150
+    assert "run3" not in per_run  # fully-resumed run commits nothing
 
 
 def test_staged_artifacts(spark, pages, tmp_path):
