@@ -384,7 +384,10 @@ def dedup_exact(spark, sf):
 
 
 def dedup_ngram_jaccard(spark, sf):
-    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.2)
+    # max_df=5 exercises the hot-shingle cutoff (sf0.01 dfs reach 7):
+    # ubiquitous shingles leave the inverted index before the self-join
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3,
+                                 threshold=0.2, max_df=5)
 
 
 def dedup_minhash_lsh(spark, sf):
@@ -787,9 +790,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": f"""
             WITH {_shingle_cte(3)},
             sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+            rare AS (
+              SELECT shingle FROM shingles GROUP BY 1 HAVING count(*) <= 5),
+            joinable AS (
+              SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
             pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-              FROM shingles a JOIN shingles b
+              FROM joinable a JOIN joinable b
                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT doc_a, doc_b, common,

@@ -45,18 +45,38 @@ def _shingles(docs: DataFrame, n: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard pairs >= threshold.
+                        threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
+    """n-gram Jaccard pairs >= threshold via an inverted-index join.
 
     Inverted-index join on shingle (equality, shuffle on shingle) ->
-    per-pair intersection counts -> sizes joined in -> Jaccard.  Scales
-    as sum of bucket^2 per shingle; at web scale pair this with minhash
-    banding below as the pre-filter."""
+    per-pair intersection counts -> sizes joined in -> Jaccard.  The
+    join cost is sum of df^2 per shingle, so ONE ubiquitous shingle (a
+    stopword trigram shared by 10^6 docs) makes one quadratic bucket on
+    a hot key.  ``max_df`` is the classic document-frequency cutoff:
+    shingles with df > max_df are dropped *before* the self-join,
+    bounding every bucket at max_df^2 (tests/test_dedup.py proves the
+    bound on a corpus where one shingle hits every doc).  Sizes keep
+    counting ALL shingles, so the reported jaccard is a lower bound that
+    ignores only no-signal shingles; pairs whose overlap is carried
+    entirely by dropped hot shingles disappear — by construction those
+    share nothing discriminative.  max_df=None keeps the exact
+    semantics; at web scale pair this with minhash banding below as the
+    pre-filter."""
     sh = _shingles(docs, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    joinable = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        joinable.alias("a")
+        .join(joinable.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -104,12 +124,79 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16) -> DataFrame:
     )
 
 
+def minhash_signatures_kernel(docs: DataFrame, n: int = 3,
+                              k: int = 16) -> DataFrame:
+    """Arrow-kernel form of ``minhash_signatures`` — bit-identical output,
+    none of the (doc x shingle x k) explode+shuffle volume.
+
+    The relational form shuffles k rows per (doc, shingle) through a
+    groupBy — correct, and kept as the DuckDB-shaped oracle — but at
+    10^12 documents the signature computation dominated the round-1
+    bench (10.2 s of 24.3 s).  Here each Arrow batch computes its docs'
+    signatures locally (tokenize -> distinct shingles -> min over the
+    same md5-based hash family), exactly the pattern that cut the
+    hyperplane-LSH path 27x.  Docs with fewer than n tokens produce no
+    shingles and are omitted, matching the relational form."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    token_re = re.compile(r"[^a-z0-9]+")
+
+    def kern(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            # shingle-hash memo: common shingles repeat across the batch
+            memo: dict = {}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in token_re.split((text or "").lower()) if t]
+                if len(toks) < n:
+                    continue
+                shingles = {
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+                sig = [None] * k
+                for s in shingles:
+                    hs = memo.get(s)
+                    if hs is None:
+                        hs = [
+                            int(
+                                hashlib.md5(f"{i}|{s}".encode()).hexdigest()[:15],
+                                16,
+                            )
+                            for i in range(k)
+                        ]
+                        memo[s] = hs
+                    for i in range(k):
+                        if sig[i] is None or hs[i] < sig[i]:
+                            sig[i] = hs[i]
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    src = docs.select("doc_id", "text")
+    # parquet splits can hold the whole corpus in one partition (text
+    # compresses well); rebalance so the CPU-bound kernel parallelizes
+    # (same rationale as pipeline.parse_stage)
+    n_parts = src.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(n_parts, "doc_id").mapInPandas(
+        kern, schema="doc_id bigint, sig array<bigint>"
+    )
+
+
 def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
-                           bands: int = 4) -> DataFrame:
+                           bands: int = 4, use_kernel: bool = True) -> DataFrame:
     """LSH banding: docs sharing any band of minhashes become a candidate
-    pair (shingle -> minhash -> band -> bucket equality join)."""
+    pair (shingle -> minhash -> band -> bucket equality join).
+
+    Signatures come from the Arrow kernel by default; pass
+    ``use_kernel=False`` for the pure-relational form (the two are
+    asserted bit-identical in tests/test_dedup.py)."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, n, k)
+    sigs = (minhash_signatures_kernel if use_kernel
+            else minhash_signatures)(docs, n, k)
     banded = sigs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -168,13 +255,65 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
+def simhash_kernel(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Arrow-kernel form of ``simhash`` — bit-identical, without the
+    (token x bit) explode through a shuffle.
+
+    Per doc: token counts (every token *instance* votes, like the
+    relational explode), one portable md5 hash per distinct token
+    (memoized across the batch — the corpus vocabulary repeats heavily),
+    weighted +/-1 votes per bit via one small matmul, integer bit-pack.
+    All integer math, so parity with the relational form/DuckDB oracle
+    is exact."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    token_re = re.compile(r"[^a-z0-9]+")
+    bit_idx = np.arange(bits, dtype=np.int64)
+
+    def kern(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            memo: dict = {}  # token -> (+1/-1 per bit) int64 array
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in token_re.split((text or "").lower()) if t]
+                if not toks:
+                    continue  # explode emits nothing for empty docs
+                counts = Counter(toks)
+                pm = np.empty((len(counts), bits), dtype=np.int64)
+                w = np.empty(len(counts), dtype=np.int64)
+                for j, (tok, c) in enumerate(counts.items()):
+                    row = memo.get(tok)
+                    if row is None:
+                        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                        row = (((h >> bit_idx) & 1) * 2 - 1)
+                        memo[tok] = row
+                    pm[j] = row
+                    w[j] = c
+                votes = w @ pm  # (bits,)
+                ids.append(doc_id)
+                hashes.append(int(((votes > 0).astype(np.int64) << bit_idx).sum()))
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+    src = docs.select("doc_id", "text")
+    n_parts = src.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(n_parts, "doc_id").mapInPandas(
+        kern, schema="doc_id bigint, simhash bigint"
+    )
+
+
 def simhash_near_dups(docs: DataFrame, bits: int = 32, bands: int = 4,
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      use_kernel: bool = True) -> DataFrame:
     """Banded simhash near-dup pairs: any equal band (pigeonhole for
     hamming <= bands-1) -> candidate; verify hamming distance."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sh = simhash(docs, bits)
+    sh = (simhash_kernel if use_kernel else simhash)(docs, bits)
     banded = sh.select(
         "doc_id",
         "simhash",

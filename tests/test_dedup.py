@@ -1,0 +1,86 @@
+"""Dedup operators: Arrow-kernel/relational MinHash parity, hot-shingle
+df-cutoff bounds, banding candidate semantics."""
+
+import pyspark.sql.functions as F
+
+from origami_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+    minhash_signatures_kernel,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_kernel,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_kernel_matches_relational(spark):
+    """The Arrow kernel must be bit-identical to the relational form the
+    DuckDB oracle mirrors — same docs, same signatures."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc_id"]: list(r["sig"])
+         for r in minhash_signatures_kernel(docs, n=3, k=16).collect()}
+    b = {r["doc_id"]: list(r["sig"])
+         for r in minhash_signatures(docs, n=3, k=16).collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_minhash_lsh_kernel_vs_relational_candidates(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fast = {(r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(docs, use_kernel=True).collect()}
+    slow = {(r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(docs, use_kernel=False).collect()}
+    assert fast == slow
+
+
+def test_simhash_kernel_matches_relational(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc_id"]: r["simhash"]
+         for r in simhash_kernel(docs, bits=32).collect()}
+    b = {r["doc_id"]: r["simhash"]
+         for r in simhash(docs, bits=32).collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def _hot_corpus(spark, n_docs=200):
+    """Every doc shares one ubiquitous trigram; each doc also has a
+    unique tail so docs are not duplicates of each other."""
+    rows = [
+        (i, f"common hot shingle unique{i} tail{i} word{i}")
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_df_cutoff_bounds_hot_shingle(spark):
+    docs = _hot_corpus(spark)
+    # without the cutoff the hot shingle alone yields C(200,2)=19900
+    # candidate rows through the join; with max_df=10 it is dropped
+    # before the self-join and NO pair survives (their only overlap was
+    # the no-signal shingle)
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_df=10)
+    assert capped.count() == 0
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_df=None)
+    assert exact.count() == 200 * 199 // 2  # the quadratic blowup is real
+
+
+def test_df_cutoff_keeps_rare_overlap(spark):
+    """Pairs whose overlap is carried by rare shingles keep their
+    (lower-bound) jaccard under the cutoff."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta zeta"),
+        (2, "one two three four five"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_df=5).collect()
+    }
+    # docs 0/1 share shingles 'alpha beta gamma' + 'beta gamma delta':
+    # 2 common / (3 + 3 - 2) = 0.5
+    assert got == {(0, 1): 0.5}
