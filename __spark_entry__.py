@@ -473,6 +473,22 @@ def extract_blocks(spark, sf):
     )
 
 
+def lines_confidence(spark, sf):
+    """S6 lines with real per-line confidence (non-link char share —
+    ConfidenceSampler analog).  Rows-only like the other extraction
+    entries (DuckDB cannot parse HTML); the value semantics are pinned
+    by tests/test_lines.py::test_line_confidence_real and the staged
+    artifact tests."""
+    from origami_spark.operators.layout import refine
+    from origami_spark.operators.lines import lines_table
+    from origami_spark.pipeline import parse_stage
+
+    pages = _pages_from_documents(spark, sf)
+    return lines_table(refine(parse_stage(pages))).select(
+        "url", "path", "line_id", "raw_start", "raw_end", "confidence"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -513,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_payload": multimodal_payload,
         "extract_compose": extract_compose,
         "extract_blocks": extract_blocks,
+        "lines_confidence": lines_confidence,
     }
 
 

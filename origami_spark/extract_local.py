@@ -14,10 +14,14 @@ Rule sequence (mirrors origami's layout rule pipeline,
 2. boilerplate filter — drop TEXT blocks with link_density > 0.5 or empty
                         text (AreaFilter analog, ``layout.py:872-883``;
                         reliable_contours analog ``batch/core/lines.py:15-48``)
-3. adjacency merge    — consecutive <p> siblings, both single-line, prev
-                        not sentence-terminal, whitespace-only gap, no
-                        separator between -> one block (AdjacencyMerger/
-                        IsOnSameLine analog, ``layout.py:369-408``)
+3. adjacency merge    — consecutive <p> blocks, both single-line, prev
+                        not sentence-terminal, no separator between;
+                        either same parent + whitespace-only gap
+                        (AdjacencyMerger/IsOnSameLine analog,
+                        ``layout.py:369-408``) or seq-adjacent + markup-
+                        only gap across sibling containers (IsBelow
+                        continuation analog, ``layout.py:411-440``)
+                        -> one block
 4. ordering           — by (start, seq): DOM order, the 1-D XY-cut result
                         (``core/xycut.py:187-241``)
 5. compose            — "\n\n" between blocks + trailing "\n"
@@ -29,11 +33,22 @@ from __future__ import annotations
 from .html.blocks import Block, extract_page
 
 LINK_DENSITY_MAX = 0.5
+# reclassification rescue — must match operators/layout.py (see the
+# rationale there): a long, nearly link-free TEXT block inside chrome is
+# re-homed into the document
+RESCUE_MIN_CHARS = 80
+RESCUE_MAX_LINK_SHARE = 0.2
 
 
 def survives(b: Block) -> bool:
     if b.in_chrome:
-        return False
+        rescued = (
+            b.label == "TEXT"
+            and b.text_len >= RESCUE_MIN_CHARS
+            and b.link_len <= RESCUE_MAX_LINK_SHARE * b.text_len
+        )
+        if not rescued:
+            return False
     if b.label == "TABULAR":
         return bool(b.text)
     if b.label != "TEXT":
@@ -46,19 +61,24 @@ def survives(b: Block) -> bool:
 
 
 def merge_with_prev(prev: Block, cur: Block) -> bool:
-    """Adjacency-merge criterion (must match operators/layout.py)."""
-    return (
+    """Adjacency-merge criteria (must match operators/layout.py):
+    IsOnSameLine (same parent, whitespace-only gap) OR IsBelow
+    continuation (adjacent in the full emitted sequence, markup-only
+    gap — a paragraph split across sibling containers)."""
+    if not (
         prev is not None
         and cur.label == "TEXT"
         and prev.label == "TEXT"
         and cur.tag == "p"
         and prev.tag == "p"
-        and cur.parent_id == prev.parent_id
         and prev.n_lines == 1
         and cur.n_lines == 1
         and not prev.ends_clean
-        and prev.ws_gap_next
-    )
+    ):
+        return False
+    same_line = cur.parent_id == prev.parent_id and prev.ws_gap_next
+    is_below = cur.seq == prev.seq + 1 and prev.gap_markup_only_next
+    return same_line or is_below
 
 
 def extract_document(html: bytes) -> dict:

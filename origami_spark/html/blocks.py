@@ -52,10 +52,22 @@ class Block:
     in_chrome: bool
     ends_clean: bool = False
     ws_gap_next: bool = False  # only whitespace between this and next block
+    # only whitespace/tags/comments (no text) between this and the next
+    # emitted block — the 1-D "vertically adjacent within line height"
+    # evidence of the IsBelow merge criterion (reference layout.py:411-440)
+    gap_markup_only_next: bool = False
     path: str = ""
     cells: list | None = None   # TABULAR only: rows of normalized cell text
     has_header: bool = False
-    line_spans: list | None = None  # per line: (raw_start, raw_end) hull
+    # per line: (raw_start, raw_end, link_len) — byte hull + normalized
+    # link-char count (ConfidenceSampler evidence, see operators/lines.py)
+    line_spans: list | None = None
+    # SEPARATOR only: estimated visual weight (the reference persists a
+    # per-separator width estimate, batch/detect/contours.py:126-134,
+    # and ordering boosts thick separators, order.py:96-106).  <hr> uses
+    # its legacy size attribute when numeric; a textual rule line scales
+    # with its glyph run length.  1.0 = the default separator.
+    strength: float = 0.0
 
 
 def _is_block(tag: str) -> bool:
@@ -66,16 +78,21 @@ _BR = "\x00"  # line-break sentinel; never occurs in normalized text
 
 
 class _Gather:
-    """Inline-content accumulator: (text, raw-span) parts, link parts,
-    and whether nested block children were skipped (container evidence).
+    """Inline-content accumulator: (text, raw-span, is_link) parts, link
+    parts, and whether nested block children were skipped (container
+    evidence).
 
     Parts carry their raw byte spans so every *line* gets an exact hull
     into the source document — the forward/inverse offset map of
     origami's dewarp grid (``core/dewarp.py:496-576``), at the
-    granularity compose and the lines stage consume."""
+    granularity compose and the lines stage consume.  The is_link flag
+    feeds per-line link evidence (line confidence, the
+    ``ConfidenceSampler`` analog — reference ``batch/detect/lines.py:
+    25-54`` samples segmentation labels under each line; the label
+    evidence under a web line is which characters sit inside <a>)."""
 
     def __init__(self):
-        self.parts: list = []        # (str, (s, e) | None); span None for sentinels
+        self.parts: list = []        # (str, (s, e) | None, is_link)
         self.link_parts: list = []
         self.skipped_block = False
 
@@ -89,7 +106,7 @@ def _gather_inline(page: Page, node: Node, g: _Gather, in_link: bool) -> None:
     if not node.children:  # fast path: text-only node (most leaves)
         for (s, e) in node.texts:
             raw = page.text_of(s, e)
-            parts.append((raw, (s, e) if raw.strip() else None))
+            parts.append((raw, (s, e) if raw.strip() else None, in_link))
             if in_link:
                 g.link_parts.append(raw)
         return
@@ -103,7 +120,7 @@ def _gather_inline(page: Page, node: Node, g: _Gather, in_link: bool) -> None:
         if type(payload) is tuple:
             s, e = payload
             raw = page.text_of(s, e)
-            parts.append((raw, (s, e) if raw.strip() else None))
+            parts.append((raw, (s, e) if raw.strip() else None, in_link))
             if in_link:
                 g.link_parts.append(raw)
         else:
@@ -115,32 +132,37 @@ def _gather_inline(page: Page, node: Node, g: _Gather, in_link: bool) -> None:
                 g.skipped_block = True
                 continue
             if ctag == "br":
-                parts.append((_BR, None))
+                parts.append((_BR, None, False))
                 continue
             _gather_inline(page, child, g, in_link or ctag == "a")
 
 
 def _assemble_lines(parts):
-    """(text, span) parts -> list of (normalized_line, hull_s, hull_e);
-    empty lines dropped.  Hull = min/max raw span of the line's
-    contributing non-whitespace runs."""
+    """(text, span, is_link) parts -> list of (normalized_line, hull_s,
+    hull_e, link_len); empty lines dropped.  Hull = min/max raw span of
+    the line's contributing non-whitespace runs; link_len = normalized
+    char count of the line's <a> content (per-line confidence evidence,
+    same normalization as the block-level link_len)."""
     lines = []
-    buf, hs, he = [], None, None
-    for text, span in parts:
+    buf, hs, he, lbuf = [], None, None, []
+    for text, span, is_link in parts:
         if text == _BR:
-            lines.append(("".join(buf), hs, he))
-            buf, hs, he = [], None, None
+            lines.append(("".join(buf), hs, he, lbuf))
+            buf, hs, he, lbuf = [], None, None, []
             continue
         buf.append(text)
+        if is_link:
+            lbuf.append(text)
         if span is not None:
             hs = span[0] if hs is None else min(hs, span[0])
             he = span[1] if he is None else max(he, span[1])
-    lines.append(("".join(buf), hs, he))
+    lines.append(("".join(buf), hs, he, lbuf))
     out = []
-    for raw, s, e in lines:
+    for raw, s, e, lparts in lines:
         norm = normalize_text(raw)
         if norm:
-            out.append((norm, s, e))
+            llen = len(normalize_text(" ".join(lparts))) if lparts else 0
+            out.append((norm, s, e, min(llen, len(norm))))
     return out
 
 
@@ -150,7 +172,7 @@ def _inline_text(page: Page, node: Node):
     g = _Gather()
     _gather_inline(page, node, g, node.tag == "a")
     lines = _assemble_lines(g.parts)
-    text_len = sum(len(ln) for (ln, _s, _e) in lines)
+    text_len = sum(len(ln) for (ln, _s, _e, _l) in lines)
     link_len = (
         len(normalize_text(" ".join(g.link_parts))) if g.link_parts else 0
     )
@@ -170,7 +192,7 @@ def _table_cells(page: Page, table: Node):
                     cell = page.nodes[gid]
                     if cell.tag in ("td", "th"):
                         lines, _, _, _g = _inline_text(page, cell)
-                        cells.append(" ".join(ln for (ln, _s, _e) in lines))
+                        cells.append(" ".join(ln for (ln, _s, _e, _l) in lines))
                         all_th = all_th and cell.tag == "th"
                 if cells:
                     rows.append(cells)
@@ -183,6 +205,8 @@ def _table_cells(page: Page, table: Node):
 
 
 _WS_ONLY = re.compile(rb"[ \t\r\n\f]*")
+_GAP_COMMENT = re.compile(rb"<!--.*?-->", re.S)
+_GAP_TAG = re.compile(rb"<[^>]*>")
 
 
 def extract_page(data: bytes) -> list:
@@ -197,7 +221,8 @@ def extract_page(data: bytes) -> list:
     def emit(node: Node, label: str, text: str, n_lines: int,
              text_len: int, link_len: int, path_parts,
              span: tuple | None = None,
-             line_spans: list | None = None) -> None:
+             line_spans: list | None = None,
+             strength: float = 0.0) -> None:
         start, end = span if span else (node.start, node.end)
         blocks.append(Block(
             seq=len(blocks), node_id=node.node_id, parent_id=node.parent_id,
@@ -207,6 +232,7 @@ def extract_page(data: bytes) -> list:
             in_chrome=chrome(path_parts),
             ends_clean=text.endswith(_TERMINAL) if text else True,
             line_spans=line_spans,
+            strength=strength,
         ))
 
     def emit_text_groups(child, lines, text_len, link_len, parts, g):
@@ -227,16 +253,19 @@ def extract_page(data: bytes) -> list:
         n_groups = sum(1 for k, _ in groups if k == "text")
         for kind, gl in groups:
             hull = (
-                (min(s for (_t, s, _e) in gl if s is not None),
-                 max(e for (_t, _s, e) in gl if e is not None))
-                if any(s is not None for (_t, s, _e) in gl)
+                (min(s for (_t, s, _e, _l) in gl if s is not None),
+                 max(e for (_t, _s, e, _l) in gl if e is not None))
+                if any(s is not None for (_t, s, _e, _l) in gl)
                 else None
             )
             if kind == "sep":
+                # rule-line strength scales with glyph run length:
+                # '-----' (5) = 1.0, a 20-glyph rule = 4.0 (capped)
                 emit(child, "SEPARATOR", "", 0, 0, 0,
-                     parts, span=hull or (child.start, child.end))
+                     parts, span=hull or (child.start, child.end),
+                     strength=round(min(len(gl[0][0]) / 5.0, 4.0), 2))
                 continue
-            texts = [t for (t, _s, _e) in gl]
+            texts = [t for (t, _s, _e, _l) in gl]
             tlen = sum(len(t) for t in texts)
             # whole-element span only when this is the single group of a
             # non-container element; otherwise the group's text hull
@@ -248,7 +277,7 @@ def extract_page(data: bytes) -> list:
             emit(child, "TEXT", "\n".join(texts), len(texts),
                  tlen, link_len if n_groups == 1 else 0, parts,
                  span=span,
-                 line_spans=[(s, e) for (_t, s, e) in gl])
+                 line_spans=[(s, e, l) for (_t, s, e, l) in gl])
 
     def walk(node: Node, path_parts: list) -> None:
         for cid in node.children:
@@ -258,7 +287,13 @@ def extract_page(data: bytes) -> list:
                 continue
             parts = path_parts + [tag]
             if tag == "hr":
-                emit(child, "SEPARATOR", "", 0, 0, 0, parts)
+                size = child.attrs.get("size", "")
+                strength = (
+                    round(min(max(float(size), 0.5), 4.0), 2)
+                    if size.isdigit() else 1.0
+                )
+                emit(child, "SEPARATOR", "", 0, 0, 0, parts,
+                     strength=strength)
             elif tag == TABLE_TAG:
                 rows, has_header = _table_cells(page, child)
                 text = render_table(rows, has_header)
@@ -276,9 +311,9 @@ def extract_page(data: bytes) -> list:
                         lines.extend(li_lines)
                 if lines:
                     emit(child, "TEXT",
-                         "\n".join(ln for (ln, _s, _e) in lines), len(lines),
-                         sum(len(ln) for (ln, _s, _e) in lines), 0, parts,
-                         line_spans=[(s, e) for (_t, s, e) in lines])
+                         "\n".join(ln for (ln, _s, _e, _l) in lines), len(lines),
+                         sum(len(ln) for (ln, _s, _e, _l) in lines), 0, parts,
+                         line_spans=[(s, e, l) for (_t, s, e, l) in lines])
             elif tag in MEDIA_TAGS:
                 emit(child, "ILLUSTRATION", "", 0, 0, 0, parts)
             elif _is_block(tag):
@@ -319,4 +354,10 @@ def extract_page(data: bytes) -> list:
     for a, b in zip(blocks, blocks[1:]):
         if a.end <= b.start:
             a.ws_gap_next = bool(_WS_ONLY.fullmatch(data, a.end, b.start))
+            if a.ws_gap_next:
+                a.gap_markup_only_next = True
+            else:
+                gap = _GAP_COMMENT.sub(b"", data[a.end:b.start])
+                gap = _GAP_TAG.sub(b"", gap)
+                a.gap_markup_only_next = bool(_WS_ONLY.fullmatch(gap))
     return blocks

@@ -21,6 +21,11 @@ from dataclasses import dataclass, field
 
 _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 _DOCTYPE_RE = re.compile(rb"<![^>]*>", re.S)
+# XML processing instructions (XHTML prolog <?xml ...?>) end at '?>';
+# a malformed PI without '?>' degrades to the HTML bogus-comment rule
+# (consume to the first '>'), which _PI_BOGUS_RE implements
+_PI_RE = re.compile(rb"<\?.*?\?>", re.S)
+_PI_BOGUS_RE = re.compile(rb"<\?[^>]*>", re.S)
 _RAWTEXT_RE = {
     b"script": re.compile(rb"</script\s*>", re.I),
     b"style": re.compile(rb"</style\s*>", re.I),
@@ -126,10 +131,12 @@ def tokenize(data: bytes):
             break
         if lt > pos:
             yield ("text", pos, lt)
-        m = _COMMENT_RE.match(data, lt) or _DOCTYPE_RE.match(data, lt)
-        if m and data[lt : lt + 2] in (b"<!", b"<?"):
-            pos = m.end()
-            continue
+        if data[lt : lt + 2] in (b"<!", b"<?"):
+            m = (_COMMENT_RE.match(data, lt) or _PI_RE.match(data, lt)
+                 or _DOCTYPE_RE.match(data, lt) or _PI_BOGUS_RE.match(data, lt))
+            if m:
+                pos = m.end()
+                continue
         m = _TAG_RE.match(data, lt)
         if not m:
             # stray '<' — treat as text up to next '<'
@@ -187,7 +194,8 @@ def build_tree(data: bytes) -> Page:
         if lt > pos:
             stack[-1].texts.append((pos, lt))
         if data[lt + 1 : lt + 2] in (b"!", b"?"):
-            m = _COMMENT_RE.match(data, lt) or _DOCTYPE_RE.match(data, lt)
+            m = (_COMMENT_RE.match(data, lt) or _PI_RE.match(data, lt)
+                 or _DOCTYPE_RE.match(data, lt) or _PI_BOGUS_RE.match(data, lt))
             if m:
                 pos = m.end()
                 continue

@@ -25,8 +25,8 @@ BLOCKS_SCHEMA = (
     "tag_path string, depth int, parent_id int, start bigint, end bigint, "
     "text string, n_lines int, text_len bigint, link_len bigint, "
     "in_chrome boolean, ends_clean boolean, ws_gap_next boolean, "
-    "cells_json string, "
-    "line_spans array<struct<start:bigint,end:bigint>>"
+    "gap_markup_only_next boolean, strength double, cells_json string, "
+    "line_spans array<struct<start:bigint,end:bigint,link_len:bigint>>"
 )
 
 _COLS = [f.split()[0] for f in BLOCKS_SCHEMA.split(", ")]
@@ -56,13 +56,15 @@ def parse_blocks(batches):
                 out["in_chrome"].append(b.in_chrome)
                 out["ends_clean"].append(b.ends_clean)
                 out["ws_gap_next"].append(b.ws_gap_next)
+                out["gap_markup_only_next"].append(b.gap_markup_only_next)
+                out["strength"].append(b.strength)
                 out["cells_json"].append(
                     json.dumps({"rows": b.cells, "has_header": b.has_header})
                     if b.cells is not None else None
                 )
                 out["line_spans"].append(
-                    [{"start": s_, "end": e_} for (s_, e_) in b.line_spans
-                     if s_ is not None]
+                    [{"start": s_, "end": e_, "link_len": l_}
+                     for (s_, e_, l_) in b.line_spans if s_ is not None]
                     if b.line_spans is not None else None
                 )
         yield pd.DataFrame(out)

@@ -19,7 +19,7 @@ consumer — decision documented per FIXTURES.md §2 S4 note.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -70,7 +70,48 @@ def block_features(blocks: DataFrame) -> DataFrame:
             / F.greatest(F.size(line_lens), F.lit(1)),
             2,
         ).alias("mean_line_len"),
+        *_separator_border_features(),
     )
+
+
+def _separator_border_features():
+    """Separator-context + page-border feature columns (all windows over
+    the same per-url partitioning the rest of the pipeline shuffles on —
+    no extra exchange).
+
+    * dist_prev_sep / dist_next_sep — byte distance to the nearest
+      separator before/after the block (NULL when none): the
+      ``add_separator_skew`` analog (reference ``batch/detect/flow.py:
+      238-268`` samples skew around each separator; the web feature is
+      content density around separators, which these distances encode
+      in 1-D).
+    * rel_to_header / rel_to_footer — byte offset from the first /
+      last non-chrome content position of the page: the
+      ``BorderEstimator`` analog (reference ``flow.py:157-235`` fits the
+      page frame and emits header/footer cut positions; here the cuts
+      are the content hull over the block table).
+    """
+    w_prev = (
+        Window.partitionBy("url").orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("url").orderBy("seq")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w_url = Window.partitionBy("url")
+    is_sep = F.col("label") == "SEPARATOR"
+    is_content = (~F.col("in_chrome")) & (~is_sep) & (F.col("text_len") > 0)
+    prev_sep_end = F.max(F.when(is_sep, F.col("end"))).over(w_prev)
+    next_sep_start = F.min(F.when(is_sep, F.col("start"))).over(w_next)
+    header_cut = F.min(F.when(is_content, F.col("start"))).over(w_url)
+    footer_cut = F.max(F.when(is_content, F.col("end"))).over(w_url)
+    return [
+        (F.col("start") - prev_sep_end).alias("dist_prev_sep"),
+        (next_sep_start - F.col("end")).alias("dist_next_sep"),
+        (F.col("start") - header_cut).alias("rel_to_header"),
+        (footer_cut - F.col("end")).alias("rel_to_footer"),
+    ]
 
 
 def corpus_feature_stats(features: DataFrame) -> DataFrame:

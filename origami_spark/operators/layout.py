@@ -31,6 +31,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 LINK_DENSITY_MAX = 0.5
+# reclassification rescue (must match extract_local): a TEXT block
+# assigned to chrome whose own evidence says content — long enough and
+# nearly link-free — is re-homed into the document instead of dropped.
+# The reference scores lines against segmentation evidence and re-homes
+# when the predicted label beats the assigned one by a margin
+# (batch/detect/lines.py:108-127, core/block.py:71-102); the web
+# evidence is the non-link character share (>= 0.8 = predicted TEXT
+# decisively beats the chrome assignment), gated by a minimum length so
+# one-word chrome labels ("Home") can never be rescued.
+RESCUE_MIN_CHARS = 80
+RESCUE_MAX_LINK_SHARE = 0.2
 
 _SEQ_WIN = lambda: Window.partitionBy("url").orderBy("seq")  # noqa: E731
 
@@ -38,8 +49,14 @@ _SEQ_WIN = lambda: Window.partitionBy("url").orderBy("seq")  # noqa: E731
 def classify(blocks: DataFrame) -> DataFrame:
     """Rules 1+2: survivors + separators (kept as merge barriers)."""
     is_sep = F.col("label") == "SEPARATOR"
+    rescued = (
+        (F.col("label") == "TEXT")
+        & (F.col("text_len") >= RESCUE_MIN_CHARS)
+        & (F.col("link_len")
+           <= F.lit(RESCUE_MAX_LINK_SHARE) * F.col("text_len"))
+    )
     survives = (
-        (~F.col("in_chrome"))
+        (~F.col("in_chrome") | rescued)
         & (
             ((F.col("label") == "TABULAR") & (F.col("text") != ""))
             | (
@@ -55,23 +72,42 @@ def classify(blocks: DataFrame) -> DataFrame:
 def merge_adjacent(classified: DataFrame) -> DataFrame:
     """Rule 3: merge runs of single-line <p> fragments; then drop separators.
 
-    Criterion (must match extract_local.merge_with_prev): consecutive rows
-    in the classified frame, both TEXT <p> single-line with the same DOM
-    parent, previous not sentence-terminal, only whitespace between them
-    in the raw bytes."""
+    Two OR'd criteria (must match extract_local.merge_with_prev), both
+    over consecutive rows of the classified frame with both sides TEXT
+    <p> single-line and the previous not sentence-terminal:
+
+    * IsOnSameLine (reference layout.py:369-408): same DOM parent, only
+      whitespace between them in the raw bytes — a paragraph split into
+      sibling fragments.
+    * IsBelow continuation (reference layout.py:411-440: vertical
+      continuation within a line height, x-aligned): the blocks are
+      adjacent in the FULL emitted sequence (seq difference 1 — nothing,
+      not even a dropped or illustration block, sits between) and the
+      raw gap holds only markup/whitespace/comments, parents free — a
+      paragraph split across sibling containers (<div><p>..</p></div>
+      <div><p>..</p></div>).  A separator between them occupies its own
+      seq, so barriers hold by construction.
+    """
     w = _SEQ_WIN()
     prev = lambda c: F.lag(c).over(w)  # noqa: E731
-    mergeable = (
+    both_p_single = (
         (F.col("label") == "TEXT")
         & (prev("label") == "TEXT")
         & (F.col("tag") == "p")
         & (prev("tag") == "p")
-        & (F.col("parent_id") == prev("parent_id"))
         & (F.col("n_lines") == 1)
         & (prev("n_lines") == 1)
         & (~prev("ends_clean"))
+    )
+    same_line = (
+        (F.col("parent_id") == prev("parent_id"))
         & prev("ws_gap_next")
     )
+    is_below = (
+        (F.col("seq") == prev("seq") + 1)
+        & prev("gap_markup_only_next")
+    )
+    mergeable = both_p_single & (same_line | is_below)
     with_groups = classified.withColumn(
         "grp",
         F.sum(F.when(mergeable, F.lit(0)).otherwise(F.lit(1))).over(
@@ -100,12 +136,15 @@ def merge_adjacent(classified: DataFrame) -> DataFrame:
             F.aggregate("ms", F.lit(0).cast("bigint"), lambda acc, m: acc + m["link_len"]).alias("link_len"),
             F.slice(F.transform("ms", lambda m: m["path"]), 2, 100000).alias("merged_from"),
             # merged fragments fuse into ONE logical line -> one hull
-            # span; single-member groups keep their per-line spans
+            # span (link evidence = sum of the single-line members');
+            # single-member groups keep their per-line spans
             F.when(
                 F.size("ms") > 1,
                 F.array(F.struct(
                     F.element_at("ms", 1)["start"].alias("start"),
                     F.array_max(F.transform("ms", lambda m: m["end"])).alias("end"),
+                    F.aggregate("ms", F.lit(0).cast("bigint"),
+                                lambda acc, m: acc + m["link_len"]).alias("link_len"),
                 )),
             ).otherwise(F.element_at("ms", 1)["line_spans"]).alias("line_spans"),
         )
@@ -114,13 +153,22 @@ def merge_adjacent(classified: DataFrame) -> DataFrame:
 
 
 def drop_contained(refined: DataFrame) -> DataFrame:
-    """Rule 4: drop a block whose span is contained in an earlier block.
+    """Rule 4: drop a block whose span is contained in an earlier block,
+    and give every survivor its *exclusive* span.
 
     Ordered by (start, seq) per url, a row is contained iff the running
     max of `end` over all *preceding* rows already covers its `end`
     (preceding starts are <= its start by the sort).  O(n) window instead
     of an O(n^2) span self-join — the 1-D gift the 2-D reference never
-    had."""
+    had.
+
+    ``excl_start`` is the TextAreaFactory analog (reference
+    ``core/block.py:428-443``: a block's text area = its polygon minus
+    sibling polygons): the survivor's span minus the bytes already owned
+    by earlier blocks — `greatest(start, running max end)`.  In 1-D the
+    subtraction collapses to trimming the front, computed from the SAME
+    window, so [excl_start, end) ranges of a page never overlap
+    (partially-overlapping tag-soup hulls partition cleanly)."""
     w = (
         Window.partitionBy("url")
         .orderBy("start", "seq")
@@ -129,6 +177,10 @@ def drop_contained(refined: DataFrame) -> DataFrame:
     return (
         refined.withColumn("_maxend", F.max("end").over(w))
         .filter(F.col("_maxend").isNull() | (F.col("end") > F.col("_maxend")))
+        .withColumn(
+            "excl_start",
+            F.greatest("start", F.coalesce("_maxend", F.col("start"))),
+        )
         .drop("_maxend")
     )
 

@@ -12,8 +12,14 @@ Line confidence: the reference samples segmentation labels under each
 line to get per-class evidence (``ConfidenceSampler``, ``lines.py:
 25-54``).  The web analog scores each line by how much of it looks like
 content vs chrome: fraction of non-link characters — 1.0 for pure text,
-dropping toward 0 for fully-linked lines.  Blocks were already
-link-filtered, so this is a per-line refinement signal, not a gate.
+dropping toward 0 for fully-linked lines.  The evidence (per-line
+normalized link-char count) is collected in the parse kernel
+(html/blocks._assemble_lines) and carried through layout in the
+``line_spans`` struct; this stage only divides.  Blocks were already
+link-filtered, so this is a per-line refinement signal, not a gate —
+the *block-level* form of the same evidence also drives the
+reclassification rescue in operators/layout.classify (reference
+re-homing, ``batch/detect/lines.py:108-127``).
 """
 
 from __future__ import annotations
@@ -41,6 +47,18 @@ def lines_table(refined: DataFrame) -> DataFrame:
         "label",
         F.posexplode(zipped).alias("line_id", "z"),
     )
+    link_len = (
+        F.coalesce(F.col("z")["line_spans"]["link_len"], F.lit(0))
+        if has_spans
+        else F.lit(0).cast("bigint")
+    )
+    # non-link character share: 1.0 for pure text, -> 0 for a fully
+    # linked line (the per-class evidence the reference samples per line)
+    confidence = F.round(
+        (F.length(F.col("z")["0"]) - link_len).cast("double")
+        / F.length(F.col("z")["0"]),
+        4,
+    )
     return exploded.select(
         "url",
         F.concat_ws("/", "block_path", (F.col("line_id") + 1).cast("string")).alias("path"),
@@ -49,5 +67,5 @@ def lines_table(refined: DataFrame) -> DataFrame:
         F.col("z")["0"].alias("text"),
         (F.col("z")["line_spans"]["start"] if has_spans else F.lit(None).cast("bigint")).alias("raw_start"),
         (F.col("z")["line_spans"]["end"] if has_spans else F.lit(None).cast("bigint")).alias("raw_end"),
-        F.lit(1.0).alias("confidence"),
+        confidence.alias("confidence"),
     ).filter(F.length(F.col("z")["0"]) > 0)

@@ -64,6 +64,26 @@ def orders_table(ranked: DataFrame) -> DataFrame:
 # as the tie-break kernel for overlapping spans from non-HTML sources)
 # ---------------------------------------------------------------------------
 
+def _norm_separators(separators):
+    """(start, end) or (start, end, strength) -> sorted 3-tuples; a bare
+    pair gets the default strength 1.0 (which reproduces the historical
+    constant x2 boost)."""
+    return sorted(
+        (s[0], s[1], s[2] if len(s) > 2 else 1.0) for s in (separators or [])
+    )
+
+
+def separator_gap_score(lo: int, hi: int, seps) -> float:
+    """Gap score = width x (1 + strength of the strongest separator
+    fully inside the gap) — the ObstacleSampler flow boost weighted by
+    separator strength (reference core/separate.py:96-162 +
+    batch/detect/order.py:96-106 thick-separator weighting)."""
+    width = hi - lo
+    strongest = max(
+        (st for (s, e, st) in seps if lo <= s and e <= hi), default=0.0
+    )
+    return width * (1.0 + strongest)
+
 def xy_cut_1d(spans, separators=None):
     """spans: list of (id, start, end). Returns ids in reading order.
 
@@ -72,18 +92,20 @@ def xy_cut_1d(spans, separators=None):
     admit no cut are emitted in (start, id) order — the reference's
     grouped-leaf fallback (``core/xycut.py:244-276``).
 
-    `separators`: optional list of (start, end) separator spans.  A gap
-    containing a separator scores double — the ObstacleSampler "flow"
-    boost (``core/separate.py:96-162``: separators parallel to the cut
-    multiply the gap score by (1 + flow); in 1-D a cut can never pierce
-    a span, so the perpendicular "obstacle" penalty is structurally
-    impossible and only the boost survives)."""
-    seps = sorted(separators or [])
+    `separators`: optional list of (start, end) or (start, end,
+    strength) separator spans.  A gap containing a separator scores
+    x(1 + strength) — the ObstacleSampler "flow" boost weighted by the
+    separator's estimated visual strength (``core/separate.py:96-162``
+    multiplies the gap score by (1 + flow) for separators parallel to
+    the cut, and ``batch/detect/order.py:96-106`` weights thick
+    separators harder; strength=1.0, the default separator, reproduces
+    the former constant x2 boost).  In 1-D a cut can never pierce a
+    span, so the perpendicular "obstacle" penalty is structurally
+    impossible and only the boost survives."""
+    seps = _norm_separators(separators)
 
     def gap_score(lo: int, hi: int) -> float:
-        width = hi - lo
-        boost = any(lo <= s and e <= hi for (s, e) in seps)
-        return width * (2.0 if boost else 1.0)
+        return separator_gap_score(lo, hi, seps)
 
     def rec(items):
         if len(items) <= 1:

@@ -23,6 +23,32 @@ def test_block_features(spark):
     assert {s["label"] for s in stats} >= {"TEXT"}
 
 
+def test_separator_and_border_features(spark):
+    """dist_prev/next_sep + header/footer-relative offsets (the
+    add_separator_skew / BorderEstimator analogs) computed from a page
+    whose geometry is known by construction."""
+    html = (b"<body><nav><a href='/x'>chrome</a></nav>"
+            b"<main><p>first paragraph of content.</p>"
+            b"<hr>"
+            b"<p>second paragraph after the rule.</p></main>"
+            b"<footer>c</footer></body>")
+    pages = spark.createDataFrame(
+        [("u1", bytearray(html))], "url string, html binary")
+    feats = {r["path"]: r
+             for r in block_features(parse_stage(pages, partitions=1)).collect()}
+    p1, sep, p2 = feats["TEXT/1"], feats["SEPARATOR/0"], feats["TEXT/2"]
+    # separator distances measured in raw bytes, exact by construction
+    assert p1["dist_prev_sep"] is None          # no separator before
+    assert p1["dist_next_sep"] == sep["start"] - p1["end"]
+    assert p2["dist_prev_sep"] == p2["start"] - sep["end"]
+    assert p2["dist_next_sep"] is None
+    # border cuts: first/last non-chrome content positions
+    assert p1["rel_to_header"] == 0             # p1 IS the header cut
+    assert p2["rel_to_footer"] == 0             # p2 IS the footer cut
+    assert p1["rel_to_footer"] == p2["end"] - p1["end"]
+    assert p2["rel_to_header"] == p2["start"] - p1["start"]
+
+
 def test_table_cells_roundtrip(spark):
     html = (b"<body><table>"
             b"<tr><th>h1</th><th>h2</th></tr>"

@@ -27,6 +27,49 @@ def test_line_raw_spans_rewarp(spark):
         assert normalize_text(stripped) == r["text"], (r["url"], r["path"])
 
 
+def test_line_confidence_real(spark):
+    """confidence = non-link char share per line (ConfidenceSampler
+    analog): a linked line scores < 1.0, a pure-text line exactly 1.0,
+    and the value matches the normalized link evidence."""
+    html = (
+        b"<html><body><main>"
+        b"<p>a long pure text line with no links at all keeps the whole "
+        b"block under the boilerplate threshold.<br>"
+        b'visit <a href="/x">the linked archive pages</a> now<br>'
+        b'<a href="/y">al</a>most <a href="/z">fully linked line</a></p>'
+        b"</main></body></html>"
+    )
+    df = spark.createDataFrame([("u", bytearray(html))], "url string, html binary")
+    refined = refine(parse_stage(df, partitions=1))
+    rows = {r["line_id"]: r for r in lines_table(refined).collect()}
+    assert rows[1]["confidence"] == 1.0
+    # line 2: 'the linked archive pages' linked out of 'visit ... now'
+    got2 = rows[2]["confidence"]
+    want2 = round((len(rows[2]["text"]) - len("the linked archive pages"))
+                  / len(rows[2]["text"]), 4)
+    assert got2 == want2 < 1.0
+    # line 3 is almost fully linked -> low confidence
+    assert rows[3]["confidence"] < 0.3
+
+
+def test_chrome_rescue_block(spark):
+    """Reclassification: a long, link-free TEXT block inside chrome is
+    re-homed (reference line re-homing, batch/detect/lines.py:108-127);
+    short/linked chrome stays dropped."""
+    from origami_spark.extract_local import extract_document
+
+    with open("fixtures/chrome-rescue/page.html", "rb") as f:
+        html = f.read()
+    df = spark.createDataFrame([("u", bytearray(html))], "url string, html binary")
+    refined = refine(parse_stage(df, partitions=1))
+    texts = [r["text"] for r in refined.collect()]
+    assert any(t.startswith("Editors' note") for t in texts)
+    assert not any("Home" in t for t in texts)
+    # spark relational path == local oracle
+    assert sorted(texts) == sorted(
+        m["text"] for m in extract_document(html)["blocks"])
+
+
 def test_lines_explode_and_paths(spark):
     pages = pages_df(spark, 40, num_partitions=4)
     refined = refine(parse_stage(pages))

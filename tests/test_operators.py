@@ -16,7 +16,8 @@ def mkblocks(spark, rows):
         url="u", seq=0, path="TEXT/0", label="TEXT", tag="p", tag_path="body/p",
         depth=2, parent_id=1, start=0, end=10, text="t.", n_lines=1,
         text_len=2, link_len=0, in_chrome=False, ends_clean=True,
-        ws_gap_next=True, cells_json=None, line_spans=None,
+        ws_gap_next=True, gap_markup_only_next=True, strength=0.0,
+        cells_json=None, line_spans=None,
     )
     full = []
     for i, r in enumerate(rows):
@@ -68,14 +69,32 @@ def test_separator_blocks_merge(spark):
     assert got.filter("text = 'first part'").count() == 1
 
 
-def test_merge_requires_same_parent_and_tag(spark):
+def test_merge_criteria_matrix(spark):
+    """IsOnSameLine needs same parent + ws gap; IsBelow allows a parent
+    change when the blocks are seq-adjacent with a markup-only gap; tag
+    mismatch and intervening blocks always block the merge."""
     df = mkblocks(spark, [
-        {"text": "frag", "ends_clean": False, "parent_id": 1},
-        {"text": "other parent.", "parent_id": 2},
+        # cross-parent, seq-adjacent, markup-only gap -> IsBelow merges
+        {"text": "continues", "ends_clean": False, "parent_id": 1,
+         "ws_gap_next": False, "gap_markup_only_next": True},
+        {"text": "across divs.", "parent_id": 2},
+        # cross-parent with TEXT in the gap -> neither criterion
+        {"text": "frag", "ends_clean": False, "parent_id": 3,
+         "ws_gap_next": False, "gap_markup_only_next": False},
+        {"text": "other parent.", "parent_id": 4},
+        # tag mismatch -> no merge even when adjacent
         {"text": "frag2", "ends_clean": False, "tag": "h1"},
         {"text": "tag mismatch.", "tag": "p"},
+        # seq gap (a dropped block sat between) -> IsBelow refuses
+        {"text": "frag3", "ends_clean": False, "parent_id": 5,
+         "ws_gap_next": False, "gap_markup_only_next": True, "seq": 10},
+        {"text": "far away.", "parent_id": 6, "seq": 12},
     ])
-    assert merge_adjacent(df).count() == 4
+    rows = {r["path"]: r["text"] for r in merge_adjacent(df).collect()}
+    assert rows["TEXT/0"] == "continues across divs."
+    assert "TEXT/1" not in rows
+    assert set(rows) == {"TEXT/0", "TEXT/2", "TEXT/3", "TEXT/4",
+                         "TEXT/5", "TEXT/6", "TEXT/7"}
 
 
 def test_drop_contained(spark):
@@ -87,6 +106,24 @@ def test_drop_contained(spark):
     ])
     kept = sorted(r["start"] for r in drop_contained(df).collect())
     assert kept == [0, 60, 200]
+
+
+def test_exclusive_spans_partition(spark):
+    """TextAreaFactory analog: survivors' [excl_start, end) ranges never
+    overlap — a partially-overlapping hull is trimmed to the bytes no
+    earlier block owns."""
+    df = mkblocks(spark, [
+        {"start": 0, "end": 100},
+        {"start": 60, "end": 120},   # overlaps front 40 bytes -> trimmed
+        {"start": 110, "end": 130},
+        {"start": 200, "end": 300},  # disjoint -> untrimmed
+    ])
+    rows = sorted(
+        (r["excl_start"], r["end"]) for r in drop_contained(df).collect()
+    )
+    assert rows == [(0, 100), (100, 120), (120, 130), (200, 300)]
+    for (s1, e1), (s2, e2) in zip(rows, rows[1:]):
+        assert e1 <= s2 or s2 >= e1  # pairwise disjoint
 
 
 def test_refine_multiple_urls_independent(spark):
@@ -119,6 +156,43 @@ def test_xycut_separator_boost():
     # via the scoring path with an overlap group on one side.
     spans = [(0, 0, 30), (1, 60, 70), (2, 90, 100)]
     assert xy_cut_1d(spans, separators=[(72, 80)]) == [0, 1, 2]
+
+
+def test_xycut_separator_strength_weights_gap_choice():
+    """Strength-weighted boost: the gap holding the STRONGER separator
+    outranks both a wider bare gap and a gap with a weak separator
+    (thick-separator weighting, reference batch/detect/order.py:96-106).
+    Scores come from the real scoring function the recursion uses."""
+    from origami_spark.operators.order import (
+        _norm_separators,
+        separator_gap_score,
+        xy_cut_1d,
+    )
+
+    seps_raw = [(12, 15, 0.5), (62, 80, 4.0)]
+    # permutation invariant holds whatever the strengths
+    spans = [(0, 0, 10), (1, 20, 30), (2, 50, 60), (3, 90, 100)]
+    assert xy_cut_1d(spans, separators=seps_raw) == [0, 1, 2, 3]
+
+    seps = _norm_separators(seps_raw)
+    assert separator_gap_score(10, 20, seps) == 10 * 1.5   # weak separator
+    assert separator_gap_score(60, 90, seps) == 30 * 5.0   # strong wins
+    assert separator_gap_score(30, 50, seps) == 20 * 1.0   # bare gap
+    # a bare (start, end) separator defaults to strength 1.0 -> the
+    # historical constant x2 boost
+    assert separator_gap_score(
+        10, 20, _norm_separators([(12, 15)])) == 10 * 2.0
+
+
+def test_separator_strength_from_parse():
+    """Parse emits strength: <hr size=N> uses the attribute, bare <hr>
+    is 1.0, a textual rule line scales with glyph run length."""
+    from origami_spark.html.blocks import extract_page
+
+    html = (b"<html><body><main><p>a</p><hr><p>b</p><hr size=3><p>c</p>"
+            b"<p>one.<br>----------<br>two.</p></main></body></html>")
+    seps = [b for b in extract_page(html) if b.label == "SEPARATOR"]
+    assert [b.strength for b in seps] == [1.0, 3.0, 2.0]
 
 
 @settings(max_examples=200, deadline=None)

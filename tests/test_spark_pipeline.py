@@ -90,6 +90,30 @@ def test_parallelism_invariance(spark, pages):
     assert hb.subtract(ha).count() == 0
 
 
+def test_compose_invariant_trips_on_missing_page(spark, pages):
+    """Document.get analog (reference compose.py:451-466): a ranked
+    block whose url is missing from the page universe must hard-error,
+    not vanish silently."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from origami_spark.operators import compose as C, layout as L, order as O
+    from origami_spark.pipeline import parse_stage
+
+    some = pages.limit(50).cache()
+    ranked = O.rank_blocks(L.refine(parse_stage(some))).cache()
+    ranked.count()
+    # corrupt the universe: drop one url that has ranked blocks
+    victim = ranked.select("url").first()["url"]
+    broken_universe = some.filter(F.col("url") != victim)
+    # collect materializes the text column (a bare count() never
+    # evaluates projections, so it cannot trip any column-level check)
+    with pytest.raises(SparkRuntimeException, match="compose invariant"):
+        C.compose(ranked, broken_universe).collect()
+    # the same frame composes fine against the full universe
+    assert len(C.compose(ranked, some).collect()) == 50
+
+
 def test_no_python_udf_after_parse(spark, pages):
     """Everything after the parse kernel must be JVM-side: the composed
     plan contains exactly one Python evaluation node chain (mapInPandas
