@@ -68,4 +68,9 @@ def lines_table(refined: DataFrame) -> DataFrame:
         (F.col("z")["line_spans"]["start"] if has_spans else F.lit(None).cast("bigint")).alias("raw_start"),
         (F.col("z")["line_spans"]["end"] if has_spans else F.lit(None).cast("bigint")).alias("raw_end"),
         confidence.alias("confidence"),
+        # Line.predicted_path analog (core/block.py:71-102): the label
+        # the line's own evidence argues for — majority-link lines look
+        # like navigation regardless of the block that holds them
+        F.when(confidence >= 0.5, F.lit("TEXT"))
+        .otherwise(F.lit("LINK")).alias("predicted_label"),
     ).filter(F.length(F.col("z")["0"]) > 0)

@@ -48,8 +48,10 @@ def test_line_confidence_real(spark):
     want2 = round((len(rows[2]["text"]) - len("the linked archive pages"))
                   / len(rows[2]["text"]), 4)
     assert got2 == want2 < 1.0
-    # line 3 is almost fully linked -> low confidence
+    # line 3 is almost fully linked -> low confidence, predicted LINK
     assert rows[3]["confidence"] < 0.3
+    assert rows[3]["predicted_label"] == "LINK"
+    assert rows[1]["predicted_label"] == "TEXT"
 
 
 def test_chrome_rescue_block(spark):
