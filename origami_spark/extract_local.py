@@ -33,11 +33,9 @@ from __future__ import annotations
 from .html.blocks import Block, extract_page
 
 LINK_DENSITY_MAX = 0.5
-# reclassification rescue — must match operators/layout.py (see the
-# rationale there): a long, nearly link-free TEXT block inside chrome is
-# re-homed into the document
-RESCUE_MIN_CHARS = 80
-RESCUE_MAX_LINK_SHARE = 0.2
+# reclassification thresholds are single-sourced in html/blocks.py
+# (shared with the parse-time line re-homing and operators/layout.py)
+from .html.blocks import RESCUE_MAX_LINK_SHARE, RESCUE_MIN_CHARS  # noqa: E402
 
 
 def survives(b: Block) -> bool:
@@ -86,7 +84,9 @@ def extract_document(html: bytes) -> dict:
     blocks = extract_page(html)
 
     # rules 1+2, but keep SEPARATOR rows as merge barriers (they only
-    # drop after the merge step — see operators/layout.py)
+    # drop after the merge step — see operators/layout.py).  Line-level
+    # re-homing already happened inside extract_page: a rescued line
+    # arrives as its own in_chrome=False block.
     kept = [b for b in blocks if survives(b) or b.label == "SEPARATOR"]
 
     # rule 3: group consecutive mergeable blocks

@@ -24,6 +24,15 @@ from .render import render_table
 from .tokenizer import BLOCK_TAGS, DROP_TAGS, Node, Page, build_tree, normalize_text
 
 CHROME_TAGS = frozenset("nav header footer aside form button".split())
+
+# reclassification thresholds, shared by the block-level chrome rescue
+# (operators/layout.classify + extract_local.survives) and the
+# line-level re-homing below: content evidence is decisive when the
+# unit is long and >= 80% non-link characters (the reference re-homes
+# when the predicted label beats the assigned one by a margin,
+# batch/detect/lines.py:108-127)
+RESCUE_MIN_CHARS = 80
+RESCUE_MAX_LINK_SHARE = 0.2
 MEDIA_TAGS = frozenset("img picture figure video audio canvas".split())
 LIST_TAGS = frozenset(("ul", "ol", "menu", "dir"))
 TABLE_TAG = "table"
@@ -342,6 +351,43 @@ def extract_page(data: bytes) -> list:
             blocks.sort(key=lambda b: (b.start, b.node_id))
             for i, b in enumerate(blocks):
                 b.seq = i
+
+    # line-level re-homing (reference reclassification,
+    # batch/detect/lines.py:108-127): a chrome TEXT block that fails the
+    # block-level rescue thresholds may still hold individual lines with
+    # decisive content evidence — re-emit each such line as its own
+    # TEXT block (in_chrome=False) right after its origin, with the
+    # line hull as its span.  Requires every line to carry a raw span
+    # (otherwise the line<->span zip would misalign).  Shared verbatim
+    # by the fused kernel, the relational chain and the local oracle,
+    # since all three consume extract_page.
+    rehomed: list = []
+    for b in blocks:
+        rehomed.append(b)
+        if not (
+            b.in_chrome
+            and b.label == "TEXT"
+            and not (b.text_len >= RESCUE_MIN_CHARS
+                     and b.link_len <= RESCUE_MAX_LINK_SHARE * b.text_len)
+            and b.line_spans
+            and b.n_lines == sum(
+                1 for (s_, _e, _l) in b.line_spans if s_ is not None)
+        ):
+            continue
+        for line, (s, e, l) in zip(b.text.split("\n"), b.line_spans):
+            if len(line) >= RESCUE_MIN_CHARS and l <= RESCUE_MAX_LINK_SHARE * len(line):
+                rehomed.append(Block(
+                    seq=0, node_id=b.node_id, parent_id=b.parent_id,
+                    label="TEXT", tag=b.tag, tag_path=b.tag_path,
+                    depth=b.depth, start=s, end=e, text=line, n_lines=1,
+                    text_len=len(line), link_len=l, in_chrome=False,
+                    ends_clean=line.endswith(_TERMINAL),
+                    line_spans=[(s, e, l)],
+                ))
+    if len(rehomed) != len(blocks):
+        blocks = rehomed
+        for i, b in enumerate(blocks):
+            b.seq = i
 
     # per-label block numbering -> origami-style paths label/idx
     counters: dict = {}

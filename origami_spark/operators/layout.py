@@ -31,17 +31,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 LINK_DENSITY_MAX = 0.5
-# reclassification rescue (must match extract_local): a TEXT block
-# assigned to chrome whose own evidence says content — long enough and
-# nearly link-free — is re-homed into the document instead of dropped.
-# The reference scores lines against segmentation evidence and re-homes
-# when the predicted label beats the assigned one by a margin
-# (batch/detect/lines.py:108-127, core/block.py:71-102); the web
-# evidence is the non-link character share (>= 0.8 = predicted TEXT
-# decisively beats the chrome assignment), gated by a minimum length so
-# one-word chrome labels ("Home") can never be rescued.
-RESCUE_MIN_CHARS = 80
-RESCUE_MAX_LINK_SHARE = 0.2
+# reclassification rescue: a TEXT block assigned to chrome whose own
+# evidence says content — long enough and nearly link-free — is
+# re-homed into the document instead of dropped.  The reference scores
+# lines against segmentation evidence and re-homes when the predicted
+# label beats the assigned one by a margin (batch/detect/lines.py:
+# 108-127, core/block.py:71-102); the web evidence is the non-link
+# character share (>= 0.8 = predicted TEXT decisively beats the chrome
+# assignment), gated by a minimum length so one-word chrome labels
+# ("Home") can never be rescued.  Thresholds are single-sourced in
+# html/blocks.py, where the line-granularity form of the same rule
+# runs at parse time.
+from ..html.blocks import RESCUE_MAX_LINK_SHARE, RESCUE_MIN_CHARS  # noqa: E402
 
 _SEQ_WIN = lambda: Window.partitionBy("url").orderBy("seq")  # noqa: E731
 
@@ -186,5 +187,8 @@ def drop_contained(refined: DataFrame) -> DataFrame:
 
 
 def refine(blocks: DataFrame) -> DataFrame:
-    """Full layout stage: classify -> merge -> dedupe."""
+    """Full layout stage: classify -> merge -> dedupe.  (Line-level
+    re-homing happens at parse time in html/blocks.extract_page, shared
+    verbatim by the fused kernel, this relational chain, and the local
+    oracle.)"""
     return drop_contained(merge_adjacent(classify(blocks)))

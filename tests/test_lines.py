@@ -72,6 +72,23 @@ def test_chrome_rescue_block(spark):
         m["text"] for m in extract_document(html)["blocks"])
 
 
+def test_line_rehoming_relational(spark):
+    """Line-level re-homing fires identically in the relational chain:
+    the nav's announcement line survives alone, its link lines die with
+    the block (reference line re-assignment, lines.py:108-127)."""
+    from origami_spark.extract_local import extract_document
+
+    with open("fixtures/line-rehoming/page.html", "rb") as f:
+        html = f.read()
+    df = spark.createDataFrame([("u", bytearray(html))], "url string, html binary")
+    refined = refine(parse_stage(df, partitions=1))
+    texts = [r["text"] for r in refined.collect()]
+    assert any(t.startswith("Buried in the navigation") for t in texts)
+    assert not any("member login" in t for t in texts)
+    assert sorted(texts) == sorted(
+        m["text"] for m in extract_document(html)["blocks"])
+
+
 def test_lines_explode_and_paths(spark):
     pages = pages_df(spark, 40, num_partitions=4)
     refined = refine(parse_stage(pages))
