@@ -65,6 +65,9 @@ def run_stage(
 
     t0 = time.monotonic()
     status = "COMPLETED"
+    from .snapshots import _data_files, commit_snapshot
+
+    files_before = _data_files(out_path)
     try:
         result = (
             build(todo)
@@ -72,6 +75,10 @@ def run_stage(
             .withColumn("_run_id", F.lit(run_id))
         )
         result.write.mode("append").parquet(out_path)
+        # versioned snapshot commit (Iceberg-commit analog, see
+        # plans/snapshots.py): readers via read_snapshot get snapshot
+        # isolation + time travel over the same parquet files
+        commit_snapshot(work_dir, name, run_id, files_before)
     except Exception:
         status = "FAILED"
         raise
@@ -140,10 +147,14 @@ def cleanup_incomplete(work_dir: str) -> list:
     crashed writer left partial files."""
     import shutil
 
+    from .snapshots import SNAPSHOT_DIR
+
     removed = []
     if not os.path.isdir(work_dir):
         return removed
     for stage in os.listdir(work_dir):
+        if stage == SNAPSHOT_DIR:  # catalog metadata, not a parquet table
+            continue
         path = os.path.join(work_dir, stage)
         if os.path.isdir(path) and not os.path.exists(
             os.path.join(path, "_SUCCESS")

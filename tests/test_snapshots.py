@@ -1,0 +1,50 @@
+"""Snapshot layer: versioned commits, time travel, snapshot isolation."""
+
+import os
+
+from origami_spark.pipeline import extract_staged
+from origami_spark.plans.snapshots import read_snapshot, snapshots
+from origami_spark.sources.corpus import pages_df
+
+
+def test_time_travel_across_incremental_runs(spark, tmp_path):
+    wd = str(tmp_path / "wd")
+    pages = pages_df(spark, 120, num_partitions=4).cache()
+    extract_staged(spark, pages.limit(60), wd, run_id="r1")
+    extract_staged(spark, pages, wd, run_id="r2")
+
+    snaps = snapshots(wd, "s8_compose")
+    assert [s["version"] for s in snaps] == [1, 2]
+    assert [s["run_id"] for s in snaps] == ["r1", "r2"]
+    # every version stays readable after later appends (time travel)
+    v1 = read_snapshot(spark, wd, "s8_compose", version=1)
+    v2 = read_snapshot(spark, wd, "s8_compose")  # latest
+    assert v1.count() == 60
+    assert v2.count() == 120
+    # v1's urls are a strict subset of v2's
+    assert v1.select("url").subtract(v2.select("url")).count() == 0
+    # a fully-resumed rerun commits nothing: no new snapshot
+    extract_staged(spark, pages, wd, run_id="r3")
+    assert [s["version"] for s in snapshots(wd, "s8_compose")] == [1, 2]
+
+
+def test_snapshot_isolation_hides_orphan_files(spark, tmp_path):
+    """Files a crashed writer left behind are invisible to snapshot
+    readers (the raw directory read would pick them up)."""
+    wd = str(tmp_path / "wd")
+    pages = pages_df(spark, 40, num_partitions=2).cache()
+    extract_staged(spark, pages, wd, run_id="r1")
+    committed = read_snapshot(spark, wd, "s8_compose").count()
+    assert committed == 40
+
+    # simulate a crashed writer: copy a committed part file in as an
+    # orphan (valid parquet, never snapshot-committed)
+    table = f"{wd}/s8_compose"
+    part = next(f for f in os.listdir(table) if f.endswith(".parquet"))
+    import shutil
+    shutil.copy(f"{table}/{part}", f"{table}/part-99999-orphan.parquet")
+
+    dir_read = spark.read.parquet(table).count()
+    snap_read = read_snapshot(spark, wd, "s8_compose").count()
+    assert dir_read > 40          # raw read sees the orphan
+    assert snap_read == 40        # snapshot read does not
