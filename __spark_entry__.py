@@ -443,6 +443,27 @@ def text_fingerprint(spark, sf):
     return T.fingerprint(_t(spark, sf, "documents"))
 
 
+def text_url_canonical(spark, sf):
+    """URL canonicalization for crawl dedup (functions.canonical_url):
+    URLs synthesized deterministically from doc_id so the DuckDB oracle
+    applies the identical regexp chain to identical inputs."""
+    from origami_spark.functions import canonical_url
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/a/"), F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&id="), F.col("doc_id").cast("string"),
+        F.lit("#f"),
+    )
+    curl = canonical_url(url)
+    return docs.select(
+        "doc_id",
+        curl.alias("curl"),
+        F.regexp_extract(curl, "^https://([^/]+)", 1).alias("chost"),
+    )
+
+
 def multimodal_payload(spark, sf):
     media = M.media_from_documents(_t(spark, sf, "documents"))
     feats = M.media_features(media)
@@ -526,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
+        "text_url_canonical": text_url_canonical,
         "multimodal_payload": multimodal_payload,
         "extract_compose": extract_compose,
         "extract_blocks": extract_blocks,
@@ -955,6 +977,32 @@ def oracle_sql() -> dict[str, str]:
                    ELSE NULL END AS fp,
                    CAST(len(shingles) AS BIGINT) AS n_shingles
             FROM sh""",
+        "text_url_canonical": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.COM:443/a/' || CAST(doc_id AS VARCHAR)
+                     || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
+                     || '#f' AS url
+              FROM documents),
+            c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS x FROM u),
+            c2 AS (SELECT doc_id, regexp_replace(x,
+                     '(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&]*(&|$)', '', 'g') AS x FROM c1),
+            c3 AS (SELECT doc_id, regexp_replace(x, '\?&', '?', 'g') AS x FROM c2),
+            c4 AS (SELECT doc_id, regexp_replace(x, '[?&]$', '', 'g') AS x FROM c3),
+            c5 AS (SELECT doc_id,
+                     lower(regexp_extract(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+                     || regexp_replace(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS x
+                   FROM c4),
+            c6 AS (SELECT doc_id, regexp_replace(x, '^(https?://)www\.', '\1') AS x FROM c5),
+            c7 AS (SELECT doc_id, regexp_replace(x,
+                     '^(http://[^/:?#]+):80([/?#]|$)', '\1\2') AS x FROM c6),
+            c8 AS (SELECT doc_id, regexp_replace(x,
+                     '^(https://[^/:?#]+):443([/?#]|$)', '\1\2') AS x FROM c7),
+            c9 AS (SELECT doc_id, regexp_replace(x, '/$', '') AS curl FROM c8)
+            SELECT doc_id, curl,
+                   regexp_extract(curl, '^https://([^/]+)', 1) AS chost
+            FROM c9""",
         "multimodal_payload": """
             WITH media AS (
               SELECT doc_id,

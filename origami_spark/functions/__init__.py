@@ -8,4 +8,10 @@ keeps that contract: every function here has golden pairs in
 queries so the DuckDB oracles double-check them.
 """
 
-from .text_fns import harmonize, hash60, sentence_split, tokens  # noqa: F401
+from .text_fns import (  # noqa: F401
+    canonical_url,
+    harmonize,
+    hash60,
+    sentence_split,
+    tokens,
+)

@@ -35,6 +35,30 @@ def hash60(col) -> Column:
     return portable_hash60(col)
 
 
+TRACKING_PARAMS = "utm_[a-zA-Z]+|fbclid|gclid|ref"
+
+
+def canonical_url(col) -> Column:
+    """Deterministic URL canonicalization for crawl dedup: strip
+    fragment, strip tracking params (utm_*/fbclid/gclid/ref), lowercase
+    scheme://host[:port], drop www., drop default ports, drop a trailing
+    slash.  Pure regexp chain — RE2-compatible (no lookaround), so the
+    DuckDB oracle applies the identical rules; golden pairs in
+    tests/test_functions.py."""
+    x = F.regexp_replace(col, "#.*", "")                       # fragment
+    x = F.regexp_replace(                                      # tracking
+        x, f"({TRACKING_PARAMS})=[^&]*(&|$)", "")
+    x = F.regexp_replace(x, "\\?&", "?")                       # ?& -> ?
+    x = F.regexp_replace(x, "[?&]$", "")                       # dangling
+    head = F.regexp_extract(x, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    tail = F.regexp_replace(x, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    x = F.concat(F.lower(head), tail)                          # lc host
+    x = F.regexp_replace(x, "^(https?://)www\\.", "$1")        # www.
+    x = F.regexp_replace(x, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
+    x = F.regexp_replace(x, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    return F.regexp_replace(x, "/$", "")                       # trailing /
+
+
 def sentence_split(col) -> Column:
     """Split into sentence-ish units on terminal punctuation followed by
     whitespace; keeps the terminal character with the sentence."""

@@ -5,7 +5,13 @@ a real suite."""
 import pyspark.sql.functions as F
 import pytest
 
-from origami_spark.functions import harmonize, hash60, sentence_split, tokens
+from origami_spark.functions import (
+    canonical_url,
+    harmonize,
+    hash60,
+    sentence_split,
+    tokens,
+)
 
 HARMONIZE_PAIRS = [
     ("Hello   World", "hello world"),
@@ -21,6 +27,17 @@ TOKEN_PAIRS = [
     ("a--b__c", ["a", "b", "c"]),   # _ is non-alphanumeric for our split
     ("  ", []),
     ("ABC123 def", ["abc123", "def"]),
+]
+
+URL_PAIRS = [
+    ("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&id=5#frag",
+     "https://example.com/Path/?id=5"),
+    ("http://site.org:80/a?ref=tw", "http://site.org/a"),
+    ("http://site.org/a?id=1&utm_campaign=z", "http://site.org/a?id=1"),
+    ("https://a.com/", "https://a.com"),
+    ("https://a.com/x/?utm_a=1&utm_b=2&q=3", "https://a.com/x/?q=3"),
+    ("ftp://Host.Com/File", "ftp://host.com/File"),  # path case kept
+    ("https://b.net:8443/x", "https://b.net:8443/x"),  # non-default port kept
 ]
 
 SENTENCE_PAIRS = [
@@ -46,6 +63,11 @@ def test_harmonize_goldens(spark, raw, want):
 @pytest.mark.parametrize("raw,want", TOKEN_PAIRS)
 def test_tokens_goldens(spark, raw, want):
     assert run_fn(spark, tokens, raw) == want
+
+
+@pytest.mark.parametrize("raw,want", URL_PAIRS)
+def test_canonical_url_goldens(spark, raw, want):
+    assert run_fn(spark, canonical_url, raw) == want
 
 
 @pytest.mark.parametrize("raw,want", SENTENCE_PAIRS)
