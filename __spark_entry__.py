@@ -394,6 +394,13 @@ def dedup_minhash_lsh(spark, sf):
     return D.minhash_lsh_candidates(_t(spark, sf, "documents"), n=3, k=16, bands=4)
 
 
+def dedup_substring(spark, sf):
+    # exact repeated-substring pairs (Lee et al. 2022 shape); the sf0.01
+    # corpus has ~330 duplicated 64-char windows -> ~24 real pairs
+    return D.substring_dup_pairs(_t(spark, sf, "documents"),
+                                 window=64, stride=16)
+
+
 def dedup_simhash(spark, sf):
     return D.simhash_near_dups(_t(spark, sf, "documents"), bits=32, bands=4,
                                max_hamming=6)
@@ -539,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_substring": dedup_substring,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_cosine_topk": ann_cosine_topk,
@@ -859,6 +867,19 @@ def oracle_sql() -> dict[str, str]:
             FROM buckets a JOIN buckets b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id""",
+        "dedup_substring": """
+            WITH wins AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     substr(text, CAST(i AS INT) + 1, 64) AS frag
+              FROM documents,
+                   LATERAL unnest(range(0, length(text) - 64 + 1, 16)) AS r(i)
+              WHERE length(text) >= 64)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared,
+                   min(a.pos) AS a_pos_min, min(b.pos) AS b_pos_min
+            FROM wins a JOIN wins b
+              ON a.frag = b.frag AND a.doc_id < b.doc_id
+            GROUP BY 1, 2""",
         "dedup_simhash": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),

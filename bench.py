@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_substring",
     "dedup_embedding_lsh",
     "ann_cosine_topk",
     "text_quality",

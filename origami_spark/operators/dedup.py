@@ -344,6 +344,60 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, bands: int = 4,
     )
 
 
+def substring_dup_pairs(docs: DataFrame, window: int = 64,
+                        stride: int = 16,
+                        max_df: int | None = None) -> DataFrame:
+    """Exact repeated-substring detection between documents — the
+    "deduplicate exact substrings, not just whole docs" operator of
+    training-data pipelines (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", public).
+
+    Fixed `window`-char slices at `stride` offsets form an inverted
+    index; documents sharing any slice become a pair, verified by exact
+    slice equality (so hash collisions cannot fabricate a pair), with
+    the shared-window count and each side's earliest match offset.  The
+    suffix-array of the paper collapses to this windowed form in a
+    shuffle engine: candidate generation is an equality join on the
+    slice key, never an all-pairs scan.  `max_df` drops boilerplate
+    slices shared by more than max_df docs before the self-join (same
+    hot-key bound as ``ngram_jaccard_pairs``)."""
+    eligible = docs.filter(F.length("text") >= window)
+    wins = eligible.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.length("text") - window, F.lit(stride))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.substring("text", F.col("pos") + 1, F.lit(window)).alias("frag"),
+    )
+    if max_df is not None:
+        rare = (
+            wins.groupBy("frag")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("frag")
+        )
+        wins = wins.join(rare, "frag")
+    return (
+        wins.alias("a")
+        .join(wins.alias("b"),
+              (F.col("a.frag") == F.col("b.frag"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("a.pos").alias("a_pos_min"),
+            F.min("b.pos").alias("b_pos_min"),
+        )
+    )
+
+
 def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95,
                             planes: int = 6, tables: int = 8) -> DataFrame:
     """Scale path: multi-table random-hyperplane LSH — candidates share

@@ -10,6 +10,7 @@ from origami_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_kernel,
+    substring_dup_pairs,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -66,6 +67,39 @@ def test_df_cutoff_bounds_hot_shingle(spark):
     assert capped.count() == 0
     exact = ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_df=None)
     assert exact.count() == 200 * 199 // 2  # the quadratic blowup is real
+
+
+def test_substring_dup_constructed(spark):
+    """Two docs sharing an exact 80-char passage are found with the
+    right offsets; unrelated docs are not paired."""
+    shared = "x" * 10 + "the quick brown fox jumps over the lazy dog " * 2
+    assert len(shared) >= 80
+    rows = [
+        (0, "AAA " * 30 + shared),
+        (1, shared + " BBB" * 30),
+        (2, "totally unrelated content " * 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["doc_a"], r["doc_b"]): r
+           for r in substring_dup_pairs(docs, window=64, stride=8).collect()}
+    assert set(got) == {(0, 1)}
+    r = got[(0, 1)]
+    assert r["n_shared"] >= 1
+    # verify the reported earliest offsets really match
+    a, b = rows[0][1], rows[1][1]
+    assert a[r["a_pos_min"]:r["a_pos_min"] + 64] == \
+        b[r["b_pos_min"]:r["b_pos_min"] + 64]
+
+
+def test_substring_dup_max_df_bounds_boilerplate(spark):
+    """A banner slice shared by every doc is dropped by the df cutoff."""
+    banner = "COPYRIGHT FOOTER BANNER TEXT REPEATED EVERYWHERE " * 3
+    rows = [(i, banner + f"unique tail {i} " * 10) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = substring_dup_pairs(docs, window=64, stride=8, max_df=5)
+    assert capped.count() == 0
+    exact = substring_dup_pairs(docs, window=64, stride=8)
+    assert exact.count() == 50 * 49 // 2
 
 
 def test_df_cutoff_keeps_rare_overlap(spark):
