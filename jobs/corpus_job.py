@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus build: archives in, clean JSONL out.
+
+    spark-submit --py-files dist/origami_spark.zip jobs/corpus_job.py \
+        --warc '/data/crawl/*.warc.gz'   \
+        --output /data/corpus            \
+        --min-tokens 20 --near-dup --shard-mb 256
+
+Chains every stage of the training-data story on one DAG: WARC (or
+parquet pages, or the synthetic generator) -> fused extraction ->
+token/quality gate -> exact dedup (keep-first per content digest) ->
+optional MinHash near-dup pruning -> size-targeted JSONL shards.
+Prints one JSON summary line with per-stage survivor counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
+                 near_dup: bool = False, shard_mb: int = 256) -> dict:
+    """The corpus-build DAG; returns per-stage counts."""
+    from pyspark.sql import functions as F
+
+    from origami_spark.operators import dedup as D
+    from origami_spark.operators import text as T
+    from origami_spark.pipeline import extract_fused
+    from origami_spark.sinks import export_jsonl
+
+    counts = {"pages": pages.count()}
+
+    extracted = (
+        extract_fused(spark, pages)
+        .filter(F.col("text") != "")
+        .select("url", "text")
+        .cache()
+    )
+    counts["extracted"] = extracted.count()
+
+    # quality gate (same operators the driver queries verify)
+    docs = extracted.select(F.col("url").alias("doc_id"), "text")
+    q = T.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    kept = (
+        docs.join(q, "doc_id")
+        .filter((F.col("quality") != "low") & (F.col("n_tokens") >= min_tokens))
+        .cache()
+    )
+    counts["after_quality"] = kept.count()
+
+    # exact dedup: keep the lexicographically-first url per content digest
+    keepers = D.exact_duplicates(kept, min_count=1).select(
+        F.col("keeper").alias("doc_id"))
+    uniq = kept.join(keepers, "doc_id").cache()
+    counts["after_exact_dedup"] = uniq.count()
+
+    if near_dup:
+        # MinHash near-dup pruning over a 60-bit url-hash id (Arrow
+        # kernel signatures); greedy keep-min drops doc_b of every pair
+        ids = uniq.select(
+            T.portable_hash60(F.col("doc_id")).alias("nid"), "doc_id", "text")
+        cand = D.minhash_lsh_candidates(
+            ids.select(F.col("nid").alias("doc_id"), "text"))
+        drop = cand.select(F.col("doc_b").alias("nid")).distinct()
+        uniq = (
+            ids.join(drop, "nid", "left_anti")
+            .select("doc_id", "text")
+            .cache()
+        )
+        counts["after_near_dup"] = uniq.count()
+
+    final = uniq.join(q, "doc_id").select(
+        F.col("doc_id").alias("url"), "text", "n_tokens", "quality")
+    counts["shards"] = export_jsonl(final, out_dir, target_shard_mb=shard_mb)
+    counts["exported"] = final.count()
+    return counts
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warc", help="WARC archive glob")
+    ap.add_argument("--input", help="parquet pages dir")
+    ap.add_argument("--generate", type=int, default=0)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--near-dup", action="store_true")
+    ap.add_argument("--shard-mb", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("origami-corpus")
+    if not SparkSession.getActiveSession():
+        import os
+
+        if "SPARK_SUBMIT" not in os.environ and not os.environ.get("SPARK_MASTER"):
+            builder = builder.master("local[*]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.warc:
+        from origami_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.warc)
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+    elif args.generate:
+        from origami_spark.sources.corpus import pages_df
+
+        pages = pages_df(spark, args.generate, seed=args.seed)
+    else:
+        ap.error("one of --warc / --input / --generate is required")
+
+    counts = build_corpus(spark, pages, args.output,
+                          min_tokens=args.min_tokens,
+                          near_dup=args.near_dup,
+                          shard_mb=args.shard_mb)
+    print(json.dumps(counts))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    main()

@@ -1,0 +1,40 @@
+"""End-to-end corpus build: WARC archives -> quality gate -> dedup ->
+JSONL shards, with constructed duplicates proving each stage acts."""
+
+import sys
+
+sys.path.insert(0, "/root/repo/jobs")
+
+from corpus_job import build_corpus  # noqa: E402
+
+from origami_spark.sources.corpus import generate_pages  # noqa: E402
+from origami_spark.sources.warc import read_warc, synth_warc  # noqa: E402
+
+
+def test_corpus_build_from_warc(spark, tmp_path):
+    pages = generate_pages(42, 60)
+    # exact duplicates: re-serve 10 gate-passing pages under new urls
+    rich = [p for p in pages if len(p["text"].split()) >= 30]
+    assert len(rich) >= 10
+    dups = [dict(p, url=p["url"] + "?mirror") for p in rich[:10]]
+    (tmp_path / "a.warc").write_bytes(synth_warc(pages + dups))
+
+    src = read_warc(spark, str(tmp_path / "*.warc"))
+    out = str(tmp_path / "corpus")
+    counts = build_corpus(spark, src, out, min_tokens=5, near_dup=True,
+                          shard_mb=256)
+    assert counts["pages"] == 70
+    assert counts["extracted"] <= 70        # empty pages gated out
+    assert counts["after_quality"] <= counts["extracted"]
+    # the 10 mirrored copies collapse (their extracted text is identical)
+    assert counts["after_exact_dedup"] <= counts["after_quality"] - 10
+    assert counts["after_near_dup"] <= counts["after_exact_dedup"]
+    assert counts["exported"] == counts["after_near_dup"]
+    assert counts["shards"] >= 1
+
+    back = spark.read.json(out)
+    assert back.count() == counts["exported"]
+    assert set(back.columns) == {"url", "text", "n_tokens", "quality"}
+    assert back.filter("quality = 'low'").count() == 0
+    # no duplicate content in the final corpus
+    assert back.select("text").distinct().count() == back.count()

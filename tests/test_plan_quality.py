@@ -82,3 +82,17 @@ def test_extract_relational_chain_reuses_partitioning(spark, parquet_pages):
 def test_ann_topk_broadcasts_queries(spark):
     plan = plan_of(E.ann_cosine_topk(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_per_row_python_in_any_query(spark):
+    """Blanket ban across the WHOLE driver surface: no queries() entry
+    may contain a per-row Python UDF node.  mapInPandas (Arrow batch)
+    kernels are the only sanctioned Python."""
+    for name, fn in E.queries().items():
+        plan = plan_of(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan or name in (
+            # pandas_udf-backed LSH signatures are Arrow-batched (the
+            # sanctioned kind), not per-row
+            "dedup_embedding_lsh", "ann_lsh_topk",
+        ), name
