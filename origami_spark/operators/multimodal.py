@@ -89,3 +89,94 @@ def media_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         media_features_kernel, schema=FEATURES_SCHEMA
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id bigint, payload binary, "
+    "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>"
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: one Arrow batch of payloads in, resized
+    payloads + updated metadata out.
+
+    The pixel work is the stub (no PIL in this container): the fake
+    "resize" is a deterministic byte resample — width*height bytes
+    strided from the source — so output sizes, metadata transforms,
+    batch shapes and determinism are all real and testable; swap the
+    body for `Image.resize` when the codec exists (REAL_DECODE)."""
+
+    def kern(batches):
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
+                data = bytes(payload) if payload is not None else b""
+                if REAL_DECODE:
+                    decode_stub(data, "image")  # pragma: no cover
+                n = width * height
+                if data:
+                    stride = max(len(data) // n, 1)
+                    out = (data[::stride] * ((n // max(len(data[::stride]), 1)) + 1))[:n]
+                else:
+                    out = b"\x00" * n
+                ids.append(int(mid))
+                payloads.append(out)
+                m = dict(meta) if meta is not None else {}
+                metas.append({
+                    "width": width, "height": height,
+                    "sample_rate": m.get("sample_rate"),
+                    "duration_ms": m.get("duration_ms"),
+                })
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas})
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(kern, schema=RESIZED_SCHEMA)
+    )
+
+
+FRAMES_SCHEMA = (
+    "media_id bigint, frame_idx int, ts_ms int, frame binary"
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: one video row explodes into one
+    row per sampled timestamp (the 1->N batch shape real frame decoders
+    need).  The frame bytes are a deterministic fake (a digest-seeded
+    slice of the payload at the frame's time offset); the time grid,
+    row explosion and schema are the real contract."""
+
+    def kern(batches):
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
+                data = bytes(payload) if payload is not None else b""
+                if REAL_DECODE:
+                    decode_stub(data, "video")  # pragma: no cover
+                duration = (meta["duration_ms"]
+                            if meta is not None and meta["duration_ms"]
+                            else 0)
+                for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
+                    if data:
+                        off = (ts * 37) % max(len(data), 1)
+                        frame = (data[off:] + data[:off])[:64]
+                    else:
+                        frame = b""
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    tss.append(ts)
+                    frames.append(frame)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "ts_ms": tss, "frame": frames})
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(kern, schema=FRAMES_SCHEMA)
+    )
