@@ -434,6 +434,16 @@ def ann_lsh_topk(spark, sf):
                       planes=4, tables=16)
 
 
+def ann_ivf_topk(spark, sf):
+    """IVF approximate top-k (k-means coarse quantizer, nprobe inverted
+    lists).  No oracle_sql: the quantizer is an iterative distributed
+    algorithm (driver-loop Lloyd steps) — the non-SQL-expressible class
+    the driver records rows-only; recall vs the exact scan is asserted
+    in tests/test_similarity.py (0.90 at nprobe/n_clusters = 0.25)."""
+    return S.ivf_topk(_t(spark, sf, "embeddings"), list(range(8)), k=5,
+                      n_clusters=16, nprobe=4)
+
+
 def text_token_stats(spark, sf):
     return T.token_stats(_t(spark, sf, "documents"))
 
@@ -551,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,

@@ -140,6 +140,124 @@ def hyperplane_buckets(emb: DataFrame, planes: int, tables: int,
     return emb.select("vec_id", "embedding", buckets("embedding").alias("buckets"))
 
 
+def train_ivf_centroids(emb: DataFrame, n_clusters: int = 16,
+                        iters: int = 5, dim: int = 64):
+    """Deterministic distributed k-means for the IVF coarse quantizer.
+
+    Init = the n_clusters lowest vec_ids (deterministic, no RNG — this
+    engine bans nondeterministic seeds); each Lloyd iteration is one
+    Spark job: an Arrow-kernel argmin assignment (broadcast centroid
+    matrix, one matmul per batch) + a groupBy mean.  Only the k x dim
+    centroid table ever reaches the driver — the classic
+    iterative-algorithm shape (driver loop, distributed step).
+    Returns a list of n_clusters centroid vectors."""
+    import numpy as np
+
+    init = (
+        emb.orderBy("vec_id").limit(n_clusters)
+        .select("embedding").collect()
+    )
+    centroids = np.asarray([list(r["embedding"]) for r in init],
+                           dtype=np.float64)
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    for _ in range(iters):
+        assigned = _assign_clusters(e, centroids)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.array(*[
+                    F.avg(F.element_at("embedding", d + 1)).alias(f"c{d}")
+                    for d in range(dim)
+                ]).alias("mean"),
+            )
+            .collect()
+        )
+        new = centroids.copy()  # empty clusters keep their centroid
+        for r in rows:
+            new[r["cluster"]] = r["mean"]
+        centroids = new
+    return centroids
+
+
+def _assign_clusters(emb: DataFrame, centroids) -> DataFrame:
+    """+ `cluster` column: argmin squared-distance to the broadcast
+    centroid matrix, one Arrow matmul per batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)          # (k, dim)
+    c_sq = (c * c).sum(axis=1)                           # (k,)
+
+    @pandas_udf("int")
+    def assign(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.asarray(col.tolist(), dtype=np.float64)   # (n, dim)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+        d = -2.0 * (x @ c.T) + c_sq
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return emb.withColumn("cluster", assign("embedding"))
+
+
+def ivf_topk(emb: DataFrame, query_ids, k: int = 5, n_clusters: int = 16,
+             nprobe: int = 4, iters: int = 5, dim: int = 64) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer; each query scans
+    only its `nprobe` nearest clusters' inverted lists, exact cosine
+    re-rank inside.
+
+    The scale path the brief names alongside LSH: the corpus is
+    partitioned once by cluster id (at 10^12 rows: a bucketed/
+    partitioned table), so a query touches nprobe/n_clusters of the
+    data.  Recall vs the exact scan is asserted in
+    tests/test_similarity.py."""
+    import numpy as np
+
+    centroids = train_ivf_centroids(emb, n_clusters, iters, dim)
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    assigned = _assign_clusters(e, centroids)
+
+    # probe lists: nprobe nearest centroids per query (driver-side — the
+    # query set is small and centroids already live here)
+    q_rows = e.filter(F.col("vec_id").isin(list(query_ids))).collect()
+    c = np.asarray(centroids)
+    c_sq = (c * c).sum(axis=1)
+    probes = []
+    for r in q_rows:
+        x = np.asarray(list(r["embedding"]), dtype=np.float64)
+        d = -2.0 * (c @ x) + c_sq
+        for cl in np.argsort(d, kind="stable")[:nprobe]:
+            probes.append((int(r["vec_id"]), int(cl)))
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id bigint, cluster int")
+    qv = spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["embedding"])) for r in q_rows],
+        "query_id bigint, qv array<double>",
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "query_id", "vec_id",
+            F.round(_cosine("qv", "embedding"), 4).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
 def lsh_topk(emb: DataFrame, query_ids, k: int = 5, planes: int = 8,
              tables: int = 8, dim: int = 64) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH — a corpus vector is

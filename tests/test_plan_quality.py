@@ -92,7 +92,7 @@ def test_no_per_row_python_in_any_query(spark):
         plan = plan_of(fn(spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan or name in (
-            # pandas_udf-backed LSH signatures are Arrow-batched (the
-            # sanctioned kind), not per-row
-            "dedup_embedding_lsh", "ann_lsh_topk",
+            # pandas_udf-backed LSH/IVF signatures are Arrow-batched
+            # (the sanctioned kind), not per-row
+            "dedup_embedding_lsh", "ann_lsh_topk", "ann_ivf_topk",
         ), name

@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 from origami_spark.operators.similarity import (
     cosine_topk,
     hyperplane_buckets,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -36,6 +37,27 @@ def test_lsh_topk_recall_vs_exact(spark):
     ex = {(r["query_id"], r["vec_id"]): r["cosine"]
           for r in cosine_topk(emb, QUERIES, k=200).collect()}
     for r in lsh_topk(emb, QUERIES, k=K, planes=4, tables=16).collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in ex:
+            assert abs(ex[key] - r["cosine"]) < 1e-9
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF coarse quantizer: scanning nprobe/n_clusters of the corpus
+    still recovers most true neighbours, and never invents cosines."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, QUERIES, k=K).collect()
+    }
+    approx = ivf_topk(emb, QUERIES, k=K, n_clusters=16, nprobe=6).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f} below floor"
+    # cosines are exact (re-rank is not approximated)
+    ex = {(r["query_id"], r["vec_id"]): r["cosine"]
+          for r in cosine_topk(emb, QUERIES, k=300).collect()}
+    for r in approx:
         key = (r["query_id"], r["vec_id"])
         if key in ex:
             assert abs(ex[key] - r["cosine"]) < 1e-9
