@@ -1019,8 +1019,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS x FROM u),
             c2 AS (SELECT doc_id, regexp_replace(x,
-                     '(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&]*(&|$)', '', 'g') AS x FROM c1),
-            c3 AS (SELECT doc_id, regexp_replace(x, '\?&', '?', 'g') AS x FROM c2),
+                     '([?&])(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&]*', '\1', 'g') AS x FROM c1),
+            c2b AS (SELECT doc_id, regexp_replace(x, '&&+', '&', 'g') AS x FROM c2),
+            c3 AS (SELECT doc_id, regexp_replace(x, '\?&', '?', 'g') AS x FROM c2b),
             c4 AS (SELECT doc_id, regexp_replace(x, '[?&]$', '', 'g') AS x FROM c3),
             c5 AS (SELECT doc_id,
                      lower(regexp_extract(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))

@@ -58,11 +58,15 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
 
     if near_dup:
         # MinHash near-dup pruning over a 60-bit url-hash id (Arrow
-        # kernel signatures); greedy keep-min drops doc_b of every pair
+        # kernel signatures).  Candidates are VERIFIED (estimated
+        # jaccard >= 0.5 via signature agreement) before the greedy
+        # keep-min drop — raw banding candidates carry false positives
+        # and would delete unrelated documents
         ids = uniq.select(
             T.portable_hash60(F.col("doc_id")).alias("nid"), "doc_id", "text")
         cand = D.minhash_lsh_candidates(
-            ids.select(F.col("nid").alias("doc_id"), "text"))
+            ids.select(F.col("nid").alias("doc_id"), "text"),
+            min_sig_agreement=0.5)
         drop = cand.select(F.col("doc_b").alias("nid")).distinct()
         uniq = (
             ids.join(drop, "nid", "left_anti")

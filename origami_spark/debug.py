@@ -67,8 +67,12 @@ def explain_extraction(spark: SparkSession, pages: DataFrame,
               F.lit("dropped: contained in an earlier span"))
         .when(F.col("in_chrome"), F.lit("dropped: chrome ancestry (no rescue)"))
         .when(F.col("label") == "ILLUSTRATION", F.lit("dropped: illustration"))
+        .when((F.col("label") == "TABULAR"),
+              F.lit("dropped: empty table"))
         .when(F.col("text_len") == 0, F.lit("dropped: empty"))
-        .otherwise(F.lit("dropped: link density > 0.5"))
+        .when(F.col("link_len") * 2 > F.col("text_len"),
+              F.lit("dropped: link density > 0.5"))
+        .otherwise(F.lit("dropped: unclassified"))
     )
 
     return (

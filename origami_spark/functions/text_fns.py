@@ -46,8 +46,11 @@ def canonical_url(col) -> Column:
     DuckDB oracle applies the identical rules; golden pairs in
     tests/test_functions.py."""
     x = F.regexp_replace(col, "#.*", "")                       # fragment
-    x = F.regexp_replace(                                      # tracking
-        x, f"({TRACKING_PARAMS})=[^&]*(&|$)", "")
+    # tracking params must be anchored to a ?/& delimiter: an unanchored
+    # pattern would eat 'ref=' inside 'href=' or a '/ref=5/...' path
+    x = F.regexp_replace(
+        x, f"([?&])({TRACKING_PARAMS})=[^&]*", "$1")
+    x = F.regexp_replace(x, "&&+", "&")                        # && -> &
     x = F.regexp_replace(x, "\\?&", "?")                       # ?& -> ?
     x = F.regexp_replace(x, "[?&]$", "")                       # dangling
     head = F.regexp_extract(x, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)

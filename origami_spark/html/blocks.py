@@ -297,9 +297,12 @@ def extract_page(data: bytes) -> list:
             parts = path_parts + [tag]
             if tag == "hr":
                 size = child.attrs.get("size", "")
+                # ascii-guard: '³'.isdigit() is True but float('³')
+                # raises, and Arabic-Indic digits would parse silently —
+                # only plain ASCII digits count as a legacy size attr
                 strength = (
                     round(min(max(float(size), 0.5), 4.0), 2)
-                    if size.isdigit() else 1.0
+                    if (size.isascii() and size.isdigit()) else 1.0
                 )
                 emit(child, "SEPARATOR", "", 0, 0, 0, parts,
                      strength=strength)

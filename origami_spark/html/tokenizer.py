@@ -21,10 +21,11 @@ from dataclasses import dataclass, field
 
 _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 _DOCTYPE_RE = re.compile(rb"<![^>]*>", re.S)
-# XML processing instructions (XHTML prolog <?xml ...?>) end at '?>';
-# a malformed PI without '?>' degrades to the HTML bogus-comment rule
-# (consume to the first '>'), which _PI_BOGUS_RE implements
-_PI_RE = re.compile(rb"<\?.*?\?>", re.S)
+# '<?...' follows the HTML bogus-comment rule: consume to the FIRST
+# '>' (which is also how an XHTML prolog <?xml ...?> terminates, since
+# its first '>' is the one in '?>').  A lazy '<\?.*?\?>' would instead
+# swallow arbitrary page text between a stray '<?' and any later '?>'
+# — content loss browsers don't have.
 _PI_BOGUS_RE = re.compile(rb"<\?[^>]*>", re.S)
 _RAWTEXT_RE = {
     b"script": re.compile(rb"</script\s*>", re.I),
@@ -132,8 +133,8 @@ def tokenize(data: bytes):
         if lt > pos:
             yield ("text", pos, lt)
         if data[lt : lt + 2] in (b"<!", b"<?"):
-            m = (_COMMENT_RE.match(data, lt) or _PI_RE.match(data, lt)
-                 or _DOCTYPE_RE.match(data, lt) or _PI_BOGUS_RE.match(data, lt))
+            m = (_COMMENT_RE.match(data, lt) or _DOCTYPE_RE.match(data, lt)
+                 or _PI_BOGUS_RE.match(data, lt))
             if m:
                 pos = m.end()
                 continue
@@ -194,8 +195,8 @@ def build_tree(data: bytes) -> Page:
         if lt > pos:
             stack[-1].texts.append((pos, lt))
         if data[lt + 1 : lt + 2] in (b"!", b"?"):
-            m = (_COMMENT_RE.match(data, lt) or _PI_RE.match(data, lt)
-                 or _DOCTYPE_RE.match(data, lt) or _PI_BOGUS_RE.match(data, lt))
+            m = (_COMMENT_RE.match(data, lt) or _DOCTYPE_RE.match(data, lt)
+                 or _PI_BOGUS_RE.match(data, lt))
             if m:
                 pos = m.end()
                 continue

@@ -187,16 +187,24 @@ def minhash_signatures_kernel(docs: DataFrame, n: int = 3,
 
 
 def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
-                           bands: int = 4, use_kernel: bool = True) -> DataFrame:
+                           bands: int = 4, use_kernel: bool = True,
+                           min_sig_agreement: float | None = None) -> DataFrame:
     """LSH banding: docs sharing any band of minhashes become a candidate
     pair (shingle -> minhash -> band -> bucket equality join).
 
     Signatures come from the Arrow kernel by default; pass
     ``use_kernel=False`` for the pure-relational form (the two are
-    asserted bit-identical in tests/test_dedup.py)."""
+    asserted bit-identical in tests/test_dedup.py).
+
+    ``min_sig_agreement`` VERIFIES candidates before returning them: the
+    fraction of agreeing minhash components is an unbiased Jaccard
+    estimate (MMDS ch.3), so e.g. 0.5 keeps only pairs estimated >= 0.5
+    similar.  Raw banding output (None) is a candidate set with false
+    positives — one shared band out of `bands` — and must never be used
+    directly as a deletion list."""
     rows_per_band = k // bands
     sigs = (minhash_signatures_kernel if use_kernel
-            else minhash_signatures)(docs, n, k)
+            else minhash_signatures)(docs, n, k).cache()
     banded = sigs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -212,7 +220,7 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
             ],
         ).alias("bucket"),
     )
-    return (
+    cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -221,6 +229,20 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
+    )
+    if min_sig_agreement is None:
+        return cand
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    agree = (
+        F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y),
+                        lambda m: m)).cast("double") / k
+    )
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("sig_agreement", F.round(agree, 4))
+        .filter(F.col("sig_agreement") >= min_sig_agreement)
+        .select("doc_a", "doc_b", "sig_agreement")
     )
 
 

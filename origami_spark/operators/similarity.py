@@ -142,15 +142,22 @@ def hyperplane_buckets(emb: DataFrame, planes: int, tables: int,
 
 def train_ivf_centroids(emb: DataFrame, n_clusters: int = 16,
                         iters: int = 5, dim: int = 64):
-    """Deterministic distributed k-means for the IVF coarse quantizer.
+    """Distributed k-means for the IVF coarse quantizer.
 
-    Init = the n_clusters lowest vec_ids (deterministic, no RNG — this
-    engine bans nondeterministic seeds); each Lloyd iteration is one
-    Spark job: an Arrow-kernel argmin assignment (broadcast centroid
-    matrix, one matmul per batch) + a groupBy mean.  Only the k x dim
-    centroid table ever reaches the driver — the classic
-    iterative-algorithm shape (driver loop, distributed step).
-    Returns a list of n_clusters centroid vectors."""
+    Init = the n_clusters lowest vec_ids (seed-free); each Lloyd
+    iteration is one Spark job: an Arrow-kernel argmin assignment
+    (broadcast centroid matrix, one matmul per batch) + a groupBy mean.
+    Only the k x dim centroid table ever reaches the driver — the
+    classic iterative-algorithm shape (driver loop, distributed step).
+
+    Determinism caveat: the centroid means are float aggregations whose
+    rounding depends on partition/merge order, so two runs under
+    different parallelism can differ in the last ulps and, rarely, flip
+    a borderline assignment.  The operator's CONTRACT is therefore
+    recall-level (asserted in tests/test_similarity.py), not
+    bit-identical output — unlike the LSH paths, whose _seq_dot keeps
+    sign bits exactly reproducible.  Returns n_clusters centroid
+    vectors."""
     import numpy as np
 
     init = (

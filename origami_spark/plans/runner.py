@@ -58,10 +58,17 @@ def run_stage(
 
     todo = src
     if _exists(out_path):
-        done = spark.read.parquet(out_path).select(key).distinct()
+        # resume against the COMMITTED view (snapshot manifests), not the
+        # raw directory: a crash between the parquet append and the
+        # snapshot commit leaves orphan files that are NOT done work —
+        # reading the raw dir would skip those urls forever while every
+        # snapshot missed them.  Orphaned urls are recomputed and the old
+        # orphan files simply never enter any manifest.
+        committed = _committed_view(spark, work_dir, name, out_path)
+        done = committed.select(key).distinct()
         todo = src.join(done, key, "left_anti")
         if todo.isEmpty():  # fully resumed: nothing to compute or commit
-            return spark.read.parquet(out_path).drop("_part_id", "_run_id")
+            return committed
 
     t0 = time.monotonic()
     status = "COMPLETED"
@@ -121,6 +128,18 @@ def run_stage(
         except Exception:
             pass  # lineage failures never mask the stage result
 
+    return _committed_view(spark, work_dir, name, out_path)
+
+
+def _committed_view(spark: SparkSession, work_dir: str, name: str,
+                    out_path: str) -> DataFrame:
+    """The stage table as committed: snapshot-manifest read when
+    snapshots exist (orphans from crashed writers invisible), raw
+    directory read for legacy/snapshot-less tables."""
+    from .snapshots import read_snapshot, snapshots
+
+    if snapshots(work_dir, name):
+        return read_snapshot(spark, work_dir, name)
     return spark.read.parquet(out_path).drop("_part_id", "_run_id")
 
 
@@ -131,11 +150,14 @@ def reset_stages(work_dir: str, stages) -> list:
     stages actually removed."""
     import shutil
 
+    from .snapshots import delete_snapshots
+
     removed = []
     for stage in stages:
         path = os.path.join(work_dir, stage)
         if os.path.exists(path):
             shutil.rmtree(path)
+            delete_snapshots(work_dir, stage)
             removed.append(stage)
     return removed
 
@@ -160,6 +182,9 @@ def cleanup_incomplete(work_dir: str) -> list:
             os.path.join(path, "_SUCCESS")
         ):
             shutil.rmtree(path)
+            from .snapshots import delete_snapshots
+
+            delete_snapshots(work_dir, stage)
             removed.append(stage)
     return removed
 

@@ -72,6 +72,20 @@ def commit_snapshot(work_dir: str, stage: str, run_id: str,
     return snap
 
 
+def delete_snapshots(work_dir: str, stage: str) -> int:
+    """Remove every snapshot of a stage (paired with deleting the stage
+    table itself — stale manifests pointing at deleted files would make
+    read_snapshot fail forever).  Returns the number removed."""
+    snap_dir = os.path.join(work_dir, SNAPSHOT_DIR)
+    removed = 0
+    if os.path.isdir(snap_dir):
+        for name in os.listdir(snap_dir):
+            if name.startswith(f"{stage}-v") and name.endswith(".json"):
+                os.remove(os.path.join(snap_dir, name))
+                removed += 1
+    return removed
+
+
 def snapshots(work_dir: str, stage: str) -> list:
     """All committed snapshots of a stage, oldest first."""
     snap_dir = os.path.join(work_dir, SNAPSHOT_DIR)

@@ -19,16 +19,28 @@ from pyspark.sql import functions as F
 def export_jsonl(df: DataFrame, path: str, target_shard_mb: int = 256,
                  compression: str = "gzip") -> int:
     """Write `df` as JSONL shards of ~`target_shard_mb` (uncompressed
-    estimate).  Returns the shard count."""
-    size_row = df.select(
-        F.sum(F.length(F.to_json(F.struct(*df.columns)))).alias("b")
-    ).collect()[0]
-    total = (size_row["b"] or 0) + 1
-    shards = max(1, math.ceil(total / (target_shard_mb * 1024 * 1024)))
-    (
-        df.repartition(shards)
-        .write.mode("overwrite")
-        .option("compression", compression)
-        .json(path)
-    )
+    estimate).  Returns the shard count.
+
+    The input is persisted for the duration so the sizing aggregate and
+    the write share one computation of the lineage (an unpersisted
+    frame would be computed twice — double cost at a 100 TB export);
+    sizes use octet_length (bytes), not character counts."""
+    already_cached = df.is_cached
+    if not already_cached:
+        df = df.persist()
+    try:
+        size_row = df.select(
+            F.sum(F.octet_length(F.to_json(F.struct(*df.columns)))).alias("b")
+        ).collect()[0]
+        total = (size_row["b"] or 0) + 1
+        shards = max(1, math.ceil(total / (target_shard_mb * 1024 * 1024)))
+        (
+            df.repartition(shards)
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .json(path)
+        )
+    finally:
+        if not already_cached:
+            df.unpersist()
     return shards

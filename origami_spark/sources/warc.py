@@ -30,12 +30,20 @@ _CRLF2 = b"\r\n\r\n"
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (per-record gzip WARCs)."""
+    """Decompress concatenated gzip members (per-record gzip WARCs).
+
+    Real crawls contain the occasional truncated or corrupt member; a
+    raised zlib.error here would fail the whole archive's Spark task
+    (losing every good record), so decompression keeps everything
+    successfully decoded up to the first bad member and stops."""
     out = []
     pos, n = 0, len(data)
     while pos < n:
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data[pos:]))
+        try:
+            out.append(d.decompress(data[pos:]))
+        except zlib.error:
+            break  # corrupt member: keep the good prefix
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             break

@@ -69,6 +69,24 @@ def test_df_cutoff_bounds_hot_shingle(spark):
     assert exact.count() == 200 * 199 // 2  # the quadratic blowup is real
 
 
+def test_minhash_verification_rejects_band_collisions(spark):
+    """min_sig_agreement keeps near-identical pairs and rejects pairs
+    that merely collided in one band."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [
+        (0, base + "iota"),
+        (1, base + "kappa"),               # near-dup of 0
+        (2, "one two three four five six seven eight " * 6),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    verified = {(r["doc_a"], r["doc_b"]): r["sig_agreement"]
+                for r in minhash_lsh_candidates(
+                    docs, min_sig_agreement=0.5).collect()}
+    assert (0, 1) in verified
+    assert verified[(0, 1)] >= 0.5
+    assert (0, 2) not in verified and (1, 2) not in verified
+
+
 def test_substring_dup_constructed(spark):
     """Two docs sharing an exact 80-char passage are found with the
     right offsets; unrelated docs are not paired."""

@@ -38,6 +38,12 @@ URL_PAIRS = [
     ("https://a.com/x/?utm_a=1&utm_b=2&q=3", "https://a.com/x/?q=3"),
     ("ftp://Host.Com/File", "ftp://host.com/File"),  # path case kept
     ("https://b.net:8443/x", "https://b.net:8443/x"),  # non-default port kept
+    # anchoring regressions: 'ref=' inside 'href=' or inside a path
+    # segment must NOT be treated as a tracking param
+    ("https://a.com/?href=x&id=1", "https://a.com/?href=x&id=1"),
+    ("https://a.com/ref=5/page", "https://a.com/ref=5/page"),
+    ("https://a.com/?a=1&ref=x&b=2", "https://a.com/?a=1&b=2"),
+    ("https://a.com/?ref=a&ref=b", "https://a.com"),
 ]
 
 SENTENCE_PAIRS = [

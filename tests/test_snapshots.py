@@ -28,6 +28,55 @@ def test_time_travel_across_incremental_runs(spark, tmp_path):
     assert [s["version"] for s in snapshots(wd, "s8_compose")] == [1, 2]
 
 
+def test_crash_between_append_and_commit_recovers(spark, tmp_path):
+    """A writer that died AFTER the parquet append but BEFORE the
+    snapshot commit must not lose those urls: the resume reads the
+    committed view, recomputes the orphaned work, and the final
+    snapshot view holds every url exactly once."""
+    import os
+
+    wd = str(tmp_path / "wd")
+    pages = pages_df(spark, 80, num_partitions=4).cache()
+    extract_staged(spark, pages.limit(40), wd, run_id="r1")
+    # simulate the crash for the SECOND run: let it run fully, then
+    # delete its snapshot manifests (the append survived, the commit
+    # did not) — byte-wise identical to dying in between
+    extract_staged(spark, pages, wd, run_id="r2")
+    snap_dir = f"{wd}/_snapshots"
+    for f in os.listdir(snap_dir):
+        if f.endswith("-v2.json"):
+            os.remove(os.path.join(snap_dir, f))
+
+    out = extract_staged(spark, pages, wd, run_id="r3")
+    got = out.groupBy("url").count()
+    assert out.count() == 80
+    assert got.filter("count != 1").count() == 0  # exactly once
+    # r3 recomputed exactly the orphaned 40 urls
+    assert [s["run_id"] for s in snapshots(wd, "s8_compose")] == ["r1", "r3"]
+    v_latest = read_snapshot(spark, wd, "s8_compose")
+    assert v_latest.count() == 80
+    # byte-identity survives the recovery
+    import pyspark.sql.functions as F
+    cmp = out.join(pages.select("url", F.col("text").alias("g")), "url")
+    assert cmp.filter("text != g").count() == 0
+
+
+def test_reset_removes_stale_snapshots(spark, tmp_path):
+    """reset_stages must drop the stage's manifests with the table —
+    stale manifests would reference deleted files forever."""
+    from origami_spark.plans.runner import reset_stages
+
+    wd = str(tmp_path / "wd")
+    pages = pages_df(spark, 30, num_partitions=2).cache()
+    extract_staged(spark, pages, wd, run_id="r1")
+    reset_stages(wd, ["s8_compose"])
+    assert snapshots(wd, "s8_compose") == []
+    out = extract_staged(spark, pages, wd, run_id="r2")
+    assert out.count() == 30
+    assert [s["version"] for s in snapshots(wd, "s8_compose")] == [1]
+    assert read_snapshot(spark, wd, "s8_compose").count() == 30
+
+
 def test_snapshot_isolation_hides_orphan_files(spark, tmp_path):
     """Files a crashed writer left behind are invisible to snapshot
     readers (the raw directory read would pick them up)."""

@@ -28,6 +28,18 @@ def test_non_response_records_skipped():
     assert len(got) == 3
 
 
+def test_corrupt_gzip_member_keeps_good_prefix():
+    """A truncated/corrupt member mid-archive must not raise — records
+    before the bad member survive (a raised zlib.error would fail the
+    whole archive's Spark task)."""
+    pages = generate_pages(42, 6)
+    good = synth_warc(pages[:3], per_record_gzip=True)
+    garbage = b"\x1f\x8b\x08\x00BROKEN-NOT-REALLY-GZIP-DATA"
+    tail = synth_warc(pages[3:], per_record_gzip=True)
+    got = parse_warc_bytes(good + garbage + tail)
+    assert [g["url"] for g in got] == [p["url"] for p in pages[:3]]
+
+
 def test_warc_to_extraction_byte_identical(spark, tmp_path):
     """Archives in, golden text out: the WARC connector feeds the same
     engine and the output matches the constructive goldens bytewise."""
