@@ -56,6 +56,8 @@ def run_stage(
     lineage_path = os.path.join(work_dir, LINEAGE_DIR)
     run_id = run_id or uuid.uuid4().hex[:12]
 
+    from .snapshots import read_snapshot, snapshots
+
     todo = src
     if _exists(out_path):
         # resume against the COMMITTED view (snapshot manifests), not the
@@ -63,12 +65,15 @@ def run_stage(
         # snapshot commit leaves orphan files that are NOT done work —
         # reading the raw dir would skip those urls forever while every
         # snapshot missed them.  Orphaned urls are recomputed and the old
-        # orphan files simply never enter any manifest.
-        committed = _committed_view(spark, work_dir, name, out_path)
-        done = committed.select(key).distinct()
-        todo = src.join(done, key, "left_anti")
-        if todo.isEmpty():  # fully resumed: nothing to compute or commit
-            return committed
+        # orphan files simply never enter any manifest.  A table dir with
+        # ZERO snapshots is the first-run crash: everything in it is
+        # uncommitted, so the full src recomputes.
+        if snapshots(work_dir, name):
+            committed = read_snapshot(spark, work_dir, name)
+            done = committed.select(key).distinct()
+            todo = src.join(done, key, "left_anti")
+            if todo.isEmpty():  # fully resumed: nothing to commit
+                return committed
 
     t0 = time.monotonic()
     status = "COMPLETED"

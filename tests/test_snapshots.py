@@ -61,6 +61,25 @@ def test_crash_between_append_and_commit_recovers(spark, tmp_path):
     assert cmp.filter("text != g").count() == 0
 
 
+def test_crash_on_first_run_recomputes_everything(spark, tmp_path):
+    """First run dies post-append/pre-commit (table dir exists, zero
+    snapshots): the rerun must treat the whole directory as uncommitted
+    and deliver every url exactly once in the committed view."""
+    import os
+
+    wd = str(tmp_path / "wd")
+    pages = pages_df(spark, 30, num_partitions=2).cache()
+    extract_staged(spark, pages, wd, run_id="r1")
+    snap_dir = f"{wd}/_snapshots"
+    for f in list(os.listdir(snap_dir)):  # erase ALL commits = v1 crash
+        os.remove(os.path.join(snap_dir, f))
+
+    out = extract_staged(spark, pages, wd, run_id="r2")
+    assert out.count() == 30
+    assert out.groupBy("url").count().filter("count != 1").count() == 0
+    assert [s["run_id"] for s in snapshots(wd, "s8_compose")] == ["r2"]
+
+
 def test_reset_removes_stale_snapshots(spark, tmp_path):
     """reset_stages must drop the stage's manifests with the table —
     stale manifests would reference deleted files forever."""
