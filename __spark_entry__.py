@@ -372,6 +372,29 @@ def q22_distinct_counts(spark, sf):
     )
 
 
+def q24_top_supplier_per_nation(spark, sf):
+    """Top revenue supplier per nation: big-side agg -> dim joins
+    (nation broadcast) -> per-group top-1 window.  Completes table
+    coverage (supplier was the one driver table no query touched)."""
+    li = _t(spark, sf, "lineitem")
+    s, n = _t(spark, sf, "supplier"), _t(spark, sf, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+    j = (
+        rev.join(s, rev.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"),
+                                             F.asc("s_suppkey"))
+    return (
+        j.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") == 1)
+        .select("n_name", "s_suppkey", "s_name", "revenue")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data operators
 # ---------------------------------------------------------------------------
@@ -552,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_correlated_subquery": q21_correlated_subquery,
         "q22_distinct_counts": q22_distinct_counts,
         "q23_json_extract": q23_json_extract,
+        "q24_top_supplier_per_nation": q24_top_supplier_per_nation,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -841,6 +865,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
                   FROM events)
             GROUP BY k % 10""",
+        "q24_top_supplier_per_nation": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+              FROM lineitem GROUP BY l_suppkey),
+            ranked AS (
+              SELECT n_name, s_suppkey, s_name, revenue,
+                     CAST(row_number() OVER (PARTITION BY n_name
+                       ORDER BY revenue DESC, s_suppkey ASC) AS BIGINT) AS rk
+              FROM rev
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey)
+            SELECT n_name, s_suppkey, s_name, revenue
+            FROM ranked WHERE rk = 1""",
         "dedup_exact": """
             SELECT md5(text) AS digest, min(doc_id) AS keeper,
                    count(*) AS n_docs
