@@ -375,7 +375,14 @@ def q22_distinct_counts(spark, sf):
 def q24_top_supplier_per_nation(spark, sf):
     """Top revenue supplier per nation: big-side agg -> dim joins
     (nation broadcast) -> per-group top-1 window.  Completes table
-    coverage (supplier was the one driver table no query touched)."""
+    coverage (supplier was the one driver table no query touched).
+
+    Parity note: ranking on a rounded float sum shares the known
+    boundary hazard of every rounded-sum oracle here (q01/q03/q08) —
+    engines summing in different orders could round a value straddling
+    a .005 boundary differently.  Verified value-identical at sf0.001
+    and sf0.01; the s_suppkey tie-break keeps equal-value ordering
+    deterministic."""
     li = _t(spark, sf, "lineitem")
     s, n = _t(spark, sf, "supplier"), _t(spark, sf, "nation")
     rev = li.groupBy("l_suppkey").agg(

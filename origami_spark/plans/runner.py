@@ -56,7 +56,12 @@ def run_stage(
     lineage_path = os.path.join(work_dir, LINEAGE_DIR)
     run_id = run_id or uuid.uuid4().hex[:12]
 
-    from .snapshots import read_snapshot, snapshots
+    from .snapshots import (
+        _data_files,
+        commit_snapshot,
+        read_snapshot,
+        snapshots,
+    )
 
     todo = src
     if _exists(out_path):
@@ -77,8 +82,7 @@ def run_stage(
 
     t0 = time.monotonic()
     status = "COMPLETED"
-    from .snapshots import _data_files, commit_snapshot
-
+    snap = None
     files_before = _data_files(out_path)
     try:
         result = (
@@ -90,23 +94,21 @@ def run_stage(
         # versioned snapshot commit (Iceberg-commit analog, see
         # plans/snapshots.py): readers via read_snapshot get snapshot
         # isolation + time travel over the same parquet files
-        commit_snapshot(work_dir, name, run_id, files_before)
+        snap = commit_snapshot(work_dir, name, run_id, files_before)
     except Exception:
         status = "FAILED"
         raise
     finally:
         wall = time.monotonic() - t0
         try:
-            if status == "COMPLETED":
-                # lineage over THIS run's appends only: filtering on the
-                # stamped _run_id prunes other runs' files via parquet
-                # row-group stats (on Iceberg, run_id would be a partition
-                # column and this is a metadata-only prune), so per-run
-                # digests/doc-counts are never polluted by earlier runs
-                # that happened to share a partition id
+            if status == "COMPLETED" and snap is not None and snap["added"]:
+                # lineage over exactly THIS run's appended FILES (from
+                # the snapshot manifest) — not a _run_id filter over the
+                # raw dir, which would double-count orphans whenever a
+                # retry reuses the crashed run's run_id
+                added = [os.path.join(out_path, f) for f in snap["added"]]
                 lineage = (
-                    spark.read.parquet(out_path)
-                    .filter(F.col("_run_id") == run_id)
+                    spark.read.parquet(*added)
                     .groupBy("_part_id")
                     .agg(
                         F.count(F.lit(1)).alias("doc_count"),
@@ -133,19 +135,14 @@ def run_stage(
         except Exception:
             pass  # lineage failures never mask the stage result
 
-    return _committed_view(spark, work_dir, name, out_path)
-
-
-def _committed_view(spark: SparkSession, work_dir: str, name: str,
-                    out_path: str) -> DataFrame:
-    """The stage table as committed: snapshot-manifest read when
-    snapshots exist (orphans from crashed writers invisible), raw
-    directory read for legacy/snapshot-less tables."""
-    from .snapshots import read_snapshot, snapshots
-
-    if snapshots(work_dir, name):
-        return read_snapshot(spark, work_dir, name)
-    return spark.read.parquet(out_path).drop("_part_id", "_run_id")
+    # the committed view: ONLY snapshot manifests count (a raw-directory
+    # fallback would present crashed-writer orphans as committed data).
+    # An all-empty manifest (empty source) has no files to read — the
+    # result's own schema supplies the empty frame.
+    latest = snapshots(work_dir, name)[-1]
+    if not latest["manifest"]:
+        return result.limit(0).drop("_part_id", "_run_id")
+    return read_snapshot(spark, work_dir, name)
 
 
 def reset_stages(work_dir: str, stages) -> list:

