@@ -425,10 +425,11 @@ def dedup_minhash_lsh(spark, sf):
 
 
 def dedup_substring(spark, sf):
-    # exact repeated-substring pairs (Lee et al. 2022 shape); the sf0.01
-    # corpus has ~330 duplicated 64-char windows -> ~24 real pairs
+    # exact repeated-substring pairs (Lee et al. 2022 shape) via
+    # alignment-free winnowing fingerprints; max_df bounds the hot-key
+    # bucket a boilerplate fragment would otherwise create at scale
     return D.substring_dup_pairs(_t(spark, sf, "documents"),
-                                 window=64, stride=16)
+                                 window=64, k=16, max_df=5)
 
 
 def dedup_simhash(spark, sf):
@@ -924,18 +925,41 @@ def oracle_sql() -> dict[str, str]:
             FROM buckets a JOIN buckets b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id""",
-        "dedup_substring": """
-            WITH wins AS (
-              SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                     substr(text, CAST(i AS INT) + 1, 64) AS frag
+        # winnowing fingerprints: k=16 grams, w = 64-16+1 = 49 grams per
+        # winnow window, window-min hash -> distinct fingerprint grams,
+        # df<=5 cutoff, equality join (mirrors substring_dup_pairs)
+        "dedup_substring": f"""
+            WITH grams AS (
+              SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+                     CAST(i AS BIGINT) AS pos,
+                     substr(text, CAST(i AS INT) + 1, 16) AS gram
               FROM documents,
-                   LATERAL unnest(range(0, length(text) - 64 + 1, 16)) AS r(i)
-              WHERE length(text) >= 64)
+                   LATERAL unnest(range(0, length(text) - 16 + 1)) AS r(i)
+              WHERE length(text) >= 64),
+            g AS (SELECT doc_id, len, pos, gram,
+                         {_H60.format(x="gram")} AS h
+                  FROM grams),
+            wm AS (
+              SELECT doc_id, len, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 48 FOLLOWING)
+                       AS mh
+              FROM g),
+            sel AS (
+              SELECT DISTINCT doc_id, mh AS h FROM wm
+              WHERE pos <= len - 64),
+            fp0 AS (
+              SELECT g.doc_id, g.gram, min(g.pos) AS pos
+              FROM g JOIN sel ON g.doc_id = sel.doc_id AND g.h = sel.h
+              GROUP BY g.doc_id, g.gram),
+            rare AS (
+              SELECT gram FROM fp0 GROUP BY gram HAVING count(*) <= 5),
+            fp AS (SELECT fp0.* FROM fp0 JOIN rare USING (gram))
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    count(*) AS n_shared,
                    min(a.pos) AS a_pos_min, min(b.pos) AS b_pos_min
-            FROM wins a JOIN wins b
-              ON a.frag = b.frag AND a.doc_id < b.doc_id
+            FROM fp a JOIN fp b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
             GROUP BY 1, 2""",
         "dedup_simhash": f"""
             WITH toks AS (

@@ -79,6 +79,11 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
         F.col("doc_id").alias("url"), "text", "n_tokens", "quality")
     counts["shards"] = export_jsonl(final, out_dir, target_shard_mb=shard_mb)
     counts["exported"] = final.count()
+    # long-lived drivers must not accumulate cached blocks: release the
+    # dedup module's tracked caches and this function's own
+    for df in (extracted, kept, uniq):
+        df.unpersist()
+    D.release_caches()
     return counts
 
 

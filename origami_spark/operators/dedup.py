@@ -18,6 +18,31 @@ from pyspark.sql import functions as F
 
 from .text import portable_hash60, shingles_expr, tokens_col
 
+# Cached intermediates (signatures, shingles, fingerprints) registered
+# here so long-lived drivers can release executor memory: each operator
+# caches frames that feed 2+ downstream branches (both sides of a
+# self-join), which is a real plan-dedup win, but DataFrame caches are
+# held by Spark's CacheManager and are NOT freed on driver GC.  Callers
+# that run many dedup jobs in one driver (jobs/corpus_job.py) call
+# ``release_caches()`` after materializing their results.
+_CACHED: list = []
+
+
+def _tracked_cache(df: DataFrame) -> DataFrame:
+    out = df.cache()
+    _CACHED.append(out)
+    return out
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate this module cached; returns count.
+    Safe to call any time after the returned DataFrames are materialized
+    (an unpersisted frame is still recomputable from lineage)."""
+    n = len(_CACHED)
+    while _CACHED:
+        _CACHED.pop().unpersist()
+    return n
+
 
 def exact_duplicates(docs: DataFrame, min_count: int = 2) -> DataFrame:
     """Hash-groupBy exact dedup: one row per content digest with the
@@ -63,7 +88,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     share nothing discriminative.  max_df=None keeps the exact
     semantics; at web scale pair this with minhash banding below as the
     pre-filter."""
-    sh = _shingles(docs, n).cache()
+    sh = _tracked_cache(_shingles(docs, n))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     joinable = sh
     if max_df is not None:
@@ -203,8 +228,9 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
     positives — one shared band out of `bands` — and must never be used
     directly as a deletion list."""
     rows_per_band = k // bands
-    sigs = (minhash_signatures_kernel if use_kernel
-            else minhash_signatures)(docs, n, k).cache()
+    sigs = _tracked_cache(
+        (minhash_signatures_kernel if use_kernel
+         else minhash_signatures)(docs, n, k))
     banded = sigs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
@@ -366,47 +392,96 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, bands: int = 4,
     )
 
 
+def substring_fingerprints(docs: DataFrame, window: int = 64,
+                           k: int = 16) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003,
+    public): per document, hash every `k`-char gram, then keep the
+    minimum hash of each sliding window of ``w = window - k + 1``
+    consecutive grams.  The winnowing guarantee is *alignment-free*: any
+    substring of length >= ``window`` shared by two documents contains a
+    full gram window in both, whose minimum hash — hence the gram
+    achieving it — is selected in both, at ANY pair of start offsets.
+    (A stride-aligned slicer misses copies whose offsets differ mod the
+    stride; this does not.)
+
+    Returns (doc_id, gram, pos): the distinct fingerprint grams per doc
+    with each gram's earliest occurrence offset (0-based).  Selection is
+    by hash, but the *gram string* is what downstream joins equate, so
+    a hash collision can never fabricate a match.
+
+    Scale shape: the per-char gram explode is ~len rows per doc through
+    ONE shuffle (window-min over doc_id), then fingerprint density drops
+    to ~2/(w+1) of positions — the paper's bound — so everything after
+    the window-min is sparse.  Only (doc_id, pos, h) transits the sort;
+    gram strings stay on the un-sorted branch and rejoin by hash."""
+    w = window - k + 1
+    src = docs.select("doc_id", "text")
+    # parquet can hold the whole corpus in one split; pre-partition on
+    # doc_id so (a) the gram explode + md5 parallelizes and (b) the
+    # window-min reuses this partitioning instead of adding an exchange
+    n_parts = src.sparkSession.sparkContext.defaultParallelism
+    grams = src.repartition(n_parts, "doc_id").filter(
+        F.length("text") >= window
+    ).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("len"),
+        F.explode(F.sequence(F.lit(0), F.length("text") - k)).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "len",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.substring("text", F.col("pos") + 1, F.lit(k)).alias("gram"),
+    ).withColumn("h", portable_hash60(F.col("gram")))
+    grams = _tracked_cache(grams)  # feeds the window-min AND the join-back
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    # valid winnowing windows are the full ones: start pos <= len - window
+    selected = (
+        grams.select("doc_id", "len", "pos", "h")
+        .withColumn("mh", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("len") - window)
+        .select("doc_id", F.col("mh").alias("h"))
+        .distinct()
+    )
+    return (
+        grams.join(selected, ["doc_id", "h"])
+        .groupBy("doc_id", "gram")
+        .agg(F.min("pos").alias("pos"))
+    )
+
+
 def substring_dup_pairs(docs: DataFrame, window: int = 64,
-                        stride: int = 16,
+                        k: int = 16,
                         max_df: int | None = None) -> DataFrame:
     """Exact repeated-substring detection between documents — the
     "deduplicate exact substrings, not just whole docs" operator of
     training-data pipelines (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better", public).
 
-    Fixed `window`-char slices at `stride` offsets form an inverted
-    index; documents sharing any slice become a pair, verified by exact
-    slice equality (so hash collisions cannot fabricate a pair), with
-    the shared-window count and each side's earliest match offset.  The
-    suffix-array of the paper collapses to this windowed form in a
-    shuffle engine: candidate generation is an equality join on the
-    slice key, never an all-pairs scan.  `max_df` drops boilerplate
-    slices shared by more than max_df docs before the self-join (same
-    hot-key bound as ``ngram_jaccard_pairs``)."""
-    eligible = docs.filter(F.length("text") >= window)
-    wins = eligible.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.length("text") - window, F.lit(stride))
-        ).alias("pos"),
-        "text",
-    ).select(
-        "doc_id",
-        F.col("pos").cast("bigint").alias("pos"),
-        F.substring("text", F.col("pos") + 1, F.lit(window)).alias("frag"),
-    )
+    Candidate generation is an equality join on winnowing fingerprint
+    grams (``substring_fingerprints`` — alignment-free, unlike the
+    paper's suffix array only in that match granularity is the `k`-gram,
+    not the maximal match), verified by exact gram equality, with the
+    shared-fingerprint count and each side's earliest fingerprint
+    offset.  Any shared substring >= ``window`` chars is guaranteed to
+    produce a pair regardless of its offsets in either doc.  ``max_df``
+    drops boilerplate fingerprints shared by more than max_df docs
+    before the self-join (same hot-key bound as ``ngram_jaccard_pairs``
+    — at web scale one cookie-banner gram must not form a quadratic
+    bucket)."""
+    fp = _tracked_cache(substring_fingerprints(docs, window, k))
     if max_df is not None:
         rare = (
-            wins.groupBy("frag")
-            .agg(F.countDistinct("doc_id").alias("df"))
+            fp.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_df)
-            .select("frag")
+            .select("gram")
         )
-        wins = wins.join(rare, "frag")
+        fp = fp.join(rare, "gram")
     return (
-        wins.alias("a")
-        .join(wins.alias("b"),
-              (F.col("a.frag") == F.col("b.frag"))
+        fp.alias("a")
+        .join(fp.alias("b"),
+              (F.col("a.gram") == F.col("b.gram"))
               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),

@@ -88,8 +88,9 @@ def test_minhash_verification_rejects_band_collisions(spark):
 
 
 def test_substring_dup_constructed(spark):
-    """Two docs sharing an exact 80-char passage are found with the
-    right offsets; unrelated docs are not paired."""
+    """Two docs sharing an exact 100-char passage are found; the
+    reported earliest fingerprint offsets point at the same gram;
+    unrelated docs are not paired."""
     shared = "x" * 10 + "the quick brown fox jumps over the lazy dog " * 2
     assert len(shared) >= 80
     rows = [
@@ -99,24 +100,51 @@ def test_substring_dup_constructed(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {(r["doc_a"], r["doc_b"]): r
-           for r in substring_dup_pairs(docs, window=64, stride=8).collect()}
+           for r in substring_dup_pairs(docs, window=64, k=16).collect()}
     assert set(got) == {(0, 1)}
     r = got[(0, 1)]
     assert r["n_shared"] >= 1
-    # verify the reported earliest offsets really match
+    # the reported earliest fingerprint offsets are real gram matches
     a, b = rows[0][1], rows[1][1]
-    assert a[r["a_pos_min"]:r["a_pos_min"] + 64] == \
-        b[r["b_pos_min"]:r["b_pos_min"] + 64]
+    assert a[r["a_pos_min"]:r["a_pos_min"] + 16] in b
+    assert b[r["b_pos_min"]:r["b_pos_min"] + 16] in a
+
+
+def test_substring_dup_alignment_free(spark):
+    """The winnowing guarantee: a copied passage is detected at EVERY
+    relative offset shift, including shifts that are not multiples of
+    any stride (the round-2 stride-16 slicer missed 15 of 16 shifts)."""
+    passage = ("winnowing selects the minimum hash of every gram window "
+               "so any shared substring longer than the window survives ")
+    assert len(passage) >= 64 + 16
+    base = (0, "PAD" + passage + "trailer " * 6)
+    for shift in range(1, 16):
+        rows = [base, (1, "q" * shift + passage + "other tail " * 4)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        pairs = substring_dup_pairs(docs, window=64, k=16).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}, \
+            f"missed copy at offset shift {shift}"
+
+
+def test_substring_dup_no_fabricated_pairs(spark):
+    """Exact-gram verification: docs with no shared k-char substring can
+    never be paired (selection is by hash, equality is on the gram)."""
+    rows = [
+        (0, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk llll"),
+        (1, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq pppp oooo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert substring_dup_pairs(docs, window=32, k=16).count() == 0
 
 
 def test_substring_dup_max_df_bounds_boilerplate(spark):
-    """A banner slice shared by every doc is dropped by the df cutoff."""
+    """A banner shared by every doc is dropped by the df cutoff."""
     banner = "COPYRIGHT FOOTER BANNER TEXT REPEATED EVERYWHERE " * 3
     rows = [(i, banner + f"unique tail {i} " * 10) for i in range(50)]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
-    capped = substring_dup_pairs(docs, window=64, stride=8, max_df=5)
+    capped = substring_dup_pairs(docs, window=64, k=16, max_df=5)
     assert capped.count() == 0
-    exact = substring_dup_pairs(docs, window=64, stride=8)
+    exact = substring_dup_pairs(docs, window=64, k=16)
     assert exact.count() == 50 * 49 // 2
 
 
