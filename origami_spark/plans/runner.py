@@ -59,11 +59,18 @@ def run_stage(
     from .snapshots import (
         _data_files,
         commit_snapshot,
+        delete_snapshots,
         read_snapshot,
         snapshots,
     )
 
     todo = src
+    if not _exists(out_path) and snapshots(work_dir, name):
+        # stage dir removed out-of-band while _snapshots/ survived: the
+        # manifests point at deleted files.  Extending them on this run
+        # would make every future read_snapshot fail — treat them as
+        # stale and recompute from scratch.
+        delete_snapshots(work_dir, name)
     if _exists(out_path):
         # resume against the COMMITTED view (snapshot manifests), not the
         # raw directory: a crash between the parquet append and the
@@ -159,8 +166,13 @@ def reset_stages(work_dir: str, stages) -> list:
         path = os.path.join(work_dir, stage)
         if os.path.exists(path):
             shutil.rmtree(path)
-            delete_snapshots(work_dir, stage)
             removed.append(stage)
+        # drop snapshots even when the table dir is already gone
+        # (removed out-of-band): a surviving stale manifest would make
+        # the next run_stage extend it with fresh files while its old
+        # entries point at deleted data — the stage would then fail on
+        # every read, permanently
+        delete_snapshots(work_dir, stage)
     return removed
 
 

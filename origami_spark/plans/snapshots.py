@@ -68,7 +68,22 @@ def commit_snapshot(work_dir: str, stage: str, run_id: str,
     final = os.path.join(snap_dir, f"{stage}-v{version}.json")
     with open(tmp, "w") as f:
         json.dump(snap, f)
-    os.rename(tmp, final)  # atomic pointer swap, like a catalog commit
+    # Catalog-commit semantics demand the version file be created
+    # EXCLUSIVELY: os.rename would silently clobber a concurrent
+    # committer's same-numbered snapshot (zombie driver + retry racing
+    # on one stage), losing a commit.  os.link fails with EEXIST on a
+    # collision instead — single writer per stage is a hard requirement
+    # and a violation must raise, not corrupt the history.
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(
+            f"snapshot version collision: {final} already exists — "
+            f"two writers raced on stage {stage!r}; the stage history "
+            "was NOT modified"
+        )
+    os.remove(tmp)
     return snap
 
 

@@ -27,15 +27,18 @@ import io
 import zlib
 
 _CRLF2 = b"\r\n\r\n"
+_GZ_MAGIC = b"\x1f\x8b\x08"
 
 
-def _gunzip_members(data: bytes) -> bytes:
+def _gunzip_members(data: bytes, stats: dict | None = None) -> bytes:
     """Decompress concatenated gzip members (per-record gzip WARCs).
 
     Real crawls contain the occasional truncated or corrupt member; a
     raised zlib.error here would fail the whole archive's Spark task
-    (losing every good record), so decompression keeps everything
-    successfully decoded up to the first bad member and stops."""
+    (losing every good record).  Instead a corrupt member is counted in
+    ``stats['corrupt_gzip_members']`` and decompression RESYNCS at the
+    next gzip magic — members after the bad one are recovered, so one
+    flipped bit no longer discards the rest of a ~1 GB archive."""
     out = []
     pos, n = 0, len(data)
     while pos < n:
@@ -43,7 +46,14 @@ def _gunzip_members(data: bytes) -> bytes:
         try:
             out.append(d.decompress(data[pos:]))
         except zlib.error:
-            break  # corrupt member: keep the good prefix
+            if stats is not None:
+                stats["corrupt_gzip_members"] = (
+                    stats.get("corrupt_gzip_members", 0) + 1)
+            nxt = data.find(_GZ_MAGIC, pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt  # resync at the next member and keep going
+            continue
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             break
@@ -68,11 +78,24 @@ def _http_body(payload: bytes) -> bytes:
     return payload[cut + 4:] if cut >= 0 else payload
 
 
-def parse_warc_bytes(data: bytes) -> list:
+def parse_warc_bytes(data: bytes, stats: dict | None = None) -> list:
     """WARC bytes (plain or per-record gzip) -> list of
-    {url, warc_ts, html} dicts for response records."""
+    {url, warc_ts, html} dicts for response records.
+
+    Malformed framing never silently discards the rest of the archive:
+    a record with a missing/non-integer Content-Length is counted in
+    ``stats['skipped_records']`` and parsing RESYNCS at the next
+    ``\\r\\nWARC/`` marker; a payload running past end-of-data is counted
+    in ``stats['truncated']`` (its bytes are kept).  Pass a dict as
+    ``stats`` to observe data loss — at crawl scale silent loss is the
+    failure mode that matters."""
+    if stats is None:
+        stats = {}
+    stats.setdefault("skipped_records", 0)
+    stats.setdefault("truncated", 0)
+    stats.setdefault("corrupt_gzip_members", 0)
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+        data = _gunzip_members(data, stats)
     pages = []
     pos, n = 0, len(data)
     while pos < n:
@@ -81,12 +104,22 @@ def parse_warc_bytes(data: bytes) -> list:
             break
         head_end = data.find(_CRLF2, start)
         if head_end < 0:
+            stats["truncated"] += 1  # header block cut mid-archive
             break
         headers = _parse_headers(data[start:head_end])
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break  # unrecoverable framing
+            # bad framing for THIS record only: resync at the next
+            # record marker instead of abandoning the whole archive
+            stats["skipped_records"] += 1
+            nxt = data.find(b"\r\nWARC/", head_end)
+            if nxt < 0:
+                break
+            pos = nxt + 2
+            continue
+        if head_end + 4 + length > n:
+            stats["truncated"] += 1  # payload cut short; keep what's there
         payload = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
         if headers.get("warc-type") == "response" and "warc-target-uri" in headers:
@@ -113,16 +146,54 @@ def read_warc(spark, path):
     extract()/extract_fused()."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(batches):
+        import sys
+
         for pdf in batches:
             rows = []
-            for content in pdf["content"]:
-                rows.extend(parse_warc_bytes(bytes(content)))
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                stats: dict = {}
+                rows.extend(parse_warc_bytes(bytes(content), stats))
+                if any(stats.values()):  # loss is never silent
+                    print(f"WARN read_warc {fpath}: {stats}", file=sys.stderr)
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
 
     return files.mapInPandas(parse, schema=WARC_PAGES_SCHEMA)
+
+
+WARC_STATS_SCHEMA = ("path string, pages bigint, skipped_records bigint, "
+                     "truncated bigint, corrupt_gzip_members bigint")
+
+
+def warc_scan_stats(spark, path):
+    """Per-archive integrity report: DataFrame(path, pages,
+    skipped_records, truncated, corrupt_gzip_members).  Run this (or
+    aggregate it) alongside an ingest so skipped/truncated records are a
+    queryable fact rather than an executor-log grep."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                stats: dict = {}
+                pages = parse_warc_bytes(bytes(content), stats)
+                rows.append({
+                    "path": fpath,
+                    "pages": len(pages),
+                    "skipped_records": stats["skipped_records"],
+                    "truncated": stats["truncated"],
+                    "corrupt_gzip_members": stats["corrupt_gzip_members"],
+                })
+            yield pd.DataFrame(
+                rows, columns=["path", "pages", "skipped_records",
+                               "truncated", "corrupt_gzip_members"])
+
+    return files.mapInPandas(scan, schema=WARC_STATS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -166,3 +166,76 @@ def test_snapshot_isolation_hides_orphan_files(spark, tmp_path):
     snap_read = read_snapshot(spark, wd, "s8_compose").count()
     assert dir_read > 40          # raw read sees the orphan
     assert snap_read == 40        # snapshot read does not
+
+
+def test_snapshot_version_collision_raises(tmp_path):
+    """Two writers racing on one stage must not silently clobber a
+    committed snapshot: the second same-version commit raises and the
+    existing history is untouched."""
+    import json
+
+    import pytest
+
+    from origami_spark.plans.snapshots import commit_snapshot
+
+    wd = str(tmp_path / "wd")
+    table = tmp_path / "wd" / "s1"
+    table.mkdir(parents=True)
+    (table / "part-00000-a.parquet").write_bytes(b"")
+    first = commit_snapshot(wd, "s1", "writer-A", [])
+    assert first["version"] == 1
+
+    # a zombie writer computed the same next version concurrently
+    (table / "part-00001-b.parquet").write_bytes(b"")
+    with pytest.raises(RuntimeError, match="collision"):
+        # simulate: it read the catalog BEFORE writer-A committed, so it
+        # also targets v1 — emulate by removing A's file list knowledge
+        import origami_spark.plans.snapshots as S
+
+        orig = S.snapshots
+        try:
+            S.snapshots = lambda *a, **k: []  # zombie's stale catalog view
+            commit_snapshot(wd, "s1", "writer-B", [])
+        finally:
+            S.snapshots = orig
+    # writer-A's commit survived unmodified
+    snap_file = tmp_path / "wd" / "_snapshots" / "s1-v1.json"
+    assert json.loads(snap_file.read_text())["run_id"] == "writer-A"
+    # and no tmp litter remains
+    leftovers = [f for f in (tmp_path / "wd" / "_snapshots").iterdir()
+                 if f.name.endswith(".tmp")]
+    assert leftovers == []
+
+
+def test_out_of_band_table_removal_recovers(spark, tmp_path):
+    """If the stage DIRECTORY is removed while _snapshots/ survives,
+    the next run must treat the manifests as stale and recompute —
+    extending them would reference deleted files forever."""
+    import shutil
+
+    wd = str(tmp_path / "wd")
+    pages = pages_df(spark, 20, num_partitions=2).cache()
+    extract_staged(spark, pages, wd, run_id="r1")
+    shutil.rmtree(f"{wd}/s8_compose")  # out-of-band, bypassing reset_stages
+
+    out = extract_staged(spark, pages, wd, run_id="r2")
+    assert out.count() == 20
+    # fresh history: one snapshot, readable, all rows present
+    assert [s["version"] for s in snapshots(wd, "s8_compose")] == [1]
+    assert read_snapshot(spark, wd, "s8_compose").count() == 20
+
+
+def test_reset_stages_drops_snapshots_without_table_dir(spark, tmp_path):
+    """reset_stages removes manifests even when the table dir is already
+    gone (removed out-of-band)."""
+    import shutil
+
+    from origami_spark.plans.runner import reset_stages
+
+    wd = str(tmp_path / "wd")
+    pages = pages_df(spark, 10, num_partitions=1).cache()
+    extract_staged(spark, pages, wd, run_id="r1")
+    shutil.rmtree(f"{wd}/s8_compose")
+    assert snapshots(wd, "s8_compose") != []  # stale manifests survive
+    reset_stages(wd, ["s8_compose"])
+    assert snapshots(wd, "s8_compose") == []

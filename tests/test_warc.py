@@ -28,16 +28,63 @@ def test_non_response_records_skipped():
     assert len(got) == 3
 
 
-def test_corrupt_gzip_member_keeps_good_prefix():
-    """A truncated/corrupt member mid-archive must not raise — records
-    before the bad member survive (a raised zlib.error would fail the
-    whole archive's Spark task)."""
+def test_corrupt_gzip_member_resyncs_and_counts():
+    """A corrupt member mid-archive must not raise NOR discard the rest:
+    decompression resyncs at the next gzip magic, so members after the
+    bad one are recovered, and the loss is counted."""
     pages = generate_pages(42, 6)
     good = synth_warc(pages[:3], per_record_gzip=True)
     garbage = b"\x1f\x8b\x08\x00BROKEN-NOT-REALLY-GZIP-DATA"
     tail = synth_warc(pages[3:], per_record_gzip=True)
-    got = parse_warc_bytes(good + garbage + tail)
-    assert [g["url"] for g in got] == [p["url"] for p in pages[:3]]
+    stats = {}
+    got = parse_warc_bytes(good + garbage + tail, stats)
+    assert [g["url"] for g in got] == [p["url"] for p in pages]
+    assert stats["corrupt_gzip_members"] >= 1
+
+
+def test_bad_content_length_resyncs_and_counts():
+    """A record with non-integer Content-Length is skipped and counted;
+    parsing resyncs at the next record marker instead of abandoning
+    every remaining record in the archive."""
+    pages = generate_pages(42, 4)
+    head = synth_warc(pages[:2])
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://bad.example/\r\n"
+           b"Content-Length: NOT-A-NUMBER\r\n\r\njunk body\r\n\r\n")
+    tail = synth_warc(pages[2:])
+    stats = {}
+    got = parse_warc_bytes(head + bad + tail, stats)
+    assert [g["url"] for g in got] == [p["url"] for p in pages]
+    assert stats["skipped_records"] == 1
+    assert stats["truncated"] == 0
+
+
+def test_truncated_payload_counted():
+    """An archive cut mid-payload keeps the partial record but reports
+    the truncation."""
+    pages = generate_pages(42, 2)
+    data = synth_warc(pages)
+    stats = {}
+    parse_warc_bytes(data[: len(data) - 40], stats)
+    assert stats["truncated"] >= 1
+
+
+def test_warc_scan_stats_table(spark, tmp_path):
+    """Integrity counters are queryable per archive file."""
+    from origami_spark.sources.warc import warc_scan_stats
+
+    pages = generate_pages(42, 4)
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://bad.example/\r\n"
+           b"Content-Length: NaN\r\n\r\nx\r\n\r\n")
+    (tmp_path / "a.warc").write_bytes(synth_warc(pages[:2]) + bad)
+    (tmp_path / "b.warc").write_bytes(synth_warc(pages[2:]))
+    rows = {r["path"].rsplit("/", 1)[-1]: r
+            for r in warc_scan_stats(spark, str(tmp_path / "*.warc")).collect()}
+    assert rows["a.warc"]["pages"] == 2
+    assert rows["a.warc"]["skipped_records"] == 1
+    assert rows["b.warc"]["pages"] == 2
+    assert rows["b.warc"]["skipped_records"] == 0
 
 
 def test_warc_to_extraction_byte_identical(spark, tmp_path):
