@@ -21,7 +21,15 @@ import re
 from dataclasses import dataclass, field
 
 from .render import render_table
-from .tokenizer import BLOCK_TAGS, DROP_TAGS, Node, Page, build_tree, normalize_text
+from .tokenizer import (
+    BLOCK_TAGS,
+    DROP_TAGS,
+    Node,
+    Page,
+    build_tree,
+    normalize_text,
+    to_utf8,
+)
 
 CHROME_TAGS = frozenset("nav header footer aside form button".split())
 
@@ -219,8 +227,16 @@ _GAP_TAG = re.compile(rb"<[^>]*>")
 
 
 def extract_page(data: bytes) -> list:
-    """html bytes -> list[Block] in document order."""
-    page = build_tree(data)
+    """html bytes -> list[Block] in document order.
+
+    Bytes are first charset-sniffed and transcoded to utf-8
+    (tokenizer.to_utf8) — BOM > <meta charset> prescan > utf-8 — so
+    legacy-encoded crawl pages extract real text instead of U+FFFD soup.
+    utf-8 input passes through untouched (same object, same offsets).
+    This is the single decode point every execution path shares
+    (relational kernels, fused kernel, and the local oracle all enter
+    here)."""
+    page = build_tree(to_utf8(data))
     blocks: list = []
     tag_stack: list = []
 

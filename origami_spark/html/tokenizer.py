@@ -294,3 +294,69 @@ def normalize_text(raw: str) -> str:
 
 def decode_bytes(data: bytes) -> str:
     return data.decode("utf-8", errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing (the "decode raw input bytes" stage — the web analog
+# of origami's OCR decode, batch/detect/ocr.py:89-274).  A real crawl
+# slice is several percent legacy-encoded; without this those pages
+# tokenize as U+FFFD soup and silently pass the whole pipeline.
+# ---------------------------------------------------------------------------
+
+# <meta charset=X> / <meta http-equiv=content-type content="...charset=X">
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+?charset\s*=\s*["']?\s*([a-zA-Z0-9_\-:.]+)""",
+    re.IGNORECASE,
+)
+_SNIFF_LIMIT = 1024  # per the HTML5 prescan, only the head matters
+
+# labels that mean "already the bytes we want" — pass through untouched
+# so the hot path (real-world UTF-8) costs one BOM check + one regex
+_UTF8_LABELS = {"utf-8", "utf8", "ascii", "us-ascii", "utf_8"}
+
+
+def sniff_charset(data: bytes) -> tuple[str, int]:
+    """(encoding-label, bom-length) via BOM, then a <meta charset> /
+    http-equiv prescan of the first 1024 bytes, else utf-8.
+
+    Mirrors the HTML5 encoding-sniff precedence (BOM > transport/meta >
+    default); a meta claiming utf-16 is ignored per the spec (an
+    ASCII-readable meta cannot be inside real utf-16 bytes)."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return "utf-8", 3
+    if data[:2] == b"\xff\xfe":
+        return "utf-16-le", 2
+    if data[:2] == b"\xfe\xff":
+        return "utf-16-be", 2
+    m = _META_CHARSET_RE.search(data[:_SNIFF_LIMIT])
+    if m:
+        label = m.group(1).decode("ascii", "replace").lower()
+        if label.replace("_", "-") in ("utf-16", "utf-16-le", "utf-16-be"):
+            return "utf-8", 0  # HTML5: utf-16 meta in 8-bit bytes is a lie
+        return label, 0
+    return "utf-8", 0
+
+
+def to_utf8(data: bytes) -> bytes:
+    """Transcode page bytes to utf-8 per the sniffed charset.
+
+    utf-8 / ascii input returns the SAME object (no copy) so utf-8
+    corpora keep bit-identical digests and byte offsets; a BOM is
+    stripped; an unknown/mislabeled charset must never raise — unknown
+    labels fall back to utf-8 and decode errors are replaced.  After
+    this, every downstream byte offset refers to the utf-8 form of the
+    document (for non-utf-8 pages the raw archive offsets differ — the
+    span contract is over the decoded document, like the reference's
+    dewarped coordinate space)."""
+    enc, bom = sniff_charset(data)
+    if enc in _UTF8_LABELS:
+        return data[bom:] if bom else data
+    import codecs
+
+    try:
+        codec = codecs.lookup(enc).name
+    except LookupError:
+        return data[bom:] if bom else data  # unknown label: assume utf-8
+    if codec == "utf-8":
+        return data[bom:] if bom else data
+    return data[bom:].decode(codec, errors="replace").encode("utf-8")

@@ -75,3 +75,14 @@ def test_tag_soup_never_crashes(data):
 @given(tag_soup(), tag_soup())
 def test_concatenation_stays_in_bounds(a, b):
     _check_invariants(a + b"<hr>" + b)
+
+
+@given(st.binary(max_size=300), st.sampled_from(
+    [b"gb2312", b"shift-jis", b"windows-1251", b"utf-16", b"bogus-enc"]))
+def test_mislabeled_charset_never_crashes(data, label):
+    """A <meta charset> that lies about the body bytes must never raise
+    and spans must stay in-bounds of the decoded document."""
+    html = b'<html><head><meta charset="' + label + b'"></head><body>' + data
+    r = extract_document(html)
+    for s in r["spans"]:
+        assert 0 <= s["start"] <= s["end"]

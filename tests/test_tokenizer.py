@@ -86,3 +86,60 @@ def test_table_implicit_cells():
     page = build_tree(b"<table><tr><td>a<td>b<tr><td>c</table>")
     assert len(find(page, "td")) == 3
     assert len(find(page, "tr")) == 2
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing (BOM > meta prescan > utf-8)
+# ---------------------------------------------------------------------------
+
+def test_sniff_charset_precedence():
+    from origami_spark.html.tokenizer import sniff_charset
+
+    assert sniff_charset(b"\xef\xbb\xbf<html>") == ("utf-8", 3)
+    assert sniff_charset(b"\xff\xfex\x00") == ("utf-16-le", 2)
+    assert sniff_charset(b"\xfe\xff\x00x") == ("utf-16-be", 2)
+    assert sniff_charset(b'<meta charset="gb2312">') == ("gb2312", 0)
+    assert sniff_charset(
+        b'<META HTTP-EQUIV="Content-Type" '
+        b'CONTENT="text/html; charset=Windows-1251">') == ("windows-1251", 0)
+    assert sniff_charset(b"<html>no declaration") == ("utf-8", 0)
+    # HTML5: an ASCII-readable utf-16 meta is a lie -> utf-8
+    assert sniff_charset(b'<meta charset="utf-16">') == ("utf-8", 0)
+
+
+def test_sniff_limit_is_1024_bytes():
+    from origami_spark.html.tokenizer import sniff_charset
+
+    late = b"<html>" + b" " * 1100 + b'<meta charset="gb2312">'
+    assert sniff_charset(late) == ("utf-8", 0)
+
+
+def test_to_utf8_passthrough_is_same_object():
+    from origami_spark.html.tokenizer import to_utf8
+
+    data = "<html><p>plain utf-8 é</p></html>".encode()
+    assert to_utf8(data) is data  # zero-copy on the hot path
+
+
+def test_to_utf8_transcodes_legacy():
+    from origami_spark.html.tokenizer import to_utf8
+
+    cp = '<meta charset="windows-1252"><p>café — naïve</p>'.encode("cp1252")
+    assert to_utf8(cp).decode() == '<meta charset="windows-1252"><p>café — naïve</p>'
+    gb = '<meta charset="gb2312"><p>中文</p>'.encode("gb2312")
+    assert "中文" in to_utf8(gb).decode()
+    u16 = "<p>utf-16 body</p>".encode("utf-16")  # BOM + LE
+    assert to_utf8(u16) == "<p>utf-16 body</p>".encode()
+
+
+def test_to_utf8_never_raises_on_lies():
+    from origami_spark.html.tokenizer import to_utf8
+
+    # claims gb2312, bytes are invalid for it -> replacement, no raise
+    lie = b'<meta charset="gb2312"><p>\xff\xfe\xfd garbage</p>'
+    assert b"<p>" in to_utf8(lie)
+    # unknown label -> utf-8 passthrough
+    unk = b'<meta charset="not-a-charset-9000"><p>ok</p>'
+    assert to_utf8(unk) is unk
+    # BOM stripped even for utf-8
+    assert to_utf8(b"\xef\xbb\xbf<p>x</p>") == b"<p>x</p>"
