@@ -1,11 +1,12 @@
 """Training-data export sinks.
 
 ``export_jsonl`` writes any DataFrame as size-targeted, compressed
-JSONL shards — the interchange format LLM data pipelines ingest.  Shard
-count is derived from the data's own serialized size (one cheap
-aggregate), so a 100 TB export lands as ~target-sized files instead of
-one file per upstream partition (tiny-file explosion) or a handful of
-unsplittable monsters.  Gzip keeps shards independently readable.
+JSONL shards — the interchange format LLM data pipelines ingest.
+Shard size is enforced by the writer's ``maxRecordsPerFile`` using a
+rows-per-shard figure derived from a SAMPLED bytes/row estimate, so the
+export makes exactly ONE pass over the data: no full ``to_json`` sizing
+aggregate (a wasted 100 TB serialization) and no ``repartition`` shuffle
+just to hit a file size.  Gzip keeps shards independently readable.
 """
 
 from __future__ import annotations
@@ -16,31 +17,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def export_jsonl(df: DataFrame, path: str, target_shard_mb: int = 256,
-                 compression: str = "gzip") -> int:
-    """Write `df` as JSONL shards of ~`target_shard_mb` (uncompressed
-    estimate).  Returns the shard count.
+def _count_part_files(spark, path: str) -> int:
+    """Number of part- files the write produced (any Hadoop fs)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sum(
+        1 for st in fs.listStatus(hpath)
+        if st.getPath().getName().startswith("part-")
+    )
 
-    The input is persisted for the duration so the sizing aggregate and
-    the write share one computation of the lineage (an unpersisted
-    frame would be computed twice — double cost at a 100 TB export);
-    sizes use octet_length (bytes), not character counts."""
-    already_cached = df.is_cached
-    if not already_cached:
-        df = df.persist()
-    try:
-        size_row = df.select(
-            F.sum(F.octet_length(F.to_json(F.struct(*df.columns)))).alias("b")
-        ).collect()[0]
-        total = (size_row["b"] or 0) + 1
-        shards = max(1, math.ceil(total / (target_shard_mb * 1024 * 1024)))
-        (
-            df.repartition(shards)
-            .write.mode("overwrite")
-            .option("compression", compression)
-            .json(path)
-        )
-    finally:
-        if not already_cached:
-            df.unpersist()
-    return shards
+
+def export_jsonl(df: DataFrame, path: str, target_shard_mb: int = 256,
+                 compression: str = "gzip",
+                 sample_rows: int = 2048) -> int:
+    """Write `df` as JSONL shards of ~`target_shard_mb` (uncompressed
+    estimate).  Returns the number of part files written.
+
+    Sizing: serialize only the first ``sample_rows`` rows (a LIMIT — one
+    tiny job, typically one upstream partition) to estimate bytes/row,
+    convert the target size to rows-per-file, and let the writer split
+    files via ``maxRecordsPerFile``.  The data itself is read exactly
+    once, by the write.
+
+    Shard-size contract: every file holds at most rows-per-shard rows,
+    so no file exceeds ~target x (true bytes/row / sampled bytes/row) —
+    within 2x target unless the sample is wildly unrepresentative.  The
+    FLOOR on file count is the upstream partitioning: the writer splits
+    large partitions but never merges small ones (that merge is a
+    shuffle, and whether to pay it is the caller's call — repartition
+    first if many tiny partitions must coalesce)."""
+    # CollectLimit executes incrementally (first partition, then grow),
+    # so this job touches ~one upstream partition — an agg on top would
+    # force a LocalLimit per partition and evaluate them ALL
+    sampled = (
+        df.limit(sample_rows)
+        .select(F.octet_length(F.to_json(F.struct(*df.columns))).alias("b"))
+        .collect()
+    )
+    sample = {"n": len(sampled), "b": sum(r["b"] or 0 for r in sampled)}
+    target_bytes = int(target_shard_mb * 1024 * 1024)
+    if sample["n"] and sample["n"] < sample_rows:
+        # the LIMIT exhausted the table: sample IS the table, sizing is
+        # exact — coalesce small exports instead of leaving one file per
+        # upstream partition
+        shards = max(1, math.ceil(sample["b"] / target_bytes))
+        df = df.coalesce(shards)
+    writer = df.write.mode("overwrite").option("compression", compression)
+    if sample["n"]:
+        bytes_per_row = max(1, math.ceil(sample["b"] / sample["n"]))
+        rows_per_shard = max(1, target_bytes // bytes_per_row)
+        writer = writer.option("maxRecordsPerFile", rows_per_shard)
+    writer.json(path)
+    return _count_part_files(df.sparkSession, path)
