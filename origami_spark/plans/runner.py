@@ -36,6 +36,15 @@ def _exists(path: str) -> bool:
     return os.path.exists(path)
 
 
+def _stage_table_name(work_dir: str, name: str) -> str:
+    """Catalog identifier for a bucketed stage table, unique per
+    (work_dir, stage)."""
+    import hashlib
+
+    return ("stage_" + hashlib.md5(work_dir.encode()).hexdigest()[:10]
+            + "_" + name)
+
+
 def run_stage(
     spark: SparkSession,
     name: str,
@@ -44,6 +53,7 @@ def run_stage(
     work_dir: str,
     key: str = "url",
     run_id: str | None = None,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Run one pipeline stage with resume + lineage; return the full
     committed stage table (previous snapshots + this run's appends).
@@ -51,6 +61,16 @@ def run_stage(
     `build`: DataFrame -> DataFrame (kernels and/or relational ops).
     Only rows whose `key` is not yet committed are computed (anti-join
     resume); the transform result is appended atomically.
+
+    ``buckets``: write the stage table ``bucketBy(buckets, key)`` +
+    ``sortBy(key)`` (sources/bucketed.py rationale) so every downstream
+    join/window on `key` — the S5->S8 chain is nothing else — reads
+    co-located buckets instead of paying an Exchange per stage.  The
+    snapshot manifest stays the source of truth: the bucketed catalog
+    view is returned only when the data directory holds exactly the
+    committed files (no crashed-writer orphans); otherwise the reader
+    falls back to the manifest file list, which is always correct but
+    loses the bucket layout for that run.
     """
     out_path = os.path.join(work_dir, name)
     lineage_path = os.path.join(work_dir, LINEAGE_DIR)
@@ -85,7 +105,8 @@ def run_stage(
             done = committed.select(key).distinct()
             todo = src.join(done, key, "left_anti")
             if todo.isEmpty():  # fully resumed: nothing to commit
-                return committed
+                return _committed_view(spark, work_dir, name, buckets,
+                                       fallback=committed)
 
     t0 = time.monotonic()
     status = "COMPLETED"
@@ -97,7 +118,20 @@ def run_stage(
             .withColumn("_part_id", F.spark_partition_id())
             .withColumn("_run_id", F.lit(run_id))
         )
-        result.write.mode("append").parquet(out_path)
+        if buckets:
+            # co-located stage table: the one-time shuffle here buys
+            # exchange-free joins/windows on `key` for every downstream
+            # stage (and every later run)
+            (
+                result.write.mode("append")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                .option("path", out_path)
+                .format("parquet")
+                .saveAsTable(_stage_table_name(work_dir, name))
+            )
+        else:
+            result.write.mode("append").parquet(out_path)
         # versioned snapshot commit (Iceberg-commit analog, see
         # plans/snapshots.py): readers via read_snapshot get snapshot
         # isolation + time travel over the same parquet files
@@ -149,6 +183,27 @@ def run_stage(
     latest = snapshots(work_dir, name)[-1]
     if not latest["manifest"]:
         return result.limit(0).drop("_part_id", "_run_id")
+    return _committed_view(spark, work_dir, name, buckets)
+
+
+def _committed_view(spark: SparkSession, work_dir: str, name: str,
+                    buckets: int | None,
+                    fallback: DataFrame | None = None) -> DataFrame:
+    """The stage's committed rows, preferring the bucketed catalog table
+    (exchange-free downstream) when it provably equals the committed
+    view: the catalog table lists the whole directory, so it is only
+    safe when the directory holds exactly the latest manifest's files —
+    any crashed-writer orphan forces the manifest file list instead."""
+    from .snapshots import _data_files, read_snapshot, snapshots
+
+    if buckets:
+        tbl = _stage_table_name(work_dir, name)
+        clean = set(_data_files(os.path.join(work_dir, name))) == set(
+            snapshots(work_dir, name)[-1]["manifest"])
+        if clean and spark.catalog.tableExists(tbl):
+            return spark.table(tbl).drop("_part_id", "_run_id")
+    if fallback is not None:
+        return fallback
     return read_snapshot(spark, work_dir, name)
 
 

@@ -58,3 +58,90 @@ def test_bucketed_aggregation_skips_shuffle(spark, tmp_path):
         assert want.exceptAll(agg).count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li_agg")
+
+
+def test_staged_pipeline_bucketed_stages(spark, tmp_path):
+    """extract_staged(buckets=N) writes every stage table co-located on
+    url: output matches the plain staged run byte-for-byte, the stage
+    tables are genuinely bucketed (a url-window over one plans with NO
+    Exchange), and resume still appends correctly."""
+    from origami_spark.pipeline import extract_staged
+    from origami_spark.plans.runner import _stage_table_name
+    from origami_spark.sources.corpus import pages_df
+    from pyspark.sql import Window
+
+    pages = pages_df(spark, 40, num_partitions=2).cache()
+    wd_b = str(tmp_path / "bucketed")
+    wd_p = str(tmp_path / "plain")
+    out_b = extract_staged(spark, pages, wd_b, run_id="r1", buckets=8)
+    out_p = extract_staged(spark, pages, wd_p, run_id="r1")
+    a = {(r["url"], r["text"]) for r in out_b.select("url", "text").collect()}
+    b = {(r["url"], r["text"]) for r in out_p.select("url", "text").collect()}
+    assert a == b and len(a) == 40
+
+    # the committed stage table exposes its bucket layout: a window
+    # partitioned on url (exactly what s5/s7 compute) needs no Exchange
+    tbl = spark.table(_stage_table_name(wd_b, "s5_layout"))
+    w = Window.partitionBy("url").orderBy("seq")
+    plan = (
+        tbl.withColumn("rn", F.row_number().over(w))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+    # resume: 20 more pages append into the same bucketed tables
+    more = pages_df(spark, 60, num_partitions=2)
+    out2 = extract_staged(spark, more, wd_b, run_id="r2", buckets=8)
+    assert out2.count() == 60
+    texts = {r["url"]: r["text"] for r in out2.collect()}
+    golden = {r["url"]: r["text"]
+              for r in more.select("url", "text").collect()}
+    assert texts == golden
+
+
+def test_bucketed_stage_orphans_fall_back_to_manifest(spark, tmp_path):
+    """If a crashed writer leaves an orphan file in a bucketed stage
+    dir, the committed view must NOT use the catalog table (which lists
+    the whole directory) — it falls back to the manifest file list."""
+    import os
+    import shutil
+
+    from origami_spark.pipeline import extract_staged
+    from origami_spark.sources.corpus import pages_df
+
+    pages = pages_df(spark, 20, num_partitions=1).cache()
+    wd = str(tmp_path / "wd")
+    extract_staged(spark, pages, wd, run_id="r1", buckets=4)
+
+    table = f"{wd}/s8_compose"
+    part = next(f for f in os.listdir(table) if f.endswith(".parquet"))
+    shutil.copy(f"{table}/{part}", f"{table}/part-99999-orphan.parquet")
+
+    out = extract_staged(spark, pages, wd, run_id="r2", buckets=4)
+    assert out.count() == 20  # orphan rows invisible
+
+
+def test_bucketed_stage_removes_refine_exchange(spark, tmp_path):
+    """The S5 build (layout.refine: windows on url) over a bucketed
+    s2_blocks table plans strictly fewer Exchanges than over the plain
+    manifest read — the per-stage shuffle is gone."""
+    from origami_spark.operators.layout import refine
+    from origami_spark.pipeline import extract_staged
+    from origami_spark.plans.runner import _stage_table_name
+    from origami_spark.plans.snapshots import read_snapshot
+    from origami_spark.sources.corpus import pages_df
+
+    pages = pages_df(spark, 30, num_partitions=2).cache()
+    wd = str(tmp_path / "wd")
+    extract_staged(spark, pages, wd, run_id="r1", buckets=8)
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    bucketed_src = spark.table(_stage_table_name(wd, "s2_blocks")).drop(
+        "_part_id", "_run_id")
+    plain_src = read_snapshot(spark, wd, "s2_blocks")
+    nb, np_ = n_exchanges(refine(bucketed_src)), n_exchanges(refine(plain_src))
+    assert nb < np_, (nb, np_)
+    assert nb == 0, nb
