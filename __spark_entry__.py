@@ -465,14 +465,28 @@ def ann_lsh_topk(spark, sf):
                       planes=4, tables=16)
 
 
+IVF_CENTROIDS_PATH = "/tmp/origami_ivf_centroids.parquet"
+
+
 def ann_ivf_topk(spark, sf):
-    """IVF approximate top-k (k-means coarse quantizer, nprobe inverted
-    lists).  No oracle_sql: the quantizer is an iterative distributed
-    algorithm (driver-loop Lloyd steps) — the non-SQL-expressible class
-    the driver records rows-only; recall vs the exact scan is asserted
-    in tests/test_similarity.py (0.90 at nprobe/n_clusters = 0.25)."""
-    return S.ivf_topk(_t(spark, sf, "embeddings"), list(range(8)), k=5,
-                      n_clusters=16, nprobe=4)
+    """IVF approximate top-k, now hash-gated: the k-means TRAINING stays
+    an iterative driver-loop (not SQL-expressible), but its output — the
+    centroid table — is staged to parquet and the SERVING path
+    (deterministic argmin assignment + nprobe + exact re-rank,
+    operators/similarity.ivf_topk_served) is pure relational SQL that
+    the DuckDB oracle reruns over the same staged centroids.  Recall vs
+    the exact scan is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf, "embeddings")
+    cents = S.train_ivf_centroids(emb, n_clusters=16, iters=5)
+    rows = [
+        (int(i), [float(v) for v in c], float(sum(float(v) * float(v) for v in c)))
+        for i, c in enumerate(cents)
+    ]
+    cdf = spark.createDataFrame(
+        rows, "cluster int, centroid array<double>, c_sq double")
+    cdf.coalesce(1).write.mode("overwrite").parquet(IVF_CENTROIDS_PATH)
+    staged = spark.read.parquet(IVF_CENTROIDS_PATH)
+    return S.ivf_topk_served(emb, staged, list(range(8)), k=5, nprobe=4)
 
 
 def text_token_stats(spark, sf):
@@ -547,7 +561,8 @@ def lines_confidence(spark, sf):
     ConfidenceSampler analog).  Rows-only like the other extraction
     entries (DuckDB cannot parse HTML); the value semantics are pinned
     by tests/test_lines.py::test_line_confidence_real and the staged
-    artifact tests."""
+    artifact tests — and the arithmetic itself is hash-gated by the
+    ``lines_confidence_checked`` companion below."""
     from origami_spark.operators.layout import refine
     from origami_spark.operators.lines import lines_table
     from origami_spark.pipeline import parse_stage
@@ -555,6 +570,52 @@ def lines_confidence(spark, sf):
     pages = _pages_from_documents(spark, sf)
     return lines_table(refine(parse_stage(pages))).select(
         "url", "path", "line_id", "raw_start", "raw_end", "confidence"
+    )
+
+
+LINES_EVIDENCE_PATH = "/tmp/origami_lines_evidence.parquet"
+
+
+def lines_confidence_checked(spark, sf):
+    """Hash-gated companion to ``lines_confidence``: DuckDB cannot parse
+    HTML, but the confidence ARITHMETIC (link chars -> non-link share ->
+    predicted label, operators/lines.py:50-76) is pure relational math.
+    The parse kernel stages its per-line evidence (line_len, link_len)
+    to parquet; this query computes the arithmetic over the staged
+    columns and the DuckDB oracle runs the identical SQL over the same
+    file — so the one formerly rows-only number is now value-checked."""
+    from origami_spark.operators.layout import refine
+    from origami_spark.pipeline import parse_stage
+
+    pages = _pages_from_documents(spark, sf)
+    refined = refine(parse_stage(pages))
+    evidence = refined.select(
+        "url",
+        F.col("path").alias("block_path"),
+        F.posexplode(
+            F.arrays_zip(F.split("text", "\n"), F.col("line_spans"))
+        ).alias("pos", "z"),
+    ).select(
+        "url",
+        "block_path",
+        (F.col("pos") + 1).cast("bigint").alias("line_id"),
+        F.length(F.col("z")["0"]).cast("bigint").alias("line_len"),
+        F.coalesce(F.col("z")["line_spans"]["link_len"], F.lit(0))
+        .cast("bigint").alias("link_len"),
+    ).filter(F.col("line_len") > 0)
+    evidence.write.mode("overwrite").parquet(LINES_EVIDENCE_PATH)
+
+    staged = spark.read.parquet(LINES_EVIDENCE_PATH)
+    conf = F.round(
+        (F.col("line_len") - F.col("link_len")).cast("double")
+        / F.col("line_len"),
+        4,
+    )
+    return staged.select(
+        "url", "block_path", "line_id", "line_len", "link_len",
+        conf.alias("confidence"),
+        F.when(conf >= 0.5, F.lit("TEXT")).otherwise(F.lit("LINK"))
+        .alias("predicted_label"),
     )
 
 
@@ -603,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_compose": extract_compose,
         "extract_blocks": extract_blocks,
         "lines_confidence": lines_confidence,
+        "lines_confidence_checked": lines_confidence_checked,
     }
 
 
@@ -1122,4 +1184,56 @@ def oracle_sql() -> dict[str, str]:
     }
     sql["dedup_embedding_lsh"] = _lsh_oracle_sql(8, 8, 64, 0.4)
     sql["ann_lsh_topk"] = _lsh_topk_oracle_sql(4, 16, 64, 5, 8)
+    # the confidence ARITHMETIC over the evidence the Spark query staged
+    # (lines_confidence_checked writes it before returning); DuckDB
+    # reruns the identical division/rounding/labeling over that file
+    sql["lines_confidence_checked"] = f"""
+        SELECT url, block_path, line_id, line_len, link_len,
+               round(CAST(line_len - link_len AS DOUBLE) / line_len, 4)
+                 AS confidence,
+               CASE WHEN round(CAST(line_len - link_len AS DOUBLE)
+                               / line_len, 4) >= 0.5
+                    THEN 'TEXT' ELSE 'LINK' END AS predicted_label
+        FROM '{LINES_EVIDENCE_PATH}/*.parquet'"""
+    # IVF serving over the staged centroid table (training stays
+    # iterative and Spark-side; ann_ivf_topk stages centroids + c_sq
+    # before returning) — same rounded-distance argmin, same probes,
+    # same exact cosine re-rank
+    sql["ann_ivf_topk"] = f"""
+        WITH cen AS (
+          SELECT cluster, centroid, c_sq
+          FROM '{IVF_CENTROIDS_PATH}/*.parquet'),
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        scored AS (
+          SELECT e.vec_id, e.embedding, cen.cluster,
+                 round(cen.c_sq - 2.0 * list_sum(
+                   [CAST(e.embedding[i] AS DOUBLE) * cen.centroid[i]
+                    for i in range(1, 65)]), 6) AS dist
+          FROM e CROSS JOIN cen),
+        ranked AS (
+          SELECT *, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY dist, cluster) AS ark
+          FROM scored),
+        assigned AS (
+          SELECT vec_id, embedding, cluster FROM ranked WHERE ark = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cluster FROM ranked
+          WHERE vec_id < 8 AND ark <= 4),
+        qv AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM e WHERE vec_id < 8),
+        cand AS (
+          SELECT p.query_id, a.vec_id, a.embedding, q.qvec
+          FROM assigned a
+          JOIN probes p ON a.cluster = p.cluster AND a.vec_id != p.query_id
+          JOIN qv q ON q.query_id = p.query_id),
+        sc AS (
+          SELECT query_id, vec_id,
+                 round(CAST(list_cosine_similarity(qvec, embedding)
+                       AS DOUBLE), 4) AS cosine
+          FROM cand),
+        r2 AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
+          FROM sc)
+        SELECT query_id, vec_id, cosine, rk FROM r2 WHERE rk <= 5"""
     return sql

@@ -65,3 +65,85 @@ def to_xml(composed: DataFrame) -> DataFrame:
         F.lit("</Text>\n</Document>\n"),
     )
     return composed.select("url", xml.alias("xml"))
+
+
+# PRImA PAGE-XML 2019-07-15 — the schema the reference validates against
+# (pagexml/pagexml.py:12, pagexml/pagecontent.xsd); both are public.
+PAGE_NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+
+
+def to_page_xml(ranked: DataFrame, creator: str = "origami_spark",
+                created: str = "2024-01-01T00:00:00Z") -> DataFrame:
+    """ranked blocks (url, rank, path, label, start, end, text) ->
+    (url, xml) conforming to the PAGE-XML 2019-07-15 schema contract —
+    the standard interchange the reference emits (pagexml/pagexml.py):
+
+    * ``PcGts`` root in the PAGE namespace: ``Metadata`` (Creator,
+      Created, LastChange — xs:dateTime, fixed input so output is
+      deterministic) then ``Page``
+    * ``Page`` carries the required imageFilename/imageWidth/imageHeight
+      (url; document char extent; 1 — the page is 1-D, so spans map to
+      degenerate height-1 rectangles in the PointsType coordinate space)
+    * ``ReadingOrder``/``OrderedGroup``/``RegionRefIndexed index=0..n-1``
+      referencing each region, in rank order
+    * one ``TextRegion`` per block: required ``Coords points`` (4-point
+      span rectangle matching the XSD PointsType pattern),
+      ``TextEquiv``/``Unicode`` with the block text, and the engine's
+      label + block path in ``custom``
+
+    Entirely Catalyst (transform + array_join), like ``to_xml``.  Pages
+    with zero surviving blocks produce no row (left-join against the
+    page universe to see them)."""
+    regions = ranked.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("rank", "path", "label", "start", "end", "text"))
+        ).alias("rs"),
+        F.max("end").cast("string").alias("width"),
+    )
+    refs = F.array_join(
+        F.transform("rs", lambda r: F.concat(
+            F.lit('        <RegionRefIndexed index="'),
+            (r["rank"] - 1).cast("string"),
+            F.lit('" regionRef="r_'), r["rank"].cast("string"),
+            F.lit('"/>'),
+        )),
+        "\n",
+    )
+    regions_xml = F.array_join(
+        F.transform("rs", lambda r: F.concat(
+            F.lit('    <TextRegion id="r_'), r["rank"].cast("string"),
+            F.lit('" type="paragraph" custom="'),
+            _esc(F.concat(F.lit("label:"), r["label"],
+                          F.lit("; path:"), r["path"])),
+            F.lit('">\n      <Coords points="'),
+            r["start"].cast("string"), F.lit(",0 "),
+            r["end"].cast("string"), F.lit(",0 "),
+            r["end"].cast("string"), F.lit(",1 "),
+            r["start"].cast("string"),
+            F.lit(',1"/>\n      <TextEquiv><Unicode>'),
+            _esc(r["text"]),
+            F.lit("</Unicode></TextEquiv>\n    </TextRegion>"),
+        )),
+        "\n",
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+              f'<PcGts xmlns="{PAGE_NS}">\n'
+              "  <Metadata>\n"
+              f"    <Creator>{creator}</Creator>\n"
+              f"    <Created>{created}</Created>\n"
+              f"    <LastChange>{created}</LastChange>\n"
+              "  </Metadata>\n"
+              '  <Page imageFilename="'),
+        _esc(F.col("url")),
+        F.lit('" imageWidth="'), F.col("width"),
+        F.lit('" imageHeight="1">\n'
+              "    <ReadingOrder>\n"
+              '      <OrderedGroup id="ro_1">\n'),
+        refs,
+        F.lit("\n      </OrderedGroup>\n    </ReadingOrder>\n"),
+        regions_xml,
+        F.lit("\n  </Page>\n</PcGts>\n"),
+    )
+    return regions.select("url", xml.alias("xml"))

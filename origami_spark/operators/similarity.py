@@ -210,6 +210,62 @@ def _assign_clusters(emb: DataFrame, centroids) -> DataFrame:
     return emb.withColumn("cluster", assign("embedding"))
 
 
+def ivf_topk_served(emb: DataFrame, centroids_df: DataFrame, query_ids,
+                    k: int = 5, nprobe: int = 4) -> DataFrame:
+    """IVF SERVING over fixed, already-trained centroids — fully
+    relational and engine-portable, so the DuckDB oracle can run the
+    identical SQL over the same staged centroid table (the training
+    stays iterative and un-oracled; only the quantizer output crosses
+    the boundary, as a table).
+
+    ``centroids_df``: (cluster int, centroid array<double>, c_sq double)
+    — c_sq is staged alongside so neither engine recomputes the norm.
+    Assignment: argmin over round(c_sq - 2*x.c, 6) with cluster-id
+    tie-break; ranking on a ROUNDED distance keeps the argmin identical
+    across engines (the dot product folds left-to-right in both — the
+    _seq_dot rationale).  Queries probe their `nprobe` nearest
+    centroids; exact cosine re-rank inside the probed lists.  The
+    centroid side is k rows — broadcast, the corpus never shuffles for
+    assignment."""
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(centroids_df)).select(
+        "vec_id", "embedding", "cluster",
+        F.round(F.col("c_sq") - 2.0 * dot, 6).alias("dist"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    ranked = scored.withColumn("ark", F.row_number().over(aw))
+    assigned = ranked.filter(F.col("ark") == 1).select(
+        "vec_id", "embedding", "cluster")
+    probes = ranked.filter(
+        F.col("vec_id").isin(list(query_ids)) & (F.col("ark") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "cluster")
+    qv = e.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cand = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "query_id", "vec_id",
+            F.round(_cosine("qv", "embedding"), 4).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
 def ivf_topk(emb: DataFrame, query_ids, k: int = 5, n_clusters: int = 16,
              nprobe: int = 4, iters: int = 5, dim: int = 64) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer; each query scans

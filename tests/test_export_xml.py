@@ -2,6 +2,8 @@
 
 import xml.etree.ElementTree as ET
 
+import pyspark.sql.functions as F
+
 from origami_spark.operators.export_xml import to_xml
 from origami_spark.pipeline import extract_fused
 from origami_spark.sources.corpus import pages_df
@@ -32,3 +34,73 @@ def test_xml_escaping(spark):
     xml = to_xml(extract_fused(spark, pages, partitions=1)).first()["xml"]
     root = ET.fromstring(xml)
     assert root.find("Text").text.strip() == 'AT&T says 1 < 2 & "x".'
+
+
+def test_page_xml_schema_contract(spark):
+    """Structural validation of to_page_xml against the PAGE-XML
+    2019-07-15 XSD contract (pagecontent.xsd ships with the reference;
+    no lxml in this container, so the required structure — namespace,
+    element order, required attributes, PointsType pattern, ID/IDREF
+    wiring — is asserted explicitly with stdlib parsing)."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    from origami_spark.operators.export_xml import PAGE_NS, to_page_xml
+    from origami_spark.operators.layout import refine
+    from origami_spark.operators.order import rank_blocks
+    from origami_spark.pipeline import parse_stage
+    from origami_spark.sources.corpus import pages_df
+
+    pages = pages_df(spark, 25)
+    # url with XML-hostile chars must escape cleanly
+    pages = pages.withColumn(
+        "url", F.concat("url", F.lit('?a=1&b="<x>"')))
+    ranked = rank_blocks(refine(parse_stage(pages)))
+    rows = to_page_xml(ranked).collect()
+    assert len(rows) >= 20
+
+    ns = {"pc": PAGE_NS}
+    points_re = re.compile(r"^([0-9]+,[0-9]+ )+([0-9]+,[0-9]+)$")
+    dt_re = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}")
+    for r in rows:
+        root = ET.fromstring(r["xml"])  # well-formed or this raises
+        assert root.tag == f"{{{PAGE_NS}}}PcGts"
+        # PcGtsType sequence: Metadata then Page
+        kids = [c.tag for c in root]
+        assert kids == [f"{{{PAGE_NS}}}Metadata", f"{{{PAGE_NS}}}Page"]
+        meta = root.find("pc:Metadata", ns)
+        assert [c.tag.split("}")[1] for c in meta] == [
+            "Creator", "Created", "LastChange"]
+        assert dt_re.match(meta.find("pc:Created", ns).text)
+
+        page = root.find("pc:Page", ns)
+        # required PageType attributes, int-typed
+        assert page.get("imageFilename") == r["url"]
+        int(page.get("imageWidth")), int(page.get("imageHeight"))
+
+        regions = page.findall("pc:TextRegion", ns)
+        assert regions, r["url"]
+        ids = []
+        for reg in regions:
+            rid = reg.get("id")
+            assert rid and re.match(r"^r_\d+$", rid)
+            ids.append(rid)
+            # RegionType: Coords is a REQUIRED child, points matches
+            # the XSD PointsType pattern, coords within image bounds
+            coords = reg.find("pc:Coords", ns)
+            assert coords is not None
+            pts = coords.get("points")
+            assert points_re.match(pts), pts
+            w = int(page.get("imageWidth"))
+            for pair in pts.split(" "):
+                x, y = map(int, pair.split(","))
+                assert 0 <= x <= w and 0 <= y <= 1
+            assert reg.find("pc:TextEquiv/pc:Unicode", ns) is not None
+
+        # ReadingOrder: OrderedGroup with id; RegionRefIndexed indices
+        # are 0..n-1 in order and every regionRef resolves (IDREF)
+        og = page.find("pc:ReadingOrder/pc:OrderedGroup", ns)
+        assert og is not None and og.get("id")
+        refs = og.findall("pc:RegionRefIndexed", ns)
+        assert [int(x.get("index")) for x in refs] == list(range(len(ids)))
+        assert [x.get("regionRef") for x in refs] == ids

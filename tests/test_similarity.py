@@ -71,3 +71,37 @@ def test_hyperplane_buckets_deterministic(spark):
         "vec_id", F.col("buckets").cast("string").alias("b"))
     assert a.subtract(b).count() == 0
     assert b.subtract(a).count() == 0
+
+
+def test_ivf_served_matches_kernel_assignment(spark):
+    """The relational serving path (ivf_topk_served over staged
+    centroids — the oracle shape) returns the same neighbour sets as
+    the kernel-argmin ivf_topk for the same trained quantizer, and its
+    cosines are exact."""
+    from origami_spark.operators.similarity import (
+        ivf_topk_served,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    cents = train_ivf_centroids(emb, n_clusters=16, iters=5)
+    rows = [
+        (int(i), [float(v) for v in c],
+         float(sum(float(v) * float(v) for v in c)))
+        for i, c in enumerate(cents)
+    ]
+    cdf = spark.createDataFrame(
+        rows, "cluster int, centroid array<double>, c_sq double")
+    served = ivf_topk_served(emb, cdf, QUERIES, k=K, nprobe=6).collect()
+    kernel = ivf_topk(emb, QUERIES, k=K, n_clusters=16, nprobe=6).collect()
+    s = {(r["query_id"], r["vec_id"]) for r in served}
+    kn = {(r["query_id"], r["vec_id"]) for r in kernel}
+    # same quantizer, same probes -> identical candidate lists except
+    # for rounded-distance assignment ties; require near-total agreement
+    assert len(s & kn) / len(kn) >= 0.9, (len(s & kn), len(kn))
+    exact = {(r["query_id"], r["vec_id"]): r["cosine"]
+             for r in cosine_topk(emb, QUERIES, k=300).collect()}
+    for r in served:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cosine"]) < 1e-9
