@@ -141,26 +141,29 @@ def parse_warc_bytes(data: bytes, stats: dict | None = None) -> list:
 WARC_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
 
 
+def pages_kernel(batches):
+    """mapInPandas kernel: (path, content) archive batches -> page rows.
+    Shared by the batch reader and the streaming ingest
+    (streaming/ingest.stream_extract_warc)."""
+    import sys
+
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for fpath, content in zip(pdf["path"], pdf["content"]):
+            stats: dict = {}
+            rows.extend(parse_warc_bytes(bytes(content), stats))
+            if any(stats.values()):  # loss is never silent
+                print(f"WARN read_warc {fpath}: {stats}", file=sys.stderr)
+        yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+
+
 def read_warc(spark, path):
     """Archive glob -> DataFrame(url, warc_ts, html), ready for
     extract()/extract_fused()."""
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-
-    def parse(batches):
-        import sys
-
-        for pdf in batches:
-            rows = []
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                stats: dict = {}
-                rows.extend(parse_warc_bytes(bytes(content), stats))
-                if any(stats.values()):  # loss is never silent
-                    print(f"WARN read_warc {fpath}: {stats}", file=sys.stderr)
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
-
-    return files.mapInPandas(parse, schema=WARC_PAGES_SCHEMA)
+    return files.mapInPandas(pages_kernel, schema=WARC_PAGES_SCHEMA)
 
 
 WARC_STATS_SCHEMA = ("path string, pages bigint, skipped_records bigint, "

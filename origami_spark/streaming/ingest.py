@@ -57,3 +57,51 @@ def stream_extract(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def stream_extract_warc(
+    spark: SparkSession,
+    archive_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 10,
+    max_files_per_trigger: int = 8,
+    available_now: bool = False,
+):
+    """Streaming WARC ingest: archives LANDING in `archive_dir` (the
+    continuous-crawl shape — new .warc/.warc.gz files appearing over
+    time) are parsed with the same tolerant kernel as the batch reader
+    (sources/warc.py: per-record gzip, framing resync, loss counters)
+    and extracted into the same exactly-once batch_id-keyed sink as
+    ``stream_extract``.  One archive file is the unit of both
+    source-offset tracking and parallelism, so a restart never re-emits
+    a processed archive and never misses a half-landed one (binaryFile
+    lists completed files only).  Returns the query handle."""
+    from ..sources.warc import WARC_PAGES_SCHEMA, pages_kernel
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed, but streaming sources require it
+        # stated explicitly
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.warc*")
+        .load(archive_dir)
+        .select("path", "content")
+    )
+    pages = files.mapInPandas(pages_kernel, schema=WARC_PAGES_SCHEMA)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        extract_fused(spark, batch_df).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    writer = pages.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -75,3 +75,35 @@ def test_stream_extract_drains_landing_zone(spark, tmp_path):
     cmp = final.join(pages.select("url", F.col("text").alias("golden")), "url")
     assert cmp.filter("text != golden").count() == 0
     assert final.select("url").distinct().count() == 80
+
+
+def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
+    """Archives dropped across two drain cycles stream into the
+    exactly-once sink; the union is byte-identical to the batch path
+    (WARC -> engine -> goldens) with zero duplicates."""
+    from origami_spark.sources.corpus import generate_pages
+    from origami_spark.sources.warc import synth_warc
+    from origami_spark.streaming.ingest import stream_extract_warc
+
+    pages = generate_pages(42, 40)
+    arch = tmp_path / "archives"
+    arch.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # first archive lands; drain
+    (arch / "a.warc").write_bytes(synth_warc(pages[:25]))
+    q = stream_extract_warc(spark, str(arch), out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    # second archive (per-record gzip) lands later; drain again from the
+    # same checkpoint — the first archive must NOT be reprocessed
+    (arch / "b.warc.gz").write_bytes(
+        synth_warc(pages[25:], per_record_gzip=True))
+    q2 = stream_extract_warc(spark, str(arch), out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("url", "text").collect()
+    assert len(got) == 40  # zero duplicates across restarts
+    golden = {p["url"]: p["text"] for p in pages}
+    for r in got:
+        assert r["text"] == golden[r["url"]], r["url"]
