@@ -59,6 +59,45 @@ BENCH_QUERIES = [
 ]
 
 
+# this sandbox is a shared-host VM: /proc/stat's steal field counts
+# jiffies the hypervisor gave to OTHER guests.  Runs whose steal share
+# exceeds this are retried and the share is stamped into the output, so
+# a contaminated bench is visible instead of silently wrong (the round-2
+# numbers were uninterpretable for exactly this reason)
+STEAL_THRESHOLD = float(os.environ.get("ORIGAMI_STEAL_THRESHOLD", "0.05"))
+STEAL_RETRIES = int(os.environ.get("ORIGAMI_STEAL_RETRIES", "2"))
+
+
+def _cpu_times() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return 0, 1
+    return (vals[7] if len(vals) > 7 else 0), max(sum(vals), 1)
+
+
+def timed_with_steal(fn, retries: int = None, threshold: float = None):
+    """Run fn() under a wall clock + steal meter; retry on a stolen
+    window; return (best_wall_sec, fn_result, steal_share_of_best)."""
+    retries = STEAL_RETRIES if retries is None else retries
+    threshold = STEAL_THRESHOLD if threshold is None else threshold
+    best = None
+    for _ in range(retries + 1):
+        s0, c0 = _cpu_times()
+        t0 = time.monotonic()
+        out = fn()
+        wall = time.monotonic() - t0
+        s1, c1 = _cpu_times()
+        steal = (s1 - s0) / max(c1 - c0, 1)
+        if best is None or wall < best[0]:
+            best = (wall, out, steal)
+        if steal <= threshold:
+            break
+    return best
+
+
 def _pages_path(n: int) -> str:
     from origami_spark.sources.corpus import VERSION
 
@@ -97,23 +136,27 @@ def run_bench(cores: int, extract_only: bool = False) -> dict:
     # the relational operator chain (secondary); force execution via an
     # agg that touches every output row (count + text digest xor)
     def run_extract(fn, repeats: int = 1):
-        best = None
-        for _ in range(repeats):
-            t0 = time.monotonic()
-            row = fn(spark, pages).agg(
+        def once():
+            return fn(spark, pages).agg(
                 F.count(F.lit(1)).alias("n"),
                 F.expr("bit_xor(xxhash64(url, text))").alias("digest"),
             ).collect()[0]
-            wall = time.monotonic() - t0
+
+        # steal-aware: retried when the host stole the window, in
+        # addition to the explicit best-of-`repeats`
+        best = None
+        for _ in range(repeats):
+            wall, row, steal = timed_with_steal(once)
             if best is None or wall < best[0]:
-                best = (wall, row)
-        wall, row = best
+                best = (wall, row, steal)
+        wall, row, steal = best
         return {
             "docs": int(row["n"]),
             "wall_sec": round(wall, 3),
             "docs_per_sec": round(row["n"] / wall, 1),
             "digest": str(row["digest"]),
             "cores": cores,
+            "steal_share": round(steal, 4),
         }
 
     # best-of-2 in scaling mode: this sandbox is a shared-host VM with
@@ -124,15 +167,16 @@ def run_bench(cores: int, extract_only: bool = False) -> dict:
     if not extract_only:
         result["extraction_relational"] = run_extract(extract)
 
-    qtimes = {}
+    qtimes, qsteal = {}, {}
     if not extract_only:
         qs = E.queries()
         for name in BENCH_QUERIES:
-            t0 = time.monotonic()
-            df = qs[name](spark, SF_DIR)
-            df.agg(F.count(F.lit(1))).collect()
-            qtimes[name] = round(time.monotonic() - t0, 3)
+            wall, _, steal = timed_with_steal(
+                lambda: qs[name](spark, SF_DIR).agg(F.count(F.lit(1))).collect())
+            qtimes[name] = round(wall, 3)
+            qsteal[name] = round(steal, 4)
     result["queries"] = qtimes
+    result["queries_steal"] = qsteal
     spark.stop()
     return result
 
@@ -178,11 +222,16 @@ def main():
     extract_only = "--extract-only" in args
     r = run_bench(cores, extract_only)
     total = r["extraction"]["wall_sec"] + sum(r["queries"].values())
+    steals = list(r.get("queries_steal", {}).values()) + [
+        r["extraction"].get("steal_share", 0.0)]
     report = {
         "metric": "full pipeline + headline queries wall time",
         "value": round(total, 3),
         "unit": "sec",
         "queries": r["queries"],
+        "queries_steal": r.get("queries_steal", {}),
+        "steal_max": round(max(steals), 4),
+        "steal_threshold": STEAL_THRESHOLD,
         "sf": SF_DIR,
         "extraction": r["extraction"],
     }
