@@ -573,6 +573,13 @@ def lines_confidence(spark, sf):
     )
 
 
+# Cross-engine staging scratch paths (evidence/centroid tables the
+# DuckDB oracles re-read).  The correctness gate runs each Spark query
+# and then its oracle SEQUENTIALLY in one process, which is the only
+# supported pattern: two drivers staging concurrently on one host would
+# race on these fixed paths (the oracle SQL is a static string, so it
+# cannot be parameterized per run).  Do not run two correctness gates
+# at once on a shared host.
 LINES_EVIDENCE_PATH = "/tmp/origami_lines_evidence.parquet"
 
 

@@ -50,10 +50,16 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
     )
     counts["after_quality"] = kept.count()
 
+    # every cached frame this function creates, for the final release
+    # (NB: `uniq` is rebound below when near_dup runs — track handles,
+    # not names, or the shadowed cache leaks in a long-lived driver)
+    cached = [extracted, kept]
+
     # exact dedup: keep the lexicographically-first url per content digest
     keepers = D.exact_duplicates(kept, min_count=1).select(
         F.col("keeper").alias("doc_id"))
     uniq = kept.join(keepers, "doc_id").cache()
+    cached.append(uniq)
     counts["after_exact_dedup"] = uniq.count()
 
     if near_dup:
@@ -73,15 +79,21 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
             .select("doc_id", "text")
             .cache()
         )
+        cached.append(uniq)
         counts["after_near_dup"] = uniq.count()
 
     final = uniq.join(q, "doc_id").select(
-        F.col("doc_id").alias("url"), "text", "n_tokens", "quality")
-    counts["shards"] = export_jsonl(final, out_dir, target_shard_mb=shard_mb)
+        F.col("doc_id").alias("url"), "text", "n_tokens", "quality").cache()
+    cached.append(final)
     counts["exported"] = final.count()
+    # the exact row count is already paid for above — pass it through so
+    # the sink merges small shuffle partitions to the target shard count
+    # instead of leaving one file per partition
+    counts["shards"] = export_jsonl(final, out_dir, target_shard_mb=shard_mb,
+                                    total_rows=counts["exported"])
     # long-lived drivers must not accumulate cached blocks: release the
     # dedup module's tracked caches and this function's own
-    for df in (extracted, kept, uniq):
+    for df in cached:
         df.unpersist()
     D.release_caches()
     return counts

@@ -35,6 +35,9 @@ def main(argv=None):
                     help="with --staged: also commit features/lines/tables/orders")
     ap.add_argument("--relational", action="store_true",
                     help="use the relational operator chain instead of fused")
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="with --staged: write stage tables bucketBy(N, url) "
+                         "so downstream stage joins/windows are exchange-free")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
@@ -65,7 +68,8 @@ def main(argv=None):
     if args.staged:
         out = extract_staged(spark, pages, args.output,
                              partitions=args.partitions,
-                             artifacts=args.artifacts)
+                             artifacts=args.artifacts,
+                             buckets=args.buckets)
         n = out.count()
     else:
         fn = extract if args.relational else extract_fused

@@ -331,8 +331,18 @@ def sniff_charset(data: bytes) -> tuple[str, int]:
     m = _META_CHARSET_RE.search(data[:_SNIFF_LIMIT])
     if m:
         label = m.group(1).decode("ascii", "replace").lower()
-        if label.replace("_", "-") in ("utf-16", "utf-16-le", "utf-16-be"):
-            return "utf-8", 0  # HTML5: utf-16 meta in 8-bit bytes is a lie
+        # HTML5: a utf-16/32 meta readable as 8-bit bytes is a lie.
+        # Resolve the label through the codec registry first so aliases
+        # (utf16, utf-16le, UTF_16BE, ...) are caught, not just the
+        # canonical spellings.
+        import codecs
+
+        try:
+            resolved = codecs.lookup(label).name
+        except LookupError:
+            resolved = label
+        if resolved.startswith(("utf-16", "utf-32")):
+            return "utf-8", 0
         return label, 0
     return "utf-8", 0
 

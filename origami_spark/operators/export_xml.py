@@ -94,6 +94,12 @@ def to_page_xml(ranked: DataFrame, creator: str = "origami_spark",
     Entirely Catalyst (transform + array_join), like ``to_xml``.  Pages
     with zero surviving blocks produce no row (left-join against the
     page universe to see them)."""
+    from xml.sax.saxutils import escape
+
+    # header params are driver-side strings: escape at build time (data
+    # columns go through _esc)
+    creator = escape(creator)
+    created = escape(created)
     regions = ranked.groupBy("url").agg(
         F.array_sort(
             F.collect_list(

@@ -134,13 +134,13 @@ def extract_staged(spark: SparkSession, pages: DataFrame, work_dir: str,
         from .operators import tables as tables_op
 
         run_stage(spark, "s4_features", blocks, features_op.block_features,
-                  work_dir, run_id=run_id)
+                  work_dir, run_id=run_id, buckets=buckets)
         run_stage(spark, "s6_tables", blocks, tables_op.table_cells,
-                  work_dir, run_id=run_id)
+                  work_dir, run_id=run_id, buckets=buckets)
         run_stage(spark, "s6_lines", refined, lines_op.lines_table,
-                  work_dir, run_id=run_id)
+                  work_dir, run_id=run_id, buckets=buckets)
         run_stage(spark, "s7_orders_map", ranked, order_op.orders_table,
-                  work_dir, run_id=run_id)
+                  work_dir, run_id=run_id, buckets=buckets)
     # compose resumes on the page universe: only not-yet-composed urls
     # (the `pg` passed to build) pull their ranked blocks via semi-join
     return run_stage(

@@ -45,6 +45,60 @@ def _stage_table_name(work_dir: str, name: str) -> str:
             + "_" + name)
 
 
+# bucketed part files carry a _NNNNN bucket-id suffix before the codec
+# extension (part-00000-<uuid>_00003.c000.snappy.parquet)
+_BUCKET_FILE_RE = None
+
+
+def _dir_is_bucketed(path: str) -> bool:
+    import re
+
+    global _BUCKET_FILE_RE
+    if _BUCKET_FILE_RE is None:
+        _BUCKET_FILE_RE = re.compile(r"_\d{5}\.")
+    from .snapshots import _data_files
+
+    files = _data_files(path)
+    return bool(files) and all(_BUCKET_FILE_RE.search(f) for f in files)
+
+
+def _prepare_bucketed_write(spark: SparkSession, work_dir: str, name: str,
+                            result: DataFrame, key: str,
+                            buckets: int) -> bool:
+    """Make a bucketed append SAFE, returning whether to bucket this
+    write.
+
+    The catalog is session-local (in-memory): on a resumed run in a NEW
+    driver the table entry is gone while the data directory survives,
+    and ``saveAsTable(mode='append')`` would fall back to CREATE
+    semantics and WIPE the committed files.  So when the entry is
+    missing but data exists: (a) if the directory's files are all
+    bucket-suffixed, re-register the external table with the same
+    bucket DDL over the existing location — nothing is rewritten; (b)
+    if they are not (the work dir predates bucketing), appending a
+    bucketed layout into a plain directory would corrupt bucket-id ->
+    file mapping, so this write DOWNGRADES to plain parquet and the
+    committed view falls back to the manifest read."""
+    out_path = os.path.join(work_dir, name)
+    tbl = _stage_table_name(work_dir, name)
+    if spark.catalog.tableExists(tbl):
+        return True
+    from .snapshots import _data_files
+
+    if not _data_files(out_path):
+        return True  # fresh table: saveAsTable creates dir + entry
+    if not _dir_is_bucketed(out_path):
+        return False  # mixed layout would lie to the planner
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in result.schema.fields)
+    spark.sql(
+        f"CREATE TABLE {tbl} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+        f"LOCATION '{out_path}'"
+    )
+    return True
+
+
 def run_stage(
     spark: SparkSession,
     name: str,
@@ -118,7 +172,8 @@ def run_stage(
             .withColumn("_part_id", F.spark_partition_id())
             .withColumn("_run_id", F.lit(run_id))
         )
-        if buckets:
+        if buckets and _prepare_bucketed_write(spark, work_dir, name,
+                                               result, key, buckets):
             # co-located stage table: the one-time shuffle here buys
             # exchange-free joins/windows on `key` for every downstream
             # stage (and every later run)

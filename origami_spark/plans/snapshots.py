@@ -73,16 +73,29 @@ def commit_snapshot(work_dir: str, stage: str, run_id: str,
     # committer's same-numbered snapshot (zombie driver + retry racing
     # on one stage), losing a commit.  os.link fails with EEXIST on a
     # collision instead — single writer per stage is a hard requirement
-    # and a violation must raise, not corrupt the history.
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
+    # and a violation must raise, not corrupt the history.  Filesystems
+    # without hard links (some NFS/FUSE/object-store mounts) fall back
+    # to O_CREAT|O_EXCL, which keeps exclusivity (losing only the
+    # write-then-publish atomicity the link gave).
+    def _collision():
         os.remove(tmp)
-        raise RuntimeError(
+        return RuntimeError(
             f"snapshot version collision: {final} already exists — "
             f"two writers raced on stage {stage!r}; the stage history "
             "was NOT modified"
         )
+
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise _collision() from None
+    except OSError:
+        try:
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise _collision() from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f)
     os.remove(tmp)
     return snap
 

@@ -30,7 +30,8 @@ def _count_part_files(spark, path: str) -> int:
 
 def export_jsonl(df: DataFrame, path: str, target_shard_mb: int = 256,
                  compression: str = "gzip",
-                 sample_rows: int = 2048) -> int:
+                 sample_rows: int = 2048,
+                 total_rows: int | None = None) -> int:
     """Write `df` as JSONL shards of ~`target_shard_mb` (uncompressed
     estimate).  Returns the number of part files written.
 
@@ -42,11 +43,17 @@ def export_jsonl(df: DataFrame, path: str, target_shard_mb: int = 256,
 
     Shard-size contract: every file holds at most rows-per-shard rows,
     so no file exceeds ~target x (true bytes/row / sampled bytes/row) —
-    within 2x target unless the sample is wildly unrepresentative.  The
-    FLOOR on file count is the upstream partitioning: the writer splits
-    large partitions but never merges small ones (that merge is a
-    shuffle, and whether to pay it is the caller's call — repartition
-    first if many tiny partitions must coalesce)."""
+    within 2x target unless the sample is wildly unrepresentative.
+
+    Small-partition merging: the writer splits large partitions but
+    never merges small ones, so a shuffle-shaped input (many small
+    partitions) would land as many small files.  When the caller
+    already knows the row count (most pipelines count their export
+    anyway — jobs/corpus_job.py does), pass ``total_rows`` and the
+    frame is coalesced (no shuffle) to the exact shard count first.
+    Without it, the sample that exhausts the table gives the same
+    exactness for small inputs; large unknown-count inputs keep the
+    one-pass contract and the upstream partitioning floor."""
     # CollectLimit executes incrementally (first partition, then grow),
     # so this job touches ~one upstream partition — an agg on top would
     # force a LocalLimit per partition and evaluate them ALL
@@ -57,7 +64,12 @@ def export_jsonl(df: DataFrame, path: str, target_shard_mb: int = 256,
     )
     sample = {"n": len(sampled), "b": sum(r["b"] or 0 for r in sampled)}
     target_bytes = int(target_shard_mb * 1024 * 1024)
-    if sample["n"] and sample["n"] < sample_rows:
+    bytes_per_row = max(1, math.ceil(sample["b"] / sample["n"])) if sample["n"] else 1
+    if total_rows is not None and sample["n"]:
+        # caller-supplied exact count: coalesce to the exact shard count
+        shards = max(1, math.ceil(total_rows * bytes_per_row / target_bytes))
+        df = df.coalesce(shards)
+    elif sample["n"] and sample["n"] < sample_rows:
         # the LIMIT exhausted the table: sample IS the table, sizing is
         # exact — coalesce small exports instead of leaving one file per
         # upstream partition
@@ -65,7 +77,6 @@ def export_jsonl(df: DataFrame, path: str, target_shard_mb: int = 256,
         df = df.coalesce(shards)
     writer = df.write.mode("overwrite").option("compression", compression)
     if sample["n"]:
-        bytes_per_row = max(1, math.ceil(sample["b"] / sample["n"]))
         rows_per_shard = max(1, target_bytes // bytes_per_row)
         writer = writer.option("maxRecordsPerFile", rows_per_shard)
     writer.json(path)

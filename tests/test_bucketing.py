@@ -145,3 +145,48 @@ def test_bucketed_stage_removes_refine_exchange(spark, tmp_path):
     nb, np_ = n_exchanges(refine(bucketed_src)), n_exchanges(refine(plain_src))
     assert nb < np_, (nb, np_)
     assert nb == 0, nb
+
+
+def test_bucketed_resume_in_fresh_driver_keeps_data(spark, tmp_path):
+    """A NEW driver (empty session catalog) resuming a bucketed staged
+    run must never lose committed rows: saveAsTable('append') without a
+    catalog entry would CREATE-and-wipe; the runner re-registers the
+    external bucketed table over the existing location instead."""
+    from origami_spark.pipeline import extract_staged
+    from origami_spark.plans.runner import _stage_table_name
+    from origami_spark.sources.corpus import pages_df
+
+    wd = str(tmp_path / "wd")
+    pages1 = pages_df(spark, 20, num_partitions=2).cache()
+    extract_staged(spark, pages1, wd, run_id="r1", buckets=4)
+    # simulate a fresh driver: the in-memory catalog forgets the tables
+    for stage in ("s2_blocks", "s5_layout", "s7_order", "s8_compose"):
+        spark.sql(f"DROP TABLE IF EXISTS {_stage_table_name(wd, stage)}")
+
+    pages2 = pages_df(spark, 50, num_partitions=2).cache()  # 30 new urls
+    out = extract_staged(spark, pages2, wd, run_id="r2", buckets=4)
+    assert out.count() == 50
+    golden = {r["url"]: r["text"]
+              for r in pages2.select("url", "text").collect()}
+    for r in out.select("url", "text").collect():
+        assert r["text"] == golden[r["url"]], r["url"]
+
+
+def test_buckets_added_to_plain_workdir_downgrades_safely(spark, tmp_path):
+    """Turning --buckets on over a work dir whose stages were written
+    plain must not corrupt anything: the write downgrades to plain
+    parquet for those stages (mixed bucket layouts would lie to the
+    planner) and every row stays correct."""
+    from origami_spark.pipeline import extract_staged
+    from origami_spark.sources.corpus import pages_df
+
+    wd = str(tmp_path / "wd")
+    pages1 = pages_df(spark, 15, num_partitions=1).cache()
+    extract_staged(spark, pages1, wd, run_id="r1")  # plain
+    pages2 = pages_df(spark, 40, num_partitions=1).cache()
+    out = extract_staged(spark, pages2, wd, run_id="r2", buckets=4)
+    assert out.count() == 40
+    golden = {r["url"]: r["text"]
+              for r in pages2.select("url", "text").collect()}
+    for r in out.select("url", "text").collect():
+        assert r["text"] == golden[r["url"]], r["url"]

@@ -104,3 +104,19 @@ def test_page_xml_schema_contract(spark):
         refs = og.findall("pc:RegionRefIndexed", ns)
         assert [int(x.get("index")) for x in refs] == list(range(len(ids)))
         assert [x.get("regionRef") for x in refs] == ids
+
+
+def test_page_xml_escapes_header_params(spark):
+    """creator/created parameters are driver-side strings and must be
+    escaped like any data."""
+    from origami_spark.operators.export_xml import to_page_xml
+    from origami_spark.operators.layout import refine
+    from origami_spark.operators.order import rank_blocks
+    from origami_spark.pipeline import parse_stage
+    from origami_spark.sources.corpus import pages_df
+
+    ranked = rank_blocks(refine(parse_stage(pages_df(spark, 3))))
+    row = to_page_xml(ranked, creator="Muller & Co <GmbH>").first()
+    root = ET.fromstring(row["xml"])  # malformed XML would raise here
+    ns = {"pc": "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"}
+    assert root.find("pc:Metadata/pc:Creator", ns).text == "Muller & Co <GmbH>"

@@ -84,3 +84,20 @@ def test_jsonl_sizing_reads_a_sample_not_the_table(spark, tmp_path):
         int(open(marker_dir / f).read()) for f in os.listdir(marker_dir))
     # one full pass (write) + at most one partition's worth for sizing
     assert evaluated <= n_rows + n_rows // n_parts + 64, evaluated
+
+
+def test_jsonl_total_rows_merges_small_partitions(spark, tmp_path):
+    """A shuffle-shaped input (many small partitions) with a known row
+    count coalesces to the exact shard count instead of leaving one
+    tiny file per partition."""
+    df = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(32)  # worst case: 32 small shuffle partitions
+    )
+    n = df.count()
+    out = str(tmp_path / "merged")
+    shards = export_jsonl(df, out, target_shard_mb=256, total_rows=n)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert shards == 1 and len(parts) == 1  # ~500 KB corpus -> one shard
+    assert spark.read.json(out).count() == n

@@ -239,3 +239,34 @@ def test_reset_stages_drops_snapshots_without_table_dir(spark, tmp_path):
     assert snapshots(wd, "s8_compose") != []  # stale manifests survive
     reset_stages(wd, ["s8_compose"])
     assert snapshots(wd, "s8_compose") == []
+
+
+def test_commit_without_hardlink_support(tmp_path, monkeypatch):
+    """Filesystems without hard links fall back to O_CREAT|O_EXCL:
+    commits still succeed and collisions still raise."""
+    import os as _os
+
+    import pytest
+
+    import origami_spark.plans.snapshots as S
+
+    def no_link(src, dst):
+        raise OSError(38, "Function not implemented")
+
+    monkeypatch.setattr(S.os, "link", no_link)
+    wd = str(tmp_path / "wd")
+    table = tmp_path / "wd" / "s1"
+    table.mkdir(parents=True)
+    (table / "part-00000-a.parquet").write_bytes(b"")
+    snap = S.commit_snapshot(wd, "s1", "w1", [])
+    assert snap["version"] == 1
+    assert S.snapshots(wd, "s1")[0]["run_id"] == "w1"
+    # collision still raises through the fallback
+    (table / "part-00001-b.parquet").write_bytes(b"")
+    orig = S.snapshots
+    try:
+        S.snapshots = lambda *a, **k: []
+        with pytest.raises(RuntimeError, match="collision"):
+            S.commit_snapshot(wd, "s1", "w2", [])
+    finally:
+        S.snapshots = orig

@@ -143,3 +143,15 @@ def test_to_utf8_never_raises_on_lies():
     assert to_utf8(unk) is unk
     # BOM stripped even for utf-8
     assert to_utf8(b"\xef\xbb\xbf<p>x</p>") == b"<p>x</p>"
+
+
+def test_utf16_meta_aliases_are_ignored():
+    """The HTML5 ignore-utf-16-meta rule must catch ALIASES too: a page
+    declaring charset=utf16 (or utf-16le / UTF_16BE / utf32) in 8-bit
+    bytes must decode as utf-8, not as CJK mojibake."""
+    from origami_spark.html.tokenizer import sniff_charset, to_utf8
+
+    for label in (b"utf16", b"utf-16le", b"UTF_16BE", b"utf32", b"Utf-16"):
+        page = b'<meta charset="' + label + b'"><p>hello world</p>'
+        assert sniff_charset(page) == ("utf-8", 0), label
+        assert b"hello world" in to_utf8(page), label
