@@ -450,9 +450,70 @@ def substring_fingerprints(docs: DataFrame, window: int = 64,
     )
 
 
+def substring_fingerprints_kernel(docs: DataFrame, window: int = 64,
+                                  k: int = 16) -> DataFrame:
+    """Arrow-kernel form of ``substring_fingerprints`` — bit-identical
+    output (same md5-based hash, same window-min selection, same
+    min-pos-per-gram), none of the per-char explode / window-sort /
+    join-back volume.
+
+    Per doc, entirely batch-local: hash every k-gram (md5 memoized
+    across the batch — web boilerplate repeats grams heavily), sliding
+    window minima via one vectorized numpy pass, emit only the sparse
+    fingerprint rows (~2/(w+1) of positions).  The relational form
+    stays as the DuckDB-shaped oracle; tests assert the two produce
+    identical rows."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    w = window - k + 1
+
+    def kern(batches):
+        memo: dict = {}
+        for pdf in batches:
+            doc_ids, grams, poss = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                text = text or ""
+                n = len(text)
+                if n < window:
+                    continue
+                hs = np.empty(n - k + 1, dtype=np.int64)
+                for i in range(n - k + 1):
+                    g = text[i : i + k]
+                    h = memo.get(g)
+                    if h is None:
+                        h = int(
+                            hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                        memo[g] = h
+                    hs[i] = h
+                # window minima over starts 0..n-window (always >= 1)
+                wins = np.lib.stride_tricks.sliding_window_view(hs, w)
+                sel = np.unique(wins[: n - window + 1].min(axis=1))
+                # all grams whose hash is selected; earliest pos per gram
+                seen: dict = {}
+                for i in np.flatnonzero(np.isin(hs, sel)):
+                    g = text[i : i + k]
+                    if g not in seen:  # positions ascend
+                        seen[g] = int(i)
+                for g, p in seen.items():
+                    doc_ids.append(doc_id)
+                    grams.append(g)
+                    poss.append(p)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "gram": grams, "pos": poss})
+
+    src = docs.select("doc_id", "text")
+    n_parts = src.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(n_parts, "doc_id").mapInPandas(
+        kern, schema="doc_id bigint, gram string, pos bigint")
+
+
 def substring_dup_pairs(docs: DataFrame, window: int = 64,
                         k: int = 16,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        use_kernel: bool = True) -> DataFrame:
     """Exact repeated-substring detection between documents — the
     "deduplicate exact substrings, not just whole docs" operator of
     training-data pipelines (Lee et al. 2022, "Deduplicating Training
@@ -468,8 +529,14 @@ def substring_dup_pairs(docs: DataFrame, window: int = 64,
     drops boilerplate fingerprints shared by more than max_df docs
     before the self-join (same hot-key bound as ``ngram_jaccard_pairs``
     — at web scale one cookie-banner gram must not form a quadratic
-    bucket)."""
-    fp = _tracked_cache(substring_fingerprints(docs, window, k))
+    bucket).
+
+    Fingerprints come from the Arrow kernel by default
+    (``use_kernel=False`` for the pure-relational oracle form; the two
+    are asserted bit-identical in tests/test_dedup.py)."""
+    fp = _tracked_cache(
+        (substring_fingerprints_kernel if use_kernel
+         else substring_fingerprints)(docs, window, k))
     if max_df is not None:
         rare = (
             fp.groupBy("gram")
@@ -567,4 +634,151 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
             F.round(dot / (norm("a") * norm("b")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def duplicate_spans(docs: DataFrame, window: int = 64, k: int = 16,
+                    max_df: int | None = None,
+                    min_len: int | None = None,
+                    use_kernel: bool = True) -> DataFrame:
+    """The APPLICATION step of exact-substring dedup (Lee et al. 2022):
+    locate the maximal duplicated passages so they can be REMOVED from
+    all but one copy, not just flagged as pairs.
+
+    Returns (doc_id, start, end): char spans of text in `doc_id` that
+    also occur verbatim in an EARLIER document (lower doc_id — the
+    keep-first convention of ``exact_duplicates``), maximally extended
+    and merged per doc.  ``min_len`` (default: `window`) drops matches
+    shorter than the guarantee threshold.
+
+    Shape for 100 TB: winnowing fingerprints give (pair, anchor)
+    candidates by equality join — data movement is proportional to the
+    number of DUPLICATED passages, not the corpus.  Texts of the two
+    sides join in by doc_id; a batch-local kernel extends each anchor
+    left/right to the maximal exact match (skipping anchors already
+    inside a found span) and merges overlaps.  ``max_df`` bounds
+    boilerplate exactly as in ``substring_dup_pairs``."""
+    import pandas as pd
+
+    min_len = window if min_len is None else min_len
+    fp = _tracked_cache(
+        (substring_fingerprints_kernel if use_kernel
+         else substring_fingerprints)(docs, window, k))
+    if max_df is not None:
+        rare = (
+            fp.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("gram")
+        )
+        fp = fp.join(rare, "gram")
+    anchors = (
+        fp.alias("a")
+        .join(fp.alias("b"),
+              (F.col("a.gram") == F.col("b.gram"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("a_pos"),
+            F.col("b.pos").alias("b_pos"),
+        )
+    )
+    texts_a = docs.select(F.col("doc_id").alias("doc_a"),
+                          F.col("text").alias("text_a"))
+    texts_b = docs.select(F.col("doc_id").alias("doc_b"),
+                          F.col("text").alias("text_b"))
+    per_pair = (
+        anchors.groupBy("doc_a", "doc_b")
+        .agg(F.collect_list(F.struct("a_pos", "b_pos")).alias("anchors"))
+        .join(texts_a, "doc_a")
+        .join(texts_b, "doc_b")
+    )
+
+    def extend(batches):
+        for pdf in batches:
+            ids, starts, ends = [], [], []
+            for doc_b, ta, tb, ancs in zip(
+                pdf["doc_b"], pdf["text_a"], pdf["text_b"], pdf["anchors"]
+            ):
+                found: list = []  # (start, end) in tb, sorted as built
+                for anc in sorted(ancs, key=lambda x: x["b_pos"]):
+                    pa, pb = int(anc["a_pos"]), int(anc["b_pos"])
+                    if any(s <= pb and pb + k <= e for s, e in found):
+                        continue  # anchor already inside a found span
+                    left = 0
+                    while (pa - left - 1 >= 0 and pb - left - 1 >= 0
+                           and ta[pa - left - 1] == tb[pb - left - 1]):
+                        left += 1
+                    right = k
+                    while (pa + right < len(ta) and pb + right < len(tb)
+                           and ta[pa + right] == tb[pb + right]):
+                        right += 1
+                    if left + right >= min_len:
+                        found.append((pb - left, pb + right))
+                for s, e in found:
+                    ids.append(doc_b)
+                    starts.append(s)
+                    ends.append(e)
+            yield pd.DataFrame(
+                {"doc_id": ids, "start": starts, "end": ends})
+
+    spans = per_pair.mapInPandas(
+        extend, schema="doc_id bigint, start bigint, end bigint")
+    # merge overlapping/adjacent spans per doc: classic running-max
+    # interval merge over a window (same pattern as drop_contained)
+    w = Window.partitionBy("doc_id").orderBy("start", "end")
+    merged = (
+        spans.distinct()
+        .withColumn(
+            "prev_max_end",
+            F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_group",
+            (F.col("prev_max_end").isNull()
+             | (F.col("start") > F.col("prev_max_end"))).cast("int"),
+        )
+        .withColumn("grp", F.sum("new_group").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+        .select("doc_id", "start", "end")
+    )
+    return merged
+
+
+def remove_duplicate_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Cut the given (doc_id, start, end) spans out of each doc's text —
+    pure Catalyst: sorted span array folded into substring concat (no
+    Python in the apply path).  Docs without spans pass through
+    unchanged.  Returns (doc_id, text)."""
+    agg = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("start", "end"))).alias("cuts"))
+    joined = docs.join(agg, "doc_id", "left")
+    folded = F.aggregate(
+        F.col("cuts"),
+        F.struct(F.lit(0).cast("bigint").alias("pos"),
+                 F.lit("").alias("acc")),
+        lambda st, c: F.struct(
+            c["end"].alias("pos"),
+            F.concat(
+                st["acc"],
+                F.substring(
+                    "text", (st["pos"] + 1).cast("int"),
+                    F.greatest(c["start"] - st["pos"],
+                               F.lit(0).cast("bigint")).cast("int"),
+                ),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.substring("text", (st["pos"] + 1).cast("int"),
+                        (F.length("text") - st["pos"]).cast("int")),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("cuts").isNull(), F.col("text"))
+        .otherwise(folded).alias("text"),
     )

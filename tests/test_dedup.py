@@ -164,3 +164,86 @@ def test_df_cutoff_keeps_rare_overlap(spark):
     # docs 0/1 share shingles 'alpha beta gamma' + 'beta gamma delta':
     # 2 common / (3 + 3 - 2) = 0.5
     assert got == {(0, 1): 0.5}
+
+
+def test_substring_fingerprint_kernel_matches_relational(spark):
+    """The Arrow winnowing kernel is bit-identical to the relational
+    (oracle-shaped) fingerprint form, on real corpus text."""
+    from origami_spark.operators.dedup import (
+        substring_fingerprints,
+        substring_fingerprints_kernel,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    rel = {(r["doc_id"], r["gram"], r["pos"])
+           for r in substring_fingerprints(docs, 64, 16).collect()}
+    ker = {(r["doc_id"], r["gram"], r["pos"])
+           for r in substring_fingerprints_kernel(docs, 64, 16).collect()}
+    assert rel == ker and len(rel) > 100
+
+
+def test_duplicate_spans_found_and_removed(spark):
+    """Lee et al. application: the duplicated passage is located
+    maximally (at shifted offsets), removed from the LATER doc only,
+    and the surviving texts are byte-exact."""
+    from origami_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    passage = ("this exact passage is copied between documents and must "
+               "be removed from the later one entirely")
+    a_text = "keeper prefix:" + passage + ";keeper suffix."
+    b_text = "zz#" + passage + "@other unique material here."
+    rows = [
+        (0, a_text),
+        (1, b_text),
+        (2, "entirely unrelated text with nothing shared at all."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = {(r["doc_id"], r["start"], r["end"])
+             for r in duplicate_spans(docs, window=64, k=16).collect()}
+    # exactly one span, in doc 1 (the later), covering the passage
+    assert len(spans) == 1
+    (doc_id, s, e) = next(iter(spans))
+    assert doc_id == 1
+    assert b_text[s:e] == passage  # maximal: the whole copied run
+    assert a_text.count(b_text[s:e]) == 1
+
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(
+               docs, duplicate_spans(docs, window=64, k=16)).collect()}
+    assert out[0] == a_text                      # keeper untouched
+    assert out[1] == "zz#" + "@other unique material here."
+    assert out[2] == rows[2][1]                  # no-span passthrough
+
+
+def test_duplicate_spans_merge_overlaps(spark):
+    """Two long copies in one doc merge into clean spans; removal cuts
+    both."""
+    from origami_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    p1 = "first copied passage shared verbatim across both documents! " * 2
+    p2 = "second copied passage also shared verbatim across the pair?? " * 2
+    rows = [
+        (0, p1 + "#1#" + p2),
+        (1, "intro! " + p1 + "@unique middle text here@" + p2 + "%tail."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = sorted(
+        (r["start"], r["end"])
+        for r in duplicate_spans(docs, window=64, k=16).collect())
+    assert len(spans) == 2
+    b = rows[1][1]
+    assert b[spans[0][0]:spans[0][1]].strip().startswith("first copied")
+    assert b[spans[1][0]:spans[1][1]].strip().startswith("second copied")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(
+               docs, duplicate_spans(docs, window=64, k=16)).collect()}
+    assert p1 not in out[1] and p2 not in out[1]
+    assert "unique middle text here" in out[1]
+    assert out[0] == rows[0][1]
