@@ -21,7 +21,8 @@ import sys
 
 
 def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
-                 near_dup: bool = False, shard_mb: int = 256) -> dict:
+                 near_dup: bool = False, dedup_spans: bool = False,
+                 shard_mb: int = 256) -> dict:
     """The corpus-build DAG; returns per-stage counts."""
     from pyspark.sql import functions as F
 
@@ -82,7 +83,31 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
         cached.append(uniq)
         counts["after_near_dup"] = uniq.count()
 
-    final = uniq.join(q, "doc_id").select(
+    if dedup_spans:
+        # Lee et al. application: REMOVE duplicated passages (>= 64
+        # chars, any alignment) from all but the earliest copy.  Doc
+        # identity for "earliest" is the 60-bit url hash (deterministic);
+        # boilerplate fingerprints are df-capped like everywhere else.
+        ids = uniq.select(
+            T.portable_hash60(F.col("doc_id")).alias("nid"),
+            F.col("doc_id").alias("url_key"), "text")
+        spans = D.duplicate_spans(
+            ids.select(F.col("nid").alias("doc_id"), "text"), max_df=50)
+        stripped = D.remove_duplicate_spans(
+            ids.select(F.col("nid").alias("doc_id"), "text"), spans)
+        uniq = (
+            ids.select("nid", "url_key")
+            .join(stripped.withColumnRenamed("doc_id", "nid"), "nid")
+            .select(F.col("url_key").alias("doc_id"), "text")
+            .cache()
+        )
+        cached.append(uniq)
+        counts["span_deduped"] = spans.select("doc_id").distinct().count()
+
+    # recompute the exported metrics over the text actually exported —
+    # span removal may have changed it (the original q fed the GATE)
+    q_final = T.quality_score(uniq).select("doc_id", "n_tokens", "quality")
+    final = uniq.join(q_final, "doc_id").select(
         F.col("doc_id").alias("url"), "text", "n_tokens", "quality").cache()
     cached.append(final)
     counts["exported"] = final.count()
@@ -107,6 +132,9 @@ def main(argv=None):
     ap.add_argument("--output", required=True)
     ap.add_argument("--min-tokens", type=int, default=20)
     ap.add_argument("--near-dup", action="store_true")
+    ap.add_argument("--dedup-spans", action="store_true",
+                    help="remove duplicated passages (>=64 chars) from "
+                         "all but the earliest copy (Lee et al. 2022)")
     ap.add_argument("--shard-mb", type=int, default=256)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
@@ -138,6 +166,7 @@ def main(argv=None):
     counts = build_corpus(spark, pages, args.output,
                           min_tokens=args.min_tokens,
                           near_dup=args.near_dup,
+                          dedup_spans=args.dedup_spans,
                           shard_mb=args.shard_mb)
     print(json.dumps(counts))
     spark.stop()

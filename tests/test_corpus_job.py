@@ -38,3 +38,34 @@ def test_corpus_build_from_warc(spark, tmp_path):
     assert back.filter("quality = 'low'").count() == 0
     # no duplicate content in the final corpus
     assert back.select("text").distinct().count() == back.count()
+
+
+def test_corpus_job_dedup_spans(spark, tmp_path):
+    """--dedup-spans removes a passage duplicated across pages from all
+    but one copy, and exported metrics reflect the stripped text."""
+    import pyspark.sql.functions as F
+
+    from jobs.corpus_job import build_corpus
+    from origami_spark.sources.corpus import pages_df
+
+    pages = pages_df(spark, 30, num_partitions=2)
+    # graft one long shared passage into two pages' html bodies
+    passage = ("an identical boilerplate paragraph long enough to "
+               "trigger exact substring span removal across documents " * 2)
+    spiked = pages.withColumn(
+        "html",
+        F.when(F.col("url").rlike("/a(3|7)$"),
+               F.regexp_replace(
+                   F.col("html").cast("string"), "<body>",
+                   f"<body><p>{passage}</p>").cast("binary"))
+        .otherwise(F.col("html")),
+    )
+    out = str(tmp_path / "corpus")
+    counts = build_corpus(spark, spiked, out, min_tokens=5,
+                          dedup_spans=True, shard_mb=64)
+    assert counts["span_deduped"] >= 1
+    back = spark.read.json(out)
+    n_with = back.filter(F.col("text").contains(
+        "an identical boilerplate paragraph")).count()
+    assert n_with == 1  # exactly one copy survives corpus-wide
+    assert back.count() == counts["exported"]
