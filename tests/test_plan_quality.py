@@ -96,3 +96,13 @@ def test_no_per_row_python_in_any_query(spark):
             # (the sanctioned kind), not per-row
             "dedup_embedding_lsh", "ann_lsh_topk", "ann_ivf_topk",
         ), name
+
+
+def test_dedup_substring_plan_shape(spark):
+    """Winnowing dedup: the fingerprint relation is computed once and
+    cached (both pair-join sides + the max_df branch read the cache),
+    and nothing runs as per-row Python."""
+    plan = plan_of(E.dedup_substring(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
