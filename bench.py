@@ -69,13 +69,35 @@ STEAL_RETRIES = int(os.environ.get("ORIGAMI_STEAL_RETRIES", "2"))
 
 
 def _cpu_times() -> tuple[int, int]:
-    """(steal, total) jiffies from the aggregate /proc/stat cpu line."""
+    """(steal, total) jiffies summed over the CPUs THIS PROCESS may run
+    on (sched_getaffinity).  The aggregate 'cpu' line would dilute steal
+    on taskset-pinned scaling runs ~pinned/all-fold — 50% steal on 2
+    pinned cores of 32 would read as 3% and pass the gate."""
+    try:
+        affinity = os.sched_getaffinity(0)
+    except (AttributeError, OSError):
+        affinity = None
+    steal = total = 0
     try:
         with open("/proc/stat") as f:
-            vals = [int(x) for x in f.readline().split()[1:]]
+            for line in f:
+                parts = line.split()
+                if not parts or not parts[0].startswith("cpu"):
+                    continue
+                if parts[0] == "cpu":
+                    if affinity is not None:
+                        continue  # prefer per-cpu lines
+                elif affinity is not None:
+                    if int(parts[0][3:]) not in affinity:
+                        continue
+                else:
+                    continue
+                vals = [int(x) for x in parts[1:]]
+                steal += vals[7] if len(vals) > 7 else 0
+                total += sum(vals)
     except (OSError, ValueError):
         return 0, 1
-    return (vals[7] if len(vals) > 7 else 0), max(sum(vals), 1)
+    return steal, max(total, 1)
 
 
 def timed_with_steal(fn, retries: int = None, threshold: float = None):

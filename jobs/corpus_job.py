@@ -91,8 +91,11 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
         ids = uniq.select(
             T.portable_hash60(F.col("doc_id")).alias("nid"),
             F.col("doc_id").alias("url_key"), "text")
+        # spans feeds both the removal and the summary count: cache it
+        # or the fingerprint self-join + extension kernel run twice
         spans = D.duplicate_spans(
-            ids.select(F.col("nid").alias("doc_id"), "text"), max_df=50)
+            ids.select(F.col("nid").alias("doc_id"), "text"), max_df=50).cache()
+        cached.append(spans)
         stripped = D.remove_duplicate_spans(
             ids.select(F.col("nid").alias("doc_id"), "text"), spans)
         uniq = (
@@ -105,10 +108,20 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
         counts["span_deduped"] = spans.select("doc_id").distinct().count()
 
     # recompute the exported metrics over the text actually exported —
-    # span removal may have changed it (the original q fed the GATE)
-    q_final = T.quality_score(uniq).select("doc_id", "n_tokens", "quality")
-    final = uniq.join(q_final, "doc_id").select(
-        F.col("doc_id").alias("url"), "text", "n_tokens", "quality").cache()
+    # span removal may have changed it (the original q fed the first
+    # gate) — and RE-APPLY the gate: a doc stripped below min_tokens or
+    # to quality 'low' must not ship.  uniq is narrowed to (doc_id,
+    # text) first: on the no-flags path it still carries kept's metric
+    # columns, which would make the re-join ambiguous.
+    texts = uniq.select("doc_id", "text")
+    q_final = T.quality_score(texts).select("doc_id", "n_tokens", "quality")
+    final = (
+        texts.join(q_final, "doc_id")
+        .filter((F.col("quality") != "low")
+                & (F.col("n_tokens") >= min_tokens))
+        .select(F.col("doc_id").alias("url"), "text", "n_tokens", "quality")
+        .cache()
+    )
     cached.append(final)
     counts["exported"] = final.count()
     # the exact row count is already paid for above — pass it through so

@@ -471,8 +471,12 @@ def substring_fingerprints_kernel(docs: DataFrame, window: int = 64,
     w = window - k + 1
 
     def kern(batches):
-        memo: dict = {}
         for pdf in batches:
+            # per-BATCH memo: boilerplate grams repeat heavily within a
+            # batch, but an unbounded cross-batch dict would grow to one
+            # entry per distinct gram in the partition — O(partition
+            # chars) of Python heap on a multi-GB text partition
+            memo: dict = {}
             doc_ids, grams, poss = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 text = text or ""
@@ -657,7 +661,16 @@ def duplicate_spans(docs: DataFrame, window: int = 64, k: int = 16,
     sides join in by doc_id; a batch-local kernel extends each anchor
     left/right to the maximal exact match (skipping anchors already
     inside a found span) and merges overlaps.  ``max_df`` bounds
-    boilerplate exactly as in ``substring_dup_pairs``."""
+    boilerplate exactly as in ``substring_dup_pairs``.
+
+    Completeness bound: every duplicated passage >= `window` chars is
+    detected at its own alignment (the winnowing guarantee) and removal
+    never cuts non-duplicated text.  The anchor-skip means a region
+    covered by two OVERLAPPING alignments against different parts of
+    the earlier doc may keep a tail shorter than `window` beyond the
+    first alignment's reach — the surviving duplicate per overlap is
+    bounded by the same `window` granularity as the paper's
+    minimum-match threshold."""
     import pandas as pd
 
     min_len = window if min_len is None else min_len

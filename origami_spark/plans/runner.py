@@ -62,41 +62,78 @@ def _dir_is_bucketed(path: str) -> bool:
     return bool(files) and all(_BUCKET_FILE_RE.search(f) for f in files)
 
 
+def _bucket_meta_path(work_dir: str, name: str) -> str:
+    from .snapshots import SNAPSHOT_DIR
+
+    return os.path.join(work_dir, SNAPSHOT_DIR, f"{name}-buckets.json")
+
+
+def _record_bucket_spec(work_dir: str, name: str, key: str,
+                        buckets: int) -> None:
+    import json
+
+    path = _bucket_meta_path(work_dir, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            json.dump({"buckets": buckets, "key": key}, f)
+
+
+def _recorded_bucket_spec(work_dir: str, name: str) -> dict | None:
+    import json
+
+    path = _bucket_meta_path(work_dir, name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def _prepare_bucketed_write(spark: SparkSession, work_dir: str, name: str,
                             result: DataFrame, key: str,
-                            buckets: int) -> bool:
-    """Make a bucketed append SAFE, returning whether to bucket this
-    write.
+                            buckets: int) -> int | None:
+    """Make a bucketed append SAFE.  Returns the EFFECTIVE bucket count
+    to write with (None = downgrade this write to plain parquet).
 
-    The catalog is session-local (in-memory): on a resumed run in a NEW
-    driver the table entry is gone while the data directory survives,
-    and ``saveAsTable(mode='append')`` would fall back to CREATE
-    semantics and WIPE the committed files.  So when the entry is
-    missing but data exists: (a) if the directory's files are all
-    bucket-suffixed, re-register the external table with the same
-    bucket DDL over the existing location — nothing is rewritten; (b)
-    if they are not (the work dir predates bucketing), appending a
-    bucketed layout into a plain directory would corrupt bucket-id ->
-    file mapping, so this write DOWNGRADES to plain parquet and the
-    committed view falls back to the manifest read."""
+    Two hazards guarded here:
+
+    * the catalog is session-local (in-memory): on a resumed run in a
+      NEW driver the table entry is gone while the data directory
+      survives, and ``saveAsTable(mode='append')`` would fall back to
+      CREATE semantics and WIPE the committed files.  When the entry is
+      missing but bucket-suffixed data exists, the external table is
+      re-registered over the existing location — nothing rewritten.
+    * the bucket spec the FILES were written with is the only truth:
+      the spec is recorded at first bucketed write
+      (_snapshots/<stage>-buckets.json) and a resume requesting a
+      DIFFERENT count uses the recorded one — registering N=8 metadata
+      over mod-4-hashed files would silently drop join matches.
+
+    A directory that predates bucketing (plain part files) downgrades
+    this write to plain parquet: mixed layouts would lie to the
+    planner."""
     out_path = os.path.join(work_dir, name)
     tbl = _stage_table_name(work_dir, name)
+    recorded = _recorded_bucket_spec(work_dir, name)
+    effective = recorded["buckets"] if recorded else buckets
     if spark.catalog.tableExists(tbl):
-        return True
+        return effective
     from .snapshots import _data_files
 
     if not _data_files(out_path):
-        return True  # fresh table: saveAsTable creates dir + entry
+        _record_bucket_spec(work_dir, name, key, effective)
+        return effective  # fresh table: saveAsTable creates dir + entry
     if not _dir_is_bucketed(out_path):
-        return False  # mixed layout would lie to the planner
+        return None  # mixed layout would lie to the planner
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in result.schema.fields)
     spark.sql(
         f"CREATE TABLE {tbl} ({cols}) USING parquet "
-        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {effective} BUCKETS "
         f"LOCATION '{out_path}'"
     )
-    return True
+    _record_bucket_spec(work_dir, name, key, effective)
+    return effective
 
 
 def run_stage(
@@ -172,14 +209,18 @@ def run_stage(
             .withColumn("_part_id", F.spark_partition_id())
             .withColumn("_run_id", F.lit(run_id))
         )
-        if buckets and _prepare_bucketed_write(spark, work_dir, name,
-                                               result, key, buckets):
+        effective_buckets = (
+            _prepare_bucketed_write(spark, work_dir, name, result, key,
+                                    buckets)
+            if buckets else None
+        )
+        if effective_buckets:
             # co-located stage table: the one-time shuffle here buys
             # exchange-free joins/windows on `key` for every downstream
             # stage (and every later run)
             (
                 result.write.mode("append")
-                .bucketBy(buckets, key)
+                .bucketBy(effective_buckets, key)
                 .sortBy(key)
                 .option("path", out_path)
                 .format("parquet")
@@ -262,11 +303,13 @@ def _committed_view(spark: SparkSession, work_dir: str, name: str,
     return read_snapshot(spark, work_dir, name)
 
 
-def reset_stages(work_dir: str, stages) -> list:
+def reset_stages(work_dir: str, stages, spark: SparkSession | None = None) -> list:
     """Delete chosen stage checkpoints so they recompute on the next run
     (the `reset` batch analog, ``batch/utils/reset.py:14-60``; with
     Iceberg this is a snapshot rollback / DROP TABLE).  Returns the
-    stages actually removed."""
+    stages actually removed.  Pass the active session to also drop the
+    stage's bucketed catalog entry (same-session reset of a bucketed
+    run); without it the entry dies with the session anyway."""
     import shutil
 
     from .snapshots import delete_snapshots
@@ -283,6 +326,9 @@ def reset_stages(work_dir: str, stages) -> list:
         # entries point at deleted data — the stage would then fail on
         # every read, permanently
         delete_snapshots(work_dir, stage)
+        if spark is not None:
+            spark.sql(
+                f"DROP TABLE IF EXISTS {_stage_table_name(work_dir, stage)}")
     return removed
 
 

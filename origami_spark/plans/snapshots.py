@@ -103,7 +103,9 @@ def commit_snapshot(work_dir: str, stage: str, run_id: str,
 def delete_snapshots(work_dir: str, stage: str) -> int:
     """Remove every snapshot of a stage (paired with deleting the stage
     table itself — stale manifests pointing at deleted files would make
-    read_snapshot fail forever).  Returns the number removed."""
+    read_snapshot fail forever), plus the stage's recorded bucket spec
+    (a reset stage may legitimately be rewritten with a different
+    bucket count).  Returns the number of snapshots removed."""
     snap_dir = os.path.join(work_dir, SNAPSHOT_DIR)
     removed = 0
     if os.path.isdir(snap_dir):
@@ -111,6 +113,9 @@ def delete_snapshots(work_dir: str, stage: str) -> int:
             if name.startswith(f"{stage}-v") and name.endswith(".json"):
                 os.remove(os.path.join(snap_dir, name))
                 removed += 1
+        spec = os.path.join(snap_dir, f"{stage}-buckets.json")
+        if os.path.exists(spec):
+            os.remove(spec)
     return removed
 
 

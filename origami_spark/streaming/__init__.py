@@ -12,4 +12,4 @@ sink semantics — each micro-batch is the same idempotent per-url write
 the batch runner commits.
 """
 
-from .ingest import stream_extract  # noqa: F401
+from .ingest import stream_extract, stream_extract_warc  # noqa: F401

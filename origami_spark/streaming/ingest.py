@@ -21,6 +21,28 @@ from ..pipeline import extract_fused
 from ..sources.corpus import PAGES_SCHEMA
 
 
+def _start_extract_sink(spark: SparkSession, pages, out_dir: str,
+                        checkpoint_dir: str, trigger_seconds: int,
+                        available_now: bool):
+    """Shared tail of every extraction stream: the exactly-once
+    foreachBatch sink (overwrite-by-batch_id: replays of the same
+    micro-batch land in the same subdirectory) + trigger + start."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        extract_fused(spark, batch_df).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    writer = pages.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def stream_extract(
     spark: SparkSession,
     source_dir: str,
@@ -41,22 +63,8 @@ def stream_extract(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # overwrite-by-batch_id: replays of the same micro-batch land in
-        # the same subdirectory -> exactly-once output
-        extract_fused(spark, batch_df).write.mode("overwrite").parquet(
-            f"{out_dir}/batch_id={batch_id}"
-        )
-
-    writer = pages.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    return _start_extract_sink(spark, pages, out_dir, checkpoint_dir,
+                               trigger_seconds, available_now)
 
 
 def stream_extract_warc(
@@ -91,17 +99,5 @@ def stream_extract_warc(
         .select("path", "content")
     )
     pages = files.mapInPandas(pages_kernel, schema=WARC_PAGES_SCHEMA)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        extract_fused(spark, batch_df).write.mode("overwrite").parquet(
-            f"{out_dir}/batch_id={batch_id}"
-        )
-
-    writer = pages.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    return _start_extract_sink(spark, pages, out_dir, checkpoint_dir,
+                               trigger_seconds, available_now)

@@ -190,3 +190,37 @@ def test_buckets_added_to_plain_workdir_downgrades_safely(spark, tmp_path):
               for r in pages2.select("url", "text").collect()}
     for r in out.select("url", "text").collect():
         assert r["text"] == golden[r["url"]], r["url"]
+
+
+def test_bucket_count_is_recorded_and_wins_on_resume(spark, tmp_path):
+    """Resuming a bucketed work dir with a DIFFERENT --buckets value
+    must not register wrong bucket metadata over existing files: the
+    recorded spec wins, results stay correct, and reset clears it."""
+    from origami_spark.pipeline import extract_staged
+    from origami_spark.plans.runner import (
+        _recorded_bucket_spec,
+        _stage_table_name,
+        reset_stages,
+    )
+    from origami_spark.sources.corpus import pages_df
+
+    wd = str(tmp_path / "wd")
+    pages1 = pages_df(spark, 15, num_partitions=1).cache()
+    extract_staged(spark, pages1, wd, run_id="r1", buckets=4)
+    assert _recorded_bucket_spec(wd, "s2_blocks")["buckets"] == 4
+
+    # fresh-driver resume asking for 8: recorded 4 wins
+    for stage in ("s2_blocks", "s5_layout", "s7_order", "s8_compose"):
+        spark.sql(f"DROP TABLE IF EXISTS {_stage_table_name(wd, stage)}")
+    pages2 = pages_df(spark, 35, num_partitions=1).cache()
+    out = extract_staged(spark, pages2, wd, run_id="r2", buckets=8)
+    assert out.count() == 35
+    golden = {r["url"]: r["text"]
+              for r in pages2.select("url", "text").collect()}
+    for r in out.select("url", "text").collect():
+        assert r["text"] == golden[r["url"]], r["url"]
+    assert _recorded_bucket_spec(wd, "s2_blocks")["buckets"] == 4
+
+    # reset clears the spec so a rewrite may choose a new count
+    reset_stages(wd, ["s2_blocks"], spark=spark)
+    assert _recorded_bucket_spec(wd, "s2_blocks") is None

@@ -69,3 +69,57 @@ def test_corpus_job_dedup_spans(spark, tmp_path):
         "an identical boilerplate paragraph")).count()
     assert n_with == 1  # exactly one copy survives corpus-wide
     assert back.count() == counts["exported"]
+
+
+def test_corpus_job_default_path(spark, tmp_path):
+    """The no-flags path must run clean (regression: the exported-metrics
+    recompute made the q join ambiguous when uniq still carried kept's
+    metric columns)."""
+    from jobs.corpus_job import build_corpus
+    from origami_spark.sources.corpus import pages_df
+
+    out = str(tmp_path / "plain")
+    counts = build_corpus(spark, pages_df(spark, 20, num_partitions=2),
+                          out, min_tokens=5)
+    assert counts["exported"] > 0
+    back = spark.read.json(out)
+    assert back.count() == counts["exported"]
+    assert set(back.columns) >= {"url", "text", "n_tokens", "quality"}
+
+
+def test_corpus_job_gate_reapplied_after_strip(spark, tmp_path):
+    """A doc that is ~entirely a duplicated passage strips to below the
+    token gate and must NOT be exported."""
+    import pyspark.sql.functions as F
+
+    from jobs.corpus_job import build_corpus
+    from origami_spark.sources.corpus import pages_df
+
+    pages = pages_df(spark, 20, num_partitions=1)
+    passage = ("a very long duplicated passage that makes up nearly the "
+               "entire body of the second page " * 3)
+    # page a5 gets passage + real content; page a9 gets ONLY the passage
+    spiked = pages.withColumn(
+        "html",
+        F.when(F.col("url").rlike("/a5$"),
+               F.regexp_replace(F.col("html").cast("string"), "<body>",
+                                f"<body><p>{passage}</p>").cast("binary"))
+        .when(F.col("url").rlike("/a9$"),
+              F.lit(f"<html><body><p>{passage}</p></body></html>")
+              .cast("binary"))
+        .otherwise(F.col("html")),
+    )
+    out = str(tmp_path / "gated")
+    counts = build_corpus(spark, spiked, out, min_tokens=10,
+                          dedup_spans=True)
+    back = spark.read.json(out)
+    exported_urls = {r["url"] for r in back.select("url").collect()}
+    # exactly one of the two passage carriers keeps it; the doc that was
+    # ONLY the passage is stripped empty and gated out
+    n_with = back.filter(
+        F.col("text").contains("a very long duplicated passage")).count()
+    assert n_with == 1
+    carriers = {u for u in exported_urls if u.endswith(("/a5", "/a9"))}
+    assert len(carriers) <= 1 or all(
+        r["n_tokens"] >= 10 for r in back.collect())
+    assert counts["exported"] == back.count()
