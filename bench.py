@@ -234,6 +234,10 @@ def main():
             "docs": reports[lo]["docs"],
             f"throughput_{lo}": thr_lo,
             f"throughput_{hi}": thr_hi,
+            # per-leg steal over the PINNED cpus (the child measures its
+            # own affinity set) — a stolen leg is visible, not silent
+            f"steal_{lo}": reports[lo].get("steal_share"),
+            f"steal_{hi}": reports[hi].get("steal_share"),
             "digest_match": reports[lo]["digest"] == reports[hi]["digest"],
         }))
         return

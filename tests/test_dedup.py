@@ -247,3 +247,28 @@ def test_duplicate_spans_merge_overlaps(spark):
     assert p1 not in out[1] and p2 not in out[1]
     assert "unique middle text here" in out[1]
     assert out[0] == rows[0][1]
+
+
+def test_duplicate_spans_max_df_bounds_boilerplate(spark):
+    """A banner shared by every doc must not explode the anchor join:
+    max_df caps every gram bucket at max_df^2.  The cap is a SCALE
+    bound, not an output filter — a rare boundary fingerprint may still
+    legitimately surface a banner span for a few doc pairs — so the
+    contracts tested are: (a) far fewer docs get spans than the
+    uncapped all-pairs banner explosion, and (b) every span that IS
+    returned is true duplicated text occurring verbatim in an earlier
+    doc (removal can never destroy unique text)."""
+    from origami_spark.operators.dedup import duplicate_spans
+
+    banner = "GLOBAL COOKIE BANNER SHARED BY EVERY SINGLE DOCUMENT " * 2
+    rows = [(i, banner + f"unique body {i} " * 12) for i in range(40)]
+    texts = dict(rows)
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # without the cap the banner produces spans in all 39 later docs
+    uncapped = duplicate_spans(docs, window=64, k=16)
+    assert uncapped.select("doc_id").distinct().count() == 39
+    capped = duplicate_spans(docs, window=64, k=16, max_df=5).collect()
+    assert len({r["doc_id"] for r in capped}) < 10  # explosion bounded
+    for r in capped:
+        frag = texts[r["doc_id"]][r["start"]:r["end"]]
+        assert any(frag in texts[i] for i in range(r["doc_id"])), frag
