@@ -432,6 +432,17 @@ def dedup_substring(spark, sf):
                                  window=64, k=16, max_df=5)
 
 
+def dedup_span_removal(spark, sf):
+    # the APPLICATION step of exact-substring dedup (Lee et al. 2022):
+    # maximal duplicated spans to remove from all but the earliest copy.
+    # skip_covered=False = the exhaustive, order-independent extension —
+    # exactly what the DuckDB oracle reproduces via monotone
+    # substring-equality counting
+    return D.duplicate_spans(_t(spark, sf, "documents"),
+                             window=64, k=16, max_df=5,
+                             skip_covered=False)
+
+
 def dedup_simhash(spark, sf):
     return D.simhash_near_dups(_t(spark, sf, "documents"), bits=32, bands=4,
                                max_hamming=6)
@@ -657,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_substring": dedup_substring,
+        "dedup_span_removal": dedup_span_removal,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_cosine_topk": ann_cosine_topk,
@@ -748,6 +760,40 @@ def _lsh_oracle_sql(planes: int = 6, tables: int = 8, dim: int = 64,
         JOIN embeddings eb ON eb.vec_id = c.vec_b
         WHERE round(CAST(list_cosine_similarity(ea.embedding, eb.embedding)
                     AS DOUBLE), 4) >= {threshold}"""
+
+
+def _winnow_fp_cte(window: int = 64, k: int = 16, max_df: int = 5) -> str:
+    """Winnowing-fingerprint CTE chain ending in `fp` (doc_id, gram,
+    pos) — the exact relational form of operators/dedup.py's
+    substring_fingerprints + df cutoff, shared by the substring-pair
+    and span-removal oracles."""
+    w = window - k + 1
+    return f"""grams AS (
+              SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+                     CAST(i AS BIGINT) AS pos,
+                     substr(text, CAST(i AS INT) + 1, {k}) AS gram
+              FROM documents,
+                   LATERAL unnest(range(0, length(text) - {k} + 1)) AS r(i)
+              WHERE length(text) >= {window}),
+            g AS (SELECT doc_id, len, pos, gram,
+                         {_H60.format(x="gram")} AS h
+                  FROM grams),
+            wm AS (
+              SELECT doc_id, len, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                       AS mh
+              FROM g),
+            sel AS (
+              SELECT DISTINCT doc_id, mh AS h FROM wm
+              WHERE pos <= len - {window}),
+            fp0 AS (
+              SELECT g.doc_id, g.gram, min(g.pos) AS pos
+              FROM g JOIN sel ON g.doc_id = sel.doc_id AND g.h = sel.h
+              GROUP BY g.doc_id, g.gram),
+            rare AS (
+              SELECT gram FROM fp0 GROUP BY gram HAVING count(*) <= {max_df}),
+            fp AS (SELECT fp0.* FROM fp0 JOIN rare USING (gram))"""
 
 
 def _lsh_topk_oracle_sql(planes: int = 8, tables: int = 8, dim: int = 64,
@@ -994,42 +1040,75 @@ def oracle_sql() -> dict[str, str]:
             FROM buckets a JOIN buckets b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id""",
-        # winnowing fingerprints: k=16 grams, w = 64-16+1 = 49 grams per
-        # winnow window, window-min hash -> distinct fingerprint grams,
-        # df<=5 cutoff, equality join (mirrors substring_dup_pairs)
+        # winnowing fingerprints (shared CTE below): window-min hash ->
+        # distinct fingerprint grams, df<=5 cutoff, equality join
+        # (mirrors substring_dup_pairs)
         "dedup_substring": f"""
-            WITH grams AS (
-              SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
-                     CAST(i AS BIGINT) AS pos,
-                     substr(text, CAST(i AS INT) + 1, 16) AS gram
-              FROM documents,
-                   LATERAL unnest(range(0, length(text) - 16 + 1)) AS r(i)
-              WHERE length(text) >= 64),
-            g AS (SELECT doc_id, len, pos, gram,
-                         {_H60.format(x="gram")} AS h
-                  FROM grams),
-            wm AS (
-              SELECT doc_id, len, pos,
-                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                  ROWS BETWEEN CURRENT ROW AND 48 FOLLOWING)
-                       AS mh
-              FROM g),
-            sel AS (
-              SELECT DISTINCT doc_id, mh AS h FROM wm
-              WHERE pos <= len - 64),
-            fp0 AS (
-              SELECT g.doc_id, g.gram, min(g.pos) AS pos
-              FROM g JOIN sel ON g.doc_id = sel.doc_id AND g.h = sel.h
-              GROUP BY g.doc_id, g.gram),
-            rare AS (
-              SELECT gram FROM fp0 GROUP BY gram HAVING count(*) <= 5),
-            fp AS (SELECT fp0.* FROM fp0 JOIN rare USING (gram))
+            WITH {_winnow_fp_cte()}
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    count(*) AS n_shared,
                    min(a.pos) AS a_pos_min, min(b.pos) AS b_pos_min
             FROM fp a JOIN fp b
               ON a.gram = b.gram AND a.doc_id < b.doc_id
             GROUP BY 1, 2""",
+        # the span-removal APPLICATION (duplicate_spans,
+        # skip_covered=False): every fingerprint anchor between a pair
+        # is extended to the maximal exact match via MONOTONE
+        # substring-equality counting (prefix equality at length L
+        # implies it at L-1, so count(matching lengths) == max length),
+        # spans >= 64 kept, distinct, then the same running-max interval
+        # merge the Spark side computes
+        "dedup_span_removal": f"""
+            WITH {_winnow_fp_cte()},
+            anchors AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     a.pos AS pa, b.pos AS pb
+              FROM fp a JOIN fp b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id),
+            ax AS (
+              SELECT an.*, ta.text AS ta, tb.text AS tb,
+                     CAST(length(ta.text) AS BIGINT) AS la,
+                     CAST(length(tb.text) AS BIGINT) AS lb
+              FROM anchors an
+              JOIN documents ta ON ta.doc_id = an.da
+              JOIN documents tb ON tb.doc_id = an.db),
+            ext AS (
+              SELECT db AS doc_id, pb,
+                COALESCE((SELECT count(*)
+                   FROM unnest(range(1, least(pa, pb) + 1)) AS r(l)
+                   WHERE substr(ta, CAST(pa - l + 1 AS INT), CAST(l AS INT))
+                       = substr(tb, CAST(pb - l + 1 AS INT), CAST(l AS INT))),
+                  0) AS lmax,
+                COALESCE((SELECT count(*)
+                   FROM unnest(range(1, least(la - pa, lb - pb) - 16 + 1)) AS r(e)
+                   WHERE substr(ta, CAST(pa + 1 AS INT), CAST(16 + e AS INT))
+                       = substr(tb, CAST(pb + 1 AS INT), CAST(16 + e AS INT))),
+                  0) AS rext
+              FROM ax),
+            spans0 AS (
+              SELECT DISTINCT doc_id,
+                     CAST(pb - lmax AS BIGINT) AS start,
+                     CAST(pb + 16 + rext AS BIGINT) AS "end"
+              FROM ext WHERE lmax + 16 + rext >= 64),
+            m1 AS (
+              SELECT doc_id, start, "end",
+                     max("end") OVER (PARTITION BY doc_id
+                       ORDER BY start, "end"
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max
+              FROM spans0),
+            m2 AS (
+              SELECT *, CASE WHEN prev_max IS NULL OR start > prev_max
+                        THEN 1 ELSE 0 END AS ng
+              FROM m1),
+            m3 AS (
+              SELECT *, sum(ng) OVER (PARTITION BY doc_id
+                       ORDER BY start, "end"
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS grp
+              FROM m2)
+            SELECT doc_id, min(start) AS start, max("end") AS "end"
+            FROM m3 GROUP BY doc_id, grp""",
         "dedup_simhash": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),

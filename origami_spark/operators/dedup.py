@@ -644,7 +644,8 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
 def duplicate_spans(docs: DataFrame, window: int = 64, k: int = 16,
                     max_df: int | None = None,
                     min_len: int | None = None,
-                    use_kernel: bool = True) -> DataFrame:
+                    use_kernel: bool = True,
+                    skip_covered: bool = True) -> DataFrame:
     """The APPLICATION step of exact-substring dedup (Lee et al. 2022):
     locate the maximal duplicated passages so they can be REMOVED from
     all but one copy, not just flagged as pairs.
@@ -670,7 +671,11 @@ def duplicate_spans(docs: DataFrame, window: int = 64, k: int = 16,
     the earlier doc may keep a tail shorter than `window` beyond the
     first alignment's reach — the surviving duplicate per overlap is
     bounded by the same `window` granularity as the paper's
-    minimum-match threshold."""
+    minimum-match threshold.  ``skip_covered=False`` extends EVERY
+    anchor (no heuristic): slower, order-independent, and exactly the
+    semantics the DuckDB oracle reproduces with monotone
+    substring-equality counting — the driver's hash gate runs that
+    form."""
     import pandas as pd
 
     min_len = window if min_len is None else min_len
@@ -717,7 +722,9 @@ def duplicate_spans(docs: DataFrame, window: int = 64, k: int = 16,
                 found: list = []  # (start, end) in tb, sorted as built
                 for anc in sorted(ancs, key=lambda x: x["b_pos"]):
                     pa, pb = int(anc["a_pos"]), int(anc["b_pos"])
-                    if any(s <= pb and pb + k <= e for s, e in found):
+                    if skip_covered and any(
+                        s <= pb and pb + k <= e for s, e in found
+                    ):
                         continue  # anchor already inside a found span
                     left = 0
                     while (pa - left - 1 >= 0 and pb - left - 1 >= 0
