@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_substring",
+    "dedup_span_removal",
     "dedup_embedding_lsh",
     "ann_cosine_topk",
     "text_quality",
