@@ -72,7 +72,8 @@ def to_xml(composed: DataFrame) -> DataFrame:
 PAGE_NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
 
 
-def to_page_xml(ranked: DataFrame, creator: str = "origami_spark",
+def to_page_xml(ranked: DataFrame, lines: DataFrame | None = None,
+                creator: str = "origami_spark",
                 created: str = "2024-01-01T00:00:00Z") -> DataFrame:
     """ranked blocks (url, rank, path, label, start, end, text) ->
     (url, xml) conforming to the PAGE-XML 2019-07-15 schema contract —
@@ -90,6 +91,11 @@ def to_page_xml(ranked: DataFrame, creator: str = "origami_spark",
       span rectangle matching the XSD PointsType pattern),
       ``TextEquiv``/``Unicode`` with the block text, and the engine's
       label + block path in ``custom``
+    * optionally, pass the S6 ``lines`` table
+      (operators/lines.lines_table output) to nest ``TextLine``
+      children — the reference's transcription layer
+      (pagexml/transcriptions.py): per line an id ``r_N_lM``, required
+      ``Coords`` from the raw char span, and ``TextEquiv``/``Unicode``
 
     Entirely Catalyst (transform + array_join), like ``to_xml``.  Pages
     with zero surviving blocks produce no row (left-join against the
@@ -100,10 +106,39 @@ def to_page_xml(ranked: DataFrame, creator: str = "origami_spark",
     # columns go through _esc)
     creator = escape(creator)
     created = escape(created)
-    regions = ranked.groupBy("url").agg(
+    blocks = ranked
+    if lines is not None:
+        per_block = lines.groupBy(
+            F.col("url").alias("l_url"),
+            F.col("block_path").alias("l_path"),
+        ).agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    "line_id",
+                    F.col("raw_start").alias("lstart"),
+                    F.col("raw_end").alias("lend"),
+                    F.col("text").alias("ltext"),
+                ))
+            ).alias("lns")
+        )
+        blocks = ranked.join(
+            per_block,
+            (ranked["url"] == per_block["l_url"])
+            & (ranked["path"] == per_block["l_path"]),
+            "left",
+        ).drop("l_url", "l_path")
+    else:
+        blocks = ranked.withColumn(
+            "lns",
+            F.lit(None).cast(
+                "array<struct<line_id:bigint,lstart:bigint,"
+                "lend:bigint,ltext:string>>"),
+        )
+    regions = blocks.groupBy("url").agg(
         F.array_sort(
             F.collect_list(
-                F.struct("rank", "path", "label", "start", "end", "text"))
+                F.struct("rank", "path", "label", "start", "end", "text",
+                         "lns"))
         ).alias("rs"),
         F.max("end").cast("string").alias("width"),
     )
@@ -116,6 +151,28 @@ def to_page_xml(ranked: DataFrame, creator: str = "origami_spark",
         )),
         "\n",
     )
+    def lines_xml(r):
+        # TextLine children (XSD order: TextLine* before TextEquiv);
+        # absent/NULL raw spans fall back to the block span
+        one = lambda ln: F.concat(  # noqa: E731
+            F.lit('      <TextLine id="r_'), r["rank"].cast("string"),
+            F.lit("_l"), ln["line_id"].cast("string"),
+            F.lit('">\n        <Coords points="'),
+            F.coalesce(ln["lstart"], r["start"]).cast("string"),
+            F.lit(",0 "),
+            F.coalesce(ln["lend"], r["end"]).cast("string"),
+            F.lit(",0 "),
+            F.coalesce(ln["lend"], r["end"]).cast("string"),
+            F.lit(",1 "),
+            F.coalesce(ln["lstart"], r["start"]).cast("string"),
+            F.lit(',1"/>\n        <TextEquiv><Unicode>'),
+            _esc(ln["ltext"]),
+            F.lit("</Unicode></TextEquiv>\n      </TextLine>\n"),
+        )
+        return F.when(
+            r["lns"].isNull() | (F.size(r["lns"]) == 0), F.lit("")
+        ).otherwise(F.array_join(F.transform(r["lns"], one), ""))
+
     regions_xml = F.array_join(
         F.transform("rs", lambda r: F.concat(
             F.lit('    <TextRegion id="r_'), r["rank"].cast("string"),
@@ -127,7 +184,9 @@ def to_page_xml(ranked: DataFrame, creator: str = "origami_spark",
             r["end"].cast("string"), F.lit(",0 "),
             r["end"].cast("string"), F.lit(",1 "),
             r["start"].cast("string"),
-            F.lit(',1"/>\n      <TextEquiv><Unicode>'),
+            F.lit(',1"/>\n'),
+            lines_xml(r),
+            F.lit("      <TextEquiv><Unicode>"),
             _esc(r["text"]),
             F.lit("</Unicode></TextEquiv>\n    </TextRegion>"),
         )),

@@ -120,3 +120,36 @@ def test_page_xml_escapes_header_params(spark):
     root = ET.fromstring(row["xml"])  # malformed XML would raise here
     ns = {"pc": "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"}
     assert root.find("pc:Metadata/pc:Creator", ns).text == "Muller & Co <GmbH>"
+
+
+def test_page_xml_textlines_nested(spark):
+    """With the S6 lines table supplied, regions carry TextLine children
+    (the reference's transcription layer): XSD order (TextLine before
+    TextEquiv), per-line ids scoped to the region, Coords present, and
+    line text round-trips."""
+    from origami_spark.operators.export_xml import PAGE_NS, to_page_xml
+    from origami_spark.operators.layout import refine
+    from origami_spark.operators.lines import lines_table
+    from origami_spark.operators.order import rank_blocks
+    from origami_spark.pipeline import parse_stage
+    from origami_spark.sources.corpus import pages_df
+
+    refined = refine(parse_stage(pages_df(spark, 15)))
+    ranked = rank_blocks(refined)
+    lines = lines_table(refined)
+    rows = to_page_xml(ranked, lines=lines).collect()
+    ns = {"pc": PAGE_NS}
+    total_lines = 0
+    for r in rows:
+        root = ET.fromstring(r["xml"])
+        for reg in root.findall("pc:Page/pc:TextRegion", ns):
+            kids = [c.tag.split("}")[1] for c in reg]
+            # Coords first, then TextLine*, then TextEquiv (XSD sequence)
+            assert kids[0] == "Coords" and kids[-1] == "TextEquiv"
+            assert all(k == "TextLine" for k in kids[1:-1])
+            for tl in reg.findall("pc:TextLine", ns):
+                assert tl.get("id").startswith(reg.get("id") + "_l")
+                assert tl.find("pc:Coords", ns) is not None
+                assert tl.find("pc:TextEquiv/pc:Unicode", ns).text
+                total_lines += 1
+    assert total_lines > 20
