@@ -762,12 +762,28 @@ def _lsh_oracle_sql(planes: int = 6, tables: int = 8, dim: int = 64,
                     AS DOUBLE), 4) >= {threshold}"""
 
 
-def _winnow_fp_cte(window: int = 64, k: int = 16, max_df: int = 5) -> str:
+def _winnow_fp_cte(window: int = 64, k: int = 16, max_df: int = 5,
+                   all_positions: bool = False) -> str:
     """Winnowing-fingerprint CTE chain ending in `fp` (doc_id, gram,
     pos) — the exact relational form of operators/dedup.py's
     substring_fingerprints + df cutoff, shared by the substring-pair
-    and span-removal oracles."""
+    and span-removal oracles.  ``all_positions`` mirrors the operator
+    flag: every occurrence of a selected gram instead of the earliest
+    (df then counts DISTINCT docs)."""
     w = window - k + 1
+    if all_positions:
+        fp0 = """fp0 AS (
+              SELECT DISTINCT g.doc_id, g.gram, g.pos
+              FROM g JOIN sel ON g.doc_id = sel.doc_id AND g.h = sel.h)"""
+        rare = (f"rare AS (\n              SELECT gram FROM fp0 "
+                f"GROUP BY gram HAVING count(DISTINCT doc_id) <= {max_df})")
+    else:
+        fp0 = """fp0 AS (
+              SELECT g.doc_id, g.gram, min(g.pos) AS pos
+              FROM g JOIN sel ON g.doc_id = sel.doc_id AND g.h = sel.h
+              GROUP BY g.doc_id, g.gram)"""
+        rare = (f"rare AS (\n              SELECT gram FROM fp0 "
+                f"GROUP BY gram HAVING count(*) <= {max_df})")
     return f"""grams AS (
               SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
                      CAST(i AS BIGINT) AS pos,
@@ -787,13 +803,72 @@ def _winnow_fp_cte(window: int = 64, k: int = 16, max_df: int = 5) -> str:
             sel AS (
               SELECT DISTINCT doc_id, mh AS h FROM wm
               WHERE pos <= len - {window}),
-            fp0 AS (
-              SELECT g.doc_id, g.gram, min(g.pos) AS pos
-              FROM g JOIN sel ON g.doc_id = sel.doc_id AND g.h = sel.h
-              GROUP BY g.doc_id, g.gram),
-            rare AS (
-              SELECT gram FROM fp0 GROUP BY gram HAVING count(*) <= {max_df}),
+            {fp0},
+            {rare},
             fp AS (SELECT fp0.* FROM fp0 JOIN rare USING (gram))"""
+
+
+def _span_removal_oracle_sql(window: int = 64, k: int = 16,
+                             max_df: int = 5) -> str:
+    """Oracle for the span-removal APPLICATION (duplicate_spans with
+    skip_covered=False): all-positions winnowing anchors, each extended
+    to the maximal exact match via MONOTONE substring-equality counting
+    (prefix equality at length L implies it at L-1, so count(matching
+    lengths) == max length), spans >= window kept, distinct, then the
+    same running-max interval merge the Spark side computes.  All
+    window/k literals derive from the parameters — the fingerprint CTE
+    and the extension arithmetic cannot drift apart."""
+    return f"""
+        WITH {_winnow_fp_cte(window, k, max_df, all_positions=True)},
+        anchors AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 a.pos AS pa, b.pos AS pb
+          FROM fp a JOIN fp b
+            ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        ax AS (
+          SELECT an.*, ta.text AS ta, tb.text AS tb,
+                 CAST(length(ta.text) AS BIGINT) AS la,
+                 CAST(length(tb.text) AS BIGINT) AS lb
+          FROM anchors an
+          JOIN documents ta ON ta.doc_id = an.da
+          JOIN documents tb ON tb.doc_id = an.db),
+        ext AS (
+          SELECT db AS doc_id, pb,
+            COALESCE((SELECT count(*)
+               FROM unnest(range(1, least(pa, pb) + 1)) AS r(l)
+               WHERE substr(ta, CAST(pa - l + 1 AS INT), CAST(l AS INT))
+                   = substr(tb, CAST(pb - l + 1 AS INT), CAST(l AS INT))),
+              0) AS lmax,
+            COALESCE((SELECT count(*)
+               FROM unnest(range(1, least(la - pa, lb - pb) - {k} + 1)) AS r(e)
+               WHERE substr(ta, CAST(pa + 1 AS INT), CAST({k} + e AS INT))
+                   = substr(tb, CAST(pb + 1 AS INT), CAST({k} + e AS INT))),
+              0) AS rext
+          FROM ax),
+        spans0 AS (
+          SELECT DISTINCT doc_id,
+                 CAST(pb - lmax AS BIGINT) AS start,
+                 CAST(pb + {k} + rext AS BIGINT) AS "end"
+          FROM ext WHERE lmax + {k} + rext >= {window}),
+        m1 AS (
+          SELECT doc_id, start, "end",
+                 max("end") OVER (PARTITION BY doc_id
+                   ORDER BY start, "end"
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+          FROM spans0),
+        m2 AS (
+          SELECT *, CASE WHEN prev_max IS NULL OR start > prev_max
+                    THEN 1 ELSE 0 END AS ng
+          FROM m1),
+        m3 AS (
+          SELECT *, sum(ng) OVER (PARTITION BY doc_id
+                   ORDER BY start, "end"
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grp
+          FROM m2)
+        SELECT doc_id, min(start) AS start, max("end") AS "end"
+        FROM m3 GROUP BY doc_id, grp"""
 
 
 def _lsh_topk_oracle_sql(planes: int = 8, tables: int = 8, dim: int = 64,
@@ -1051,64 +1126,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b
               ON a.gram = b.gram AND a.doc_id < b.doc_id
             GROUP BY 1, 2""",
-        # the span-removal APPLICATION (duplicate_spans,
-        # skip_covered=False): every fingerprint anchor between a pair
-        # is extended to the maximal exact match via MONOTONE
-        # substring-equality counting (prefix equality at length L
-        # implies it at L-1, so count(matching lengths) == max length),
-        # spans >= 64 kept, distinct, then the same running-max interval
-        # merge the Spark side computes
-        "dedup_span_removal": f"""
-            WITH {_winnow_fp_cte()},
-            anchors AS (
-              SELECT a.doc_id AS da, b.doc_id AS db,
-                     a.pos AS pa, b.pos AS pb
-              FROM fp a JOIN fp b
-                ON a.gram = b.gram AND a.doc_id < b.doc_id),
-            ax AS (
-              SELECT an.*, ta.text AS ta, tb.text AS tb,
-                     CAST(length(ta.text) AS BIGINT) AS la,
-                     CAST(length(tb.text) AS BIGINT) AS lb
-              FROM anchors an
-              JOIN documents ta ON ta.doc_id = an.da
-              JOIN documents tb ON tb.doc_id = an.db),
-            ext AS (
-              SELECT db AS doc_id, pb,
-                COALESCE((SELECT count(*)
-                   FROM unnest(range(1, least(pa, pb) + 1)) AS r(l)
-                   WHERE substr(ta, CAST(pa - l + 1 AS INT), CAST(l AS INT))
-                       = substr(tb, CAST(pb - l + 1 AS INT), CAST(l AS INT))),
-                  0) AS lmax,
-                COALESCE((SELECT count(*)
-                   FROM unnest(range(1, least(la - pa, lb - pb) - 16 + 1)) AS r(e)
-                   WHERE substr(ta, CAST(pa + 1 AS INT), CAST(16 + e AS INT))
-                       = substr(tb, CAST(pb + 1 AS INT), CAST(16 + e AS INT))),
-                  0) AS rext
-              FROM ax),
-            spans0 AS (
-              SELECT DISTINCT doc_id,
-                     CAST(pb - lmax AS BIGINT) AS start,
-                     CAST(pb + 16 + rext AS BIGINT) AS "end"
-              FROM ext WHERE lmax + 16 + rext >= 64),
-            m1 AS (
-              SELECT doc_id, start, "end",
-                     max("end") OVER (PARTITION BY doc_id
-                       ORDER BY start, "end"
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                       AS prev_max
-              FROM spans0),
-            m2 AS (
-              SELECT *, CASE WHEN prev_max IS NULL OR start > prev_max
-                        THEN 1 ELSE 0 END AS ng
-              FROM m1),
-            m3 AS (
-              SELECT *, sum(ng) OVER (PARTITION BY doc_id
-                       ORDER BY start, "end"
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS grp
-              FROM m2)
-            SELECT doc_id, min(start) AS start, max("end") AS "end"
-            FROM m3 GROUP BY doc_id, grp""",
+        "dedup_span_removal": _span_removal_oracle_sql(),
         "dedup_simhash": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),

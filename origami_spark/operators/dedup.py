@@ -393,7 +393,8 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, bands: int = 4,
 
 
 def substring_fingerprints(docs: DataFrame, window: int = 64,
-                           k: int = 16) -> DataFrame:
+                           k: int = 16,
+                           all_positions: bool = False) -> DataFrame:
     """Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003,
     public): per document, hash every `k`-char gram, then keep the
     minimum hash of each sliding window of ``w = window - k + 1``
@@ -405,9 +406,12 @@ def substring_fingerprints(docs: DataFrame, window: int = 64,
     stride; this does not.)
 
     Returns (doc_id, gram, pos): the distinct fingerprint grams per doc
-    with each gram's earliest occurrence offset (0-based).  Selection is
-    by hash, but the *gram string* is what downstream joins equate, so
-    a hash collision can never fabricate a match.
+    with each gram's earliest occurrence offset (0-based) — or, with
+    ``all_positions=True``, EVERY occurrence position of each selected
+    gram (what span removal needs: a passage repeated within one doc
+    must anchor at every copy, or the later copies survive removal).
+    Selection is by hash, but the *gram string* is what downstream
+    joins equate, so a hash collision can never fabricate a match.
 
     Scale shape: the per-char gram explode is ~len rows per doc through
     ONE shuffle (window-min over doc_id), then fingerprint density drops
@@ -443,15 +447,15 @@ def substring_fingerprints(docs: DataFrame, window: int = 64,
         .select("doc_id", F.col("mh").alias("h"))
         .distinct()
     )
-    return (
-        grams.join(selected, ["doc_id", "h"])
-        .groupBy("doc_id", "gram")
-        .agg(F.min("pos").alias("pos"))
-    )
+    joined = grams.join(selected, ["doc_id", "h"])
+    if all_positions:
+        return joined.select("doc_id", "gram", "pos").distinct()
+    return joined.groupBy("doc_id", "gram").agg(F.min("pos").alias("pos"))
 
 
 def substring_fingerprints_kernel(docs: DataFrame, window: int = 64,
-                                  k: int = 16) -> DataFrame:
+                                  k: int = 16,
+                                  all_positions: bool = False) -> DataFrame:
     """Arrow-kernel form of ``substring_fingerprints`` — bit-identical
     output (same md5-based hash, same window-min selection, same
     min-pos-per-gram), none of the per-char explode / window-sort /
@@ -495,16 +499,23 @@ def substring_fingerprints_kernel(docs: DataFrame, window: int = 64,
                 # window minima over starts 0..n-window (always >= 1)
                 wins = np.lib.stride_tricks.sliding_window_view(hs, w)
                 sel = np.unique(wins[: n - window + 1].min(axis=1))
-                # all grams whose hash is selected; earliest pos per gram
-                seen: dict = {}
-                for i in np.flatnonzero(np.isin(hs, sel)):
-                    g = text[i : i + k]
-                    if g not in seen:  # positions ascend
-                        seen[g] = int(i)
-                for g, p in seen.items():
-                    doc_ids.append(doc_id)
-                    grams.append(g)
-                    poss.append(p)
+                # all grams whose hash is selected; earliest pos per
+                # gram, or every occurrence in all_positions mode
+                if all_positions:
+                    for i in np.flatnonzero(np.isin(hs, sel)):
+                        doc_ids.append(doc_id)
+                        grams.append(text[i : i + k])
+                        poss.append(int(i))
+                else:
+                    seen: dict = {}
+                    for i in np.flatnonzero(np.isin(hs, sel)):
+                        g = text[i : i + k]
+                        if g not in seen:  # positions ascend
+                            seen[g] = int(i)
+                    for g, p in seen.items():
+                        doc_ids.append(doc_id)
+                        grams.append(g)
+                        poss.append(p)
             yield pd.DataFrame(
                 {"doc_id": doc_ids, "gram": grams, "pos": poss})
 
@@ -679,13 +690,16 @@ def duplicate_spans(docs: DataFrame, window: int = 64, k: int = 16,
     import pandas as pd
 
     min_len = window if min_len is None else min_len
+    # all_positions: a passage repeated WITHIN one doc must anchor at
+    # every copy — min-pos fingerprints would leave later in-doc copies
+    # unanchored and they would survive removal
     fp = _tracked_cache(
         (substring_fingerprints_kernel if use_kernel
-         else substring_fingerprints)(docs, window, k))
+         else substring_fingerprints)(docs, window, k, all_positions=True))
     if max_df is not None:
         rare = (
             fp.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.countDistinct("doc_id").alias("df"))
             .filter(F.col("df") <= max_df)
             .select("gram")
         )

@@ -72,9 +72,9 @@ def to_xml(composed: DataFrame) -> DataFrame:
 PAGE_NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
 
 
-def to_page_xml(ranked: DataFrame, lines: DataFrame | None = None,
-                creator: str = "origami_spark",
-                created: str = "2024-01-01T00:00:00Z") -> DataFrame:
+def to_page_xml(ranked: DataFrame, creator: str = "origami_spark",
+                created: str = "2024-01-01T00:00:00Z",
+                lines: DataFrame | None = None) -> DataFrame:
     """ranked blocks (url, rank, path, label, start, end, text) ->
     (url, xml) conforming to the PAGE-XML 2019-07-15 schema contract —
     the standard interchange the reference emits (pagexml/pagexml.py):
@@ -106,7 +106,6 @@ def to_page_xml(ranked: DataFrame, lines: DataFrame | None = None,
     # columns go through _esc)
     creator = escape(creator)
     created = escape(created)
-    blocks = ranked
     if lines is not None:
         per_block = lines.groupBy(
             F.col("url").alias("l_url"),

@@ -267,8 +267,68 @@ def test_duplicate_spans_max_df_bounds_boilerplate(spark):
     # without the cap the banner produces spans in all 39 later docs
     uncapped = duplicate_spans(docs, window=64, k=16)
     assert uncapped.select("doc_id").distinct().count() == 39
-    capped = duplicate_spans(docs, window=64, k=16, max_df=5).collect()
-    assert len({r["doc_id"] for r in capped}) < 10  # explosion bounded
-    for r in capped:
-        frag = texts[r["doc_id"]][r["start"]:r["end"]]
-        assert any(frag in texts[i] for i in range(r["doc_id"])), frag
+    capped = duplicate_spans(docs, window=64, k=16, max_df=5)
+    assert len({r["doc_id"]
+                for r in capped.collect()}) < 10  # explosion bounded
+    # removal must never destroy unique text (merged spans may fuse
+    # matches against DIFFERENT earlier docs, so per-span verbatim
+    # containment is not an invariant; unique-content survival is)
+    from origami_spark.operators.dedup import remove_duplicate_spans
+
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(docs, capped).collect()}
+    for i in texts:
+        assert f"unique body {i} " in out[i], i
+
+
+def test_duplicate_spans_in_doc_repeats_all_anchored(spark):
+    """A passage duplicated from an earlier doc AND repeated twice
+    within the later doc must have BOTH copies removed — min-pos
+    fingerprints would anchor only the first (regression from review)."""
+    from origami_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    base = ("this base sentence is long enough to clear the winnowing "
+            "window threshold! ")  # 79 chars
+    rows = [
+        (0, base * 3),
+        (3, base + "@middle filler unique to doc three@" + base + "%tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = duplicate_spans(docs, window=64, k=16, skip_covered=False)
+    got = sorted((r["start"], r["end"])
+                 for r in spans.filter("doc_id = 3").collect())
+    # both copies of base in doc 3 are covered
+    b = rows[1][1]
+    covered = set()
+    for s, e in got:
+        covered.update(range(s, e))
+    first = b.find(base)
+    second = b.find(base, first + 1)
+    assert set(range(first, first + len(base))) <= covered
+    assert set(range(second, second + len(base))) <= covered
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(docs, spans).collect()}
+    assert base not in out[3]
+    assert "@middle filler unique to doc three@" in out[3]
+    assert out[0] == rows[0][1]
+
+
+def test_substring_fingerprint_kernel_all_positions_parity(spark):
+    """all_positions mode: kernel == relational on every occurrence."""
+    from origami_spark.operators.dedup import (
+        substring_fingerprints,
+        substring_fingerprints_kernel,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    rel = {(r["doc_id"], r["gram"], r["pos"])
+           for r in substring_fingerprints(
+               docs, 64, 16, all_positions=True).collect()}
+    ker = {(r["doc_id"], r["gram"], r["pos"])
+           for r in substring_fingerprints_kernel(
+               docs, 64, 16, all_positions=True).collect()}
+    assert rel == ker and len(rel) > 100
