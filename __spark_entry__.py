@@ -763,7 +763,8 @@ def _lsh_oracle_sql(planes: int = 6, tables: int = 8, dim: int = 64,
 
 
 def _winnow_fp_cte(window: int = 64, k: int = 16, max_df: int = 5,
-                   all_positions: bool = False) -> str:
+                   all_positions: bool = False,
+                   max_positions: int = 16) -> str:
     """Winnowing-fingerprint CTE chain ending in `fp` (doc_id, gram,
     pos) — the exact relational form of operators/dedup.py's
     substring_fingerprints + df cutoff, shared by the substring-pair
@@ -772,9 +773,15 @@ def _winnow_fp_cte(window: int = 64, k: int = 16, max_df: int = 5,
     (df then counts DISTINCT docs)."""
     w = window - k + 1
     if all_positions:
-        fp0 = """fp0 AS (
-              SELECT DISTINCT g.doc_id, g.gram, g.pos
-              FROM g JOIN sel ON g.doc_id = sel.doc_id AND g.h = sel.h)"""
+        # first max_positions occurrences per (doc, gram) — the same
+        # anchor-explosion bound the operator applies
+        fp0 = f"""fp0 AS (
+              SELECT doc_id, gram, pos FROM (
+                SELECT g.doc_id, g.gram, g.pos,
+                       row_number() OVER (PARTITION BY g.doc_id, g.gram
+                                          ORDER BY g.pos) AS rn
+                FROM g JOIN sel ON g.doc_id = sel.doc_id AND g.h = sel.h)
+              WHERE rn <= {max_positions})"""
         rare = (f"rare AS (\n              SELECT gram FROM fp0 "
                 f"GROUP BY gram HAVING count(DISTINCT doc_id) <= {max_df})")
     else:
@@ -809,7 +816,8 @@ def _winnow_fp_cte(window: int = 64, k: int = 16, max_df: int = 5,
 
 
 def _span_removal_oracle_sql(window: int = 64, k: int = 16,
-                             max_df: int = 5) -> str:
+                             max_df: int = 5,
+                             max_positions: int = 16) -> str:
     """Oracle for the span-removal APPLICATION (duplicate_spans with
     skip_covered=False): all-positions winnowing anchors, each extended
     to the maximal exact match via MONOTONE substring-equality counting
@@ -819,7 +827,8 @@ def _span_removal_oracle_sql(window: int = 64, k: int = 16,
     window/k literals derive from the parameters — the fingerprint CTE
     and the extension arithmetic cannot drift apart."""
     return f"""
-        WITH {_winnow_fp_cte(window, k, max_df, all_positions=True)},
+        WITH {_winnow_fp_cte(window, k, max_df, all_positions=True,
+                             max_positions=max_positions)},
         anchors AS (
           SELECT a.doc_id AS da, b.doc_id AS db,
                  a.pos AS pa, b.pos AS pb

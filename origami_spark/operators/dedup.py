@@ -394,7 +394,8 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, bands: int = 4,
 
 def substring_fingerprints(docs: DataFrame, window: int = 64,
                            k: int = 16,
-                           all_positions: bool = False) -> DataFrame:
+                           all_positions: bool = False,
+                           max_positions: int = 16) -> DataFrame:
     """Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003,
     public): per document, hash every `k`-char gram, then keep the
     minimum hash of each sliding window of ``w = window - k + 1``
@@ -407,11 +408,17 @@ def substring_fingerprints(docs: DataFrame, window: int = 64,
 
     Returns (doc_id, gram, pos): the distinct fingerprint grams per doc
     with each gram's earliest occurrence offset (0-based) — or, with
-    ``all_positions=True``, EVERY occurrence position of each selected
-    gram (what span removal needs: a passage repeated within one doc
-    must anchor at every copy, or the later copies survive removal).
-    Selection is by hash, but the *gram string* is what downstream
-    joins equate, so a hash collision can never fabricate a match.
+    ``all_positions=True``, the first ``max_positions`` occurrence
+    positions of each selected gram (what span removal needs: a passage
+    repeated within one doc must anchor at every copy, or the later
+    copies survive removal).  The per-(doc, gram) cap bounds the anchor
+    self-join on pathological repetitive text — an 'ababab...' page
+    would otherwise contribute occ^2 anchors per pair — while a gram
+    recurring beyond the cap is in practice inside one contiguous
+    repetitive region that maximal extension from ANY of its anchors
+    already covers.  Selection is by hash, but the *gram string* is
+    what downstream joins equate, so a hash collision can never
+    fabricate a match.
 
     Scale shape: the per-char gram explode is ~len rows per doc through
     ONE shuffle (window-min over doc_id), then fingerprint density drops
@@ -449,13 +456,20 @@ def substring_fingerprints(docs: DataFrame, window: int = 64,
     )
     joined = grams.join(selected, ["doc_id", "h"])
     if all_positions:
-        return joined.select("doc_id", "gram", "pos").distinct()
+        pw = Window.partitionBy("doc_id", "gram").orderBy("pos")
+        return (
+            joined.select("doc_id", "gram", "pos")
+            .withColumn("rn", F.row_number().over(pw))
+            .filter(F.col("rn") <= max_positions)
+            .drop("rn")
+        )
     return joined.groupBy("doc_id", "gram").agg(F.min("pos").alias("pos"))
 
 
 def substring_fingerprints_kernel(docs: DataFrame, window: int = 64,
                                   k: int = 16,
-                                  all_positions: bool = False) -> DataFrame:
+                                  all_positions: bool = False,
+                                  max_positions: int = 16) -> DataFrame:
     """Arrow-kernel form of ``substring_fingerprints`` — bit-identical
     output (same md5-based hash, same window-min selection, same
     min-pos-per-gram), none of the per-char explode / window-sort /
@@ -502,9 +516,17 @@ def substring_fingerprints_kernel(docs: DataFrame, window: int = 64,
                 # all grams whose hash is selected; earliest pos per
                 # gram, or every occurrence in all_positions mode
                 if all_positions:
+                    # positions ascend; cap per gram mirrors the
+                    # relational row_number <= max_positions
+                    counts: dict = {}
                     for i in np.flatnonzero(np.isin(hs, sel)):
+                        g = text[i : i + k]
+                        c = counts.get(g, 0)
+                        if c >= max_positions:
+                            continue
+                        counts[g] = c + 1
                         doc_ids.append(doc_id)
-                        grams.append(text[i : i + k])
+                        grams.append(g)
                         poss.append(int(i))
                 else:
                     seen: dict = {}
@@ -656,7 +678,8 @@ def duplicate_spans(docs: DataFrame, window: int = 64, k: int = 16,
                     max_df: int | None = None,
                     min_len: int | None = None,
                     use_kernel: bool = True,
-                    skip_covered: bool = True) -> DataFrame:
+                    skip_covered: bool = True,
+                    max_positions: int = 16) -> DataFrame:
     """The APPLICATION step of exact-substring dedup (Lee et al. 2022):
     locate the maximal duplicated passages so they can be REMOVED from
     all but one copy, not just flagged as pairs.
@@ -695,7 +718,8 @@ def duplicate_spans(docs: DataFrame, window: int = 64, k: int = 16,
     # unanchored and they would survive removal
     fp = _tracked_cache(
         (substring_fingerprints_kernel if use_kernel
-         else substring_fingerprints)(docs, window, k, all_positions=True))
+         else substring_fingerprints)(docs, window, k, all_positions=True,
+                                      max_positions=max_positions))
     if max_df is not None:
         rare = (
             fp.groupBy("gram")

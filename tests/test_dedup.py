@@ -332,3 +332,32 @@ def test_substring_fingerprint_kernel_all_positions_parity(spark):
            for r in substring_fingerprints_kernel(
                docs, 64, 16, all_positions=True).collect()}
     assert rel == ker and len(rel) > 100
+
+
+def test_duplicate_spans_repetitive_doc_bounded(spark):
+    """Pathological repetitive text ('ab' * 2000 in both docs) must not
+    explode the anchor join quadratically: the per-(doc, gram) position
+    cap bounds anchors, and the full identical region is still found and
+    removed (extension from any anchor covers it)."""
+    from origami_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+        substring_fingerprints_kernel,
+    )
+
+    rep = "ab" * 2000
+    rows = [(0, rep + " zzz tail zero"), (1, rep + " qqq tail one")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = substring_fingerprints_kernel(docs, 64, 16, all_positions=True)
+    per_gram = fp.groupBy("doc_id", "gram").count().agg(
+        F.max("count")).first()[0]
+    assert per_gram <= 16  # the cap holds -> anchors <= 16^2 per gram
+    spans = duplicate_spans(docs, window=64, k=16).collect()
+    got = {(r["doc_id"], r["start"], r["end"]) for r in spans}
+    # whole identical region (incl. the shared trailing space), one span
+    assert (1, 0, len(rep) + 1) in got
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(
+               docs, duplicate_spans(docs, window=64, k=16)).collect()}
+    assert out[1] == "qqq tail one"
+    assert out[0] == rows[0][1]
