@@ -537,6 +537,84 @@ def text_url_canonical(spark, sf):
     )
 
 
+def _lines8_cols(decorate: bool = False):
+    """Deterministic 8-token line synthesis over the documents corpus
+    (it ships without newlines): chunk the shared tokenizer's output
+    into 8-word lines.  With ``decorate``, C4-trigger suffixes are
+    attached by line index (every 3rd line lacks terminal punctuation,
+    every 7th mentions javascript) — mirrored verbatim in the DuckDB
+    oracles."""
+    toks = T.tokens_col()
+    nch = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    seq = F.when(F.size(toks) > 0, F.sequence(F.lit(1), nch)).otherwise(
+        F.array().cast("array<int>")
+    )
+    if not decorate:
+        line = lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 8 + 1, 8))  # noqa: E731
+    else:
+        line = lambda i: F.concat(  # noqa: E731
+            F.concat_ws(" ", F.slice(toks, (i - 1) * 8 + 1, 8)),
+            F.when(i % 7 == 0, F.lit(" javascript")).otherwise(F.lit("")),
+            F.when(i % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        )
+    return F.transform(seq, line)
+
+
+def text_repetition(spark, sf):
+    """Gopher-style repetition signals (operators/clean.py) over
+    line-synthesized documents plus a deterministic boilerplate line
+    (doubled on even doc_ids so dup-line signals are non-trivially
+    distributed)."""
+    from origami_spark.operators.clean import repetition_stats
+
+    docs = _t(spark, sf, "documents")
+    sent = F.lit("\nthe copied boilerplate line")
+    text2 = F.concat(
+        F.concat_ws("\n", _lines8_cols()),
+        sent,
+        F.when(F.col("doc_id") % 2 == 0, sent).otherwise(F.lit("")),
+    )
+    return repetition_stats(docs.select("doc_id", text2.alias("text")))
+
+
+def text_clean_lines(spark, sf):
+    """C4-style line filter (operators/clean.py) over decorated
+    line-synthesized documents; every 13th doc gains a lorem-ipsum
+    line and every 17th a curly brace, tripping the page-level drop."""
+    from origami_spark.operators.clean import clean_lines
+
+    docs = _t(spark, sf, "documents")
+    text2 = F.concat(
+        F.concat_ws("\n", _lines8_cols(decorate=True)),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\nlorem ipsum filler")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("\nsee { config }")).otherwise(F.lit("")),
+    )
+    return clean_lines(docs.select("doc_id", text2.alias("text")))
+
+
+def text_pii_scrub(spark, sf):
+    """PII scrubbing (operators/clean.py): e-mail/IPv4/long-digit-run
+    masks with per-kind counts, over documents salted with deterministic
+    synthetic PII (the corpus itself carries none)."""
+    from origami_spark.operators.clean import pii_scrub
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    text3 = F.concat(
+        F.col("text"),
+        F.lit(" contact bob"), did.cast("string"), F.lit("@example.com"),
+        F.when(
+            did % 3 != 2,
+            F.concat(F.lit(" at 10."), (did % 200).cast("string"), F.lit(".0.7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" ref 1234567"), F.lpad((did % 100).cast("string"), 2, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scrub(docs.select("doc_id", text3.alias("text")))
+
+
 def multimodal_payload(spark, sf):
     media = M.media_from_documents(_t(spark, sf, "documents"))
     feats = M.media_features(media)
@@ -679,6 +757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "text_url_canonical": text_url_canonical,
+        "text_repetition": text_repetition,
+        "text_clean_lines": text_clean_lines,
+        "text_pii_scrub": text_pii_scrub,
         "multimodal_payload": multimodal_payload,
         "extract_compose": extract_compose,
         "extract_blocks": extract_blocks,
@@ -1281,6 +1362,148 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, curl,
                    regexp_extract(curl, '^https://([^/]+)', 1) AS chost
             FROM c9""",
+        # line-synthesis CTE shared by the clean.py oracles mirrors
+        # _lines8_cols: 8-token chunks of the shared tokenizer output
+        "text_repetition": f"""
+            WITH toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            l8 AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) > 0 THEN
+                       list_transform(range(1, CAST(ceil(len(t) / 8.0) AS INT) + 1),
+                         i -> array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END AS lines8
+              FROM toks0),
+            tx AS (
+              SELECT doc_id,
+                     array_to_string(lines8, chr(10))
+                     || chr(10) || 'the copied boilerplate line'
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN chr(10) || 'the copied boilerplate line'
+                             ELSE '' END AS text2
+              FROM l8),
+            base AS (
+              SELECT doc_id, length(text2) AS chars,
+                     list_filter(list_transform(
+                       regexp_split_to_array(text2, chr(10)), x -> trim(x)),
+                       x -> x <> '') AS lines,
+                     list_filter(regexp_split_to_array(lower(text2), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM tx),
+            lstat AS (
+              SELECT doc_id, chars, t, lines,
+                     len(lines) AS n_lines,
+                     len(list_distinct(lines)) AS n_distinct_lines,
+                     coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+                       AS line_chars
+              FROM base),
+            lx AS (SELECT doc_id, unnest(lines) AS line FROM base),
+            lcnt AS (SELECT doc_id, line, count(*) AS c FROM lx GROUP BY 1, 2),
+            lc AS (SELECT doc_id, sum((c - 1) * length(line)) AS dup_chars
+                   FROM lcnt GROUP BY 1),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                     ELSE CAST([] AS VARCHAR[]) END AS g2,
+                     CASE WHEN len(t) >= 5 THEN
+                       list_transform(range(1, len(t) - 3),
+                                      i -> array_to_string(t[i:i+4], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END AS g5
+              FROM lstat),
+            g2x AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+            g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2x GROUP BY 1, 2),
+            top2 AS (
+              SELECT doc_id, gram AS top_2gram, c AS top_c
+              FROM (SELECT doc_id, gram, c,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY c DESC, gram ASC) AS rn
+                    FROM g2c)
+              WHERE rn = 1),
+            g5s AS (SELECT doc_id, len(g5) AS n5, len(list_distinct(g5)) AS nd5 FROM g)
+            SELECT s.doc_id,
+                   CAST(s.n_lines AS BIGINT) AS n_lines,
+                   round((s.n_lines - s.n_distinct_lines) * 1.0
+                         / greatest(s.n_lines, 1), 4) AS dup_line_frac,
+                   round(coalesce(d.dup_chars, 0) * 1.0
+                         / greatest(s.line_chars, 1), 4) AS dup_line_char_frac,
+                   coalesce(t2.top_2gram, '') AS top_2gram,
+                   round(coalesce(t2.top_c * length(t2.top_2gram), 0) * 1.0
+                         / greatest(s.chars, 1), 4) AS top_2gram_frac,
+                   round((g5.n5 - g5.nd5) * 1.0 / greatest(g5.n5, 1), 4)
+                     AS dup_5gram_frac
+            FROM lstat s
+            LEFT JOIN lc d USING (doc_id)
+            LEFT JOIN top2 t2 USING (doc_id)
+            JOIN g5s g5 USING (doc_id)""",
+        "text_clean_lines": f"""
+            WITH toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            l8 AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) > 0 THEN
+                       list_transform(range(1, CAST(ceil(len(t) / 8.0) AS INT) + 1),
+                         i -> array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' ')
+                              || CASE WHEN i % 7 = 0 THEN ' javascript' ELSE '' END
+                              || CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END)
+                     ELSE CAST([] AS VARCHAR[]) END AS lines8
+              FROM toks0),
+            tx AS (
+              SELECT doc_id,
+                     array_to_string(lines8, chr(10))
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN chr(10) || 'lorem ipsum filler' ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0
+                             THEN chr(10) || 'see {{ config }}' ELSE '' END AS text2
+              FROM l8),
+            base AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       regexp_split_to_array(text2, chr(10)), x -> trim(x)),
+                       x -> x <> '') AS lines,
+                     (NOT contains(lower(text2), 'lorem ipsum')
+                      AND NOT contains(text2, '{{')) AS page_ok
+              FROM tx),
+            k AS (
+              SELECT doc_id, page_ok, len(lines) AS n_lines,
+                     CASE WHEN page_ok THEN
+                       list_filter(lines, x ->
+                         regexp_matches(x, '[.!?"]$')
+                         AND len(list_filter(
+                               regexp_split_to_array(lower(x), '[^a-z0-9]+'),
+                               w -> w <> '')) >= 3
+                         AND NOT contains(lower(x), 'javascript'))
+                     ELSE CAST([] AS VARCHAR[]) END AS kept
+              FROM base)
+            SELECT doc_id, page_ok,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   CAST(n_lines - len(kept) AS BIGINT) AS n_dropped,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+            FROM k""",
+        "text_pii_scrub": r"""
+            WITH px AS (
+              SELECT doc_id,
+                     text || ' contact bob' || CAST(doc_id AS VARCHAR)
+                     || '@example.com'
+                     || CASE WHEN doc_id % 3 <> 2
+                             THEN ' at 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.7'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN ' ref 1234567'
+                                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                             ELSE '' END AS text3
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text3,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(text3,
+                     '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text3, '\b\d{9,}\b')) AS BIGINT)
+                     AS n_longnums,
+                   regexp_replace(regexp_replace(regexp_replace(text3,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+                     '\b\d{9,}\b', '<NUM>', 'g') AS scrubbed
+            FROM px""",
         "multimodal_payload": """
             WITH media AS (
               SELECT doc_id,

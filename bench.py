@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "text_quality",
     "text_fingerprint",
+    "text_repetition",
 ]
 
 
