@@ -615,6 +615,21 @@ def text_pii_scrub(spark, sf):
     return pii_scrub(docs.select("doc_id", text3.alias("text")))
 
 
+def dedup_paragraphs(spark, sf):
+    """ccnet-style corpus-wide paragraph dedup (operators/dedup.py):
+    the line-synthesized corpus plus the boilerplate sentinel gives
+    every doc a paragraph shared corpus-wide — only its globally first
+    occurrence survives."""
+    docs = _t(spark, sf, "documents")
+    sent = F.lit("\nthe copied boilerplate line")
+    text2 = F.concat(
+        F.concat_ws("\n", _lines8_cols()),
+        sent,
+        F.when(F.col("doc_id") % 2 == 0, sent).otherwise(F.lit("")),
+    )
+    return D.paragraph_dedup(docs.select("doc_id", text2.alias("text")))
+
+
 def multimodal_payload(spark, sf):
     media = M.media_from_documents(_t(spark, sf, "documents"))
     feats = M.media_features(media)
@@ -747,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_substring": dedup_substring,
         "dedup_span_removal": dedup_span_removal,
+        "dedup_paragraphs": dedup_paragraphs,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1435,6 +1451,51 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lc d USING (doc_id)
             LEFT JOIN top2 t2 USING (doc_id)
             JOIN g5s g5 USING (doc_id)""",
+        "dedup_paragraphs": f"""
+            WITH toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            l8 AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) > 0 THEN
+                       list_transform(range(1, CAST(ceil(len(t) / 8.0) AS INT) + 1),
+                         i -> array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END AS lines8
+              FROM toks0),
+            tx AS (
+              SELECT doc_id,
+                     array_to_string(lines8, chr(10))
+                     || chr(10) || 'the copied boilerplate line'
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN chr(10) || 'the copied boilerplate line'
+                             ELSE '' END AS text2
+              FROM l8),
+            pl AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       regexp_split_to_array(text2, chr(10)), x -> trim(x)),
+                       x -> x <> '') AS paras
+              FROM tx),
+            p AS (
+              SELECT doc_id, i AS idx, paras[i] AS para
+              FROM pl, LATERAL unnest(range(1, len(paras) + 1)) AS r(i)),
+            win AS (
+              SELECT doc_id, idx, para,
+                     count(*) OVER (PARTITION BY para) AS df,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, idx) AS rn
+              FROM p),
+            flagged AS (
+              SELECT doc_id, idx, para, (df < 2 OR rn = 1) AS keep FROM win)
+            SELECT d.doc_id,
+                   CAST(coalesce(f.n_paras, 0) AS BIGINT) AS n_paras,
+                   CAST(coalesce(f.n_dropped, 0) AS BIGINT) AS n_dropped,
+                   coalesce(f.kept_text, '') AS kept_text
+            FROM documents d
+            LEFT JOIN (
+              SELECT doc_id, count(*) AS n_paras,
+                     sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_dropped,
+                     string_agg(CASE WHEN keep THEN para END, chr(10)
+                                ORDER BY idx) AS kept_text
+              FROM flagged GROUP BY doc_id) f USING (doc_id)""",
         "text_clean_lines": f"""
             WITH toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
             l8 AS (

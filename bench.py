@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "text_repetition",
+    "dedup_paragraphs",
 ]
 
 

@@ -22,6 +22,7 @@ import sys
 
 def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
                  near_dup: bool = False, dedup_spans: bool = False,
+                 dedup_paragraphs: bool = False,
                  shard_mb: int = 256) -> dict:
     """The corpus-build DAG; returns per-stage counts."""
     from pyspark.sql import functions as F
@@ -107,6 +108,21 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
         cached.append(uniq)
         counts["span_deduped"] = spans.select("doc_id").distinct().count()
 
+    if dedup_paragraphs:
+        # ccnet-style corpus-wide paragraph dedup: any paragraph seen
+        # >= 2 times across the corpus survives only at its first
+        # (doc_id, position).  Afterwards every paragraph in the corpus
+        # is globally unique.  NB the survivors are rejoined with
+        # single newlines (paragraph-normalized output).
+        pd_out = D.paragraph_dedup(uniq.select("doc_id", "text"), min_df=2)
+        uniq = (
+            pd_out.filter(F.col("kept_text") != "")
+            .select("doc_id", F.col("kept_text").alias("text"))
+            .cache()
+        )
+        cached.append(uniq)
+        counts["after_para_dedup"] = uniq.count()
+
     # recompute the exported metrics over the text actually exported —
     # span removal may have changed it (the original q fed the first
     # gate) — and RE-APPLY the gate: a doc stripped below min_tokens or
@@ -148,6 +164,9 @@ def main(argv=None):
     ap.add_argument("--dedup-spans", action="store_true",
                     help="remove duplicated passages (>=64 chars) from "
                          "all but the earliest copy (Lee et al. 2022)")
+    ap.add_argument("--dedup-paragraphs", action="store_true",
+                    help="drop corpus-wide duplicate paragraphs "
+                         "(keep first occurrence)")
     ap.add_argument("--shard-mb", type=int, default=256)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
@@ -180,6 +199,7 @@ def main(argv=None):
                           min_tokens=args.min_tokens,
                           near_dup=args.near_dup,
                           dedup_spans=args.dedup_spans,
+                          dedup_paragraphs=args.dedup_paragraphs,
                           shard_mb=args.shard_mb)
     print(json.dumps(counts))
     spark.stop()

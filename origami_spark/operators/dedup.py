@@ -840,3 +840,69 @@ def remove_duplicate_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
         F.when(F.col("cuts").isNull(), F.col("text"))
         .otherwise(folded).alias("text"),
     )
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    min_df: int = 2) -> DataFrame:
+    """Corpus-wide paragraph dedup in the ccnet style (Wenzek et al.
+    2020, public): a paragraph (newline-delimited, trimmed, non-empty)
+    occurring at least ``min_df`` times across the whole corpus is
+    dropped everywhere except its first occurrence, "first" meaning the
+    smallest ``(doc_id, position)``.
+
+    Returns one row per input doc: ``doc_id, n_paras, n_dropped,
+    kept_text`` (surviving paragraphs rejoined with newlines, original
+    order).  Docs whose paragraphs are all dropped keep a row with
+    empty ``kept_text``; docs with no paragraphs at all too.
+
+    Scale shape: exactly two exchanges — one window shuffle keyed on
+    ``(hash60(para), para)`` (the hash prefix keeps partitioning keys
+    fixed-width at 10^12 paragraphs; the full string rides along so
+    hash collisions cannot merge distinct paragraphs), then the
+    regroup by ``doc_id``.  ``count(*)`` and ``row_number`` share the
+    one window partition, and both aggregations are partial-agg
+    friendly.  No self-join, no explode beyond the paragraph grain.
+    """
+    paras = docs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.filter(
+                F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ).alias("idx", "para"),
+    )
+    h = portable_hash60(F.col("para"))
+    w = Window.partitionBy(h, "para")
+    flagged = paras.select(
+        "doc_id",
+        "idx",
+        "para",
+        (
+            (F.count(F.lit(1)).over(w) < min_df)
+            | (
+                F.row_number().over(
+                    w.orderBy("doc_id", "idx")
+                )
+                == 1
+            )
+        ).alias("keep"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("para").cast("bigint").alias("n_paras"),
+        F.sum(
+            F.when(F.col("para").isNotNull() & ~F.col("keep"), 1).otherwise(0)
+        ).cast("bigint").alias("n_dropped"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep") & F.col("para").isNotNull(),
+                               F.struct("idx", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+        ).alias("kept_text"),
+    )

@@ -123,3 +123,39 @@ def test_corpus_job_gate_reapplied_after_strip(spark, tmp_path):
     assert len(carriers) <= 1 or all(
         r["n_tokens"] >= 10 for r in back.collect())
     assert counts["exported"] == back.count()
+
+
+def test_corpus_job_dedup_paragraphs(spark, tmp_path):
+    """--dedup-paragraphs leaves every paragraph globally unique in the
+    export (min_df=2 collapses all corpus-wide repeats to their first
+    occurrence)."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.sources.corpus import pages_df
+
+    pages = pages_df(spark, 30, num_partitions=2)
+    # graft one identical paragraph into several pages
+    para = "this exact footer paragraph repeats on many pages verbatim"
+    spiked = pages.withColumn(
+        "html",
+        F.when(F.col("url").rlike("/a(1|5|9|13)$"),
+               F.regexp_replace(
+                   F.col("html").cast("string"), "<body>",
+                   f"<body><p>{para}</p>").cast("binary"))
+        .otherwise(F.col("html")),
+    )
+    out = str(tmp_path / "corpus_pd")
+    counts = build_corpus(spark, spiked, out, min_tokens=5,
+                          dedup_paragraphs=True)
+    assert counts["after_para_dedup"] <= counts["after_exact_dedup"]
+    assert counts["exported"] >= 1
+
+    back = spark.read.json(out)
+    paras = (
+        back.select(F.explode(F.split("text", "\n")).alias("p"))
+        .filter(F.trim("p") != "")
+    )
+    dup = (paras.groupBy("p").count().filter("count > 1")).collect()
+    assert dup == [], dup
+    # the grafted paragraph survived exactly once
+    assert paras.filter(F.col("p") == para).count() == 1

@@ -361,3 +361,57 @@ def test_duplicate_spans_repetitive_doc_bounded(spark):
                docs, duplicate_spans(docs, window=64, k=16)).collect()}
     assert out[1] == "qqq tail one"
     assert out[0] == rows[0][1]
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup (ccnet-style corpus-wide paragraph dedup)
+# ---------------------------------------------------------------------------
+
+def _pd_rows(spark, rows, **kw):
+    from origami_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return {r["doc_id"]: r.asDict() for r in paragraph_dedup(df, **kw).collect()}
+
+
+def test_paragraph_dedup_first_occurrence_survives(spark):
+    out = _pd_rows(spark, [
+        (1, "unique one\ncommon para\nunique two"),
+        (2, "common para\nother text"),
+        (3, "also here\ncommon para"),
+    ])
+    assert out[1]["kept_text"] == "unique one\ncommon para\nunique two"
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["kept_text"] == "other text" and out[2]["n_dropped"] == 1
+    assert out[3]["kept_text"] == "also here" and out[3]["n_dropped"] == 1
+    assert all(out[d]["n_paras"] in (2, 3) for d in out)
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    out = _pd_rows(spark, [(1, "again\nmiddle\nagain")])
+    assert out[1]["kept_text"] == "again\nmiddle"
+    assert out[1]["n_paras"] == 3 and out[1]["n_dropped"] == 1
+
+
+def test_paragraph_dedup_min_df_threshold(spark):
+    rows = [(1, "twice seen"), (2, "twice seen")]
+    loose = _pd_rows(spark, rows, min_df=3)
+    assert loose[1]["n_dropped"] == 0 and loose[2]["n_dropped"] == 0
+    strict = _pd_rows(spark, rows, min_df=2)
+    assert strict[1]["n_dropped"] == 0 and strict[2]["n_dropped"] == 1
+
+
+def test_paragraph_dedup_degenerate_docs(spark):
+    out = _pd_rows(spark, [(1, ""), (2, "  \n \n"), (3, "x\nx\nx")])
+    assert out[1] == {"doc_id": 1, "n_paras": 0, "n_dropped": 0, "kept_text": ""}
+    assert out[2]["n_paras"] == 0 and out[2]["kept_text"] == ""
+    assert out[3]["kept_text"] == "x" and out[3]["n_dropped"] == 2
+
+
+def test_paragraph_dedup_preserves_order(spark):
+    # dropping a middle paragraph must not reorder the survivors
+    out = _pd_rows(spark, [
+        (1, "dup"),
+        (2, "alpha\ndup\nbeta\ngamma"),
+    ])
+    assert out[2]["kept_text"] == "alpha\nbeta\ngamma"

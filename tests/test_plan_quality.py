@@ -106,3 +106,16 @@ def test_dedup_substring_plan_shape(spark):
     assert "BatchEvalPython" not in plan
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_two_exchanges(spark):
+    """Corpus-wide paragraph dedup is exactly two shuffles: the shared
+    window partition on (hash, para) and the regroup by doc_id — no
+    self-join, no cartesian, no Python."""
+    from origami_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = paragraph_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
