@@ -615,6 +615,32 @@ def text_pii_scrub(spark, sf):
     return pii_scrub(docs.select("doc_id", text3.alias("text")))
 
 
+def text_gopher_gate(spark, sf):
+    """Composite Gopher-rule gate (operators/clean.py) over the same
+    line-synthesized corpus as text_repetition; thresholds tightened so
+    every rule fires for part of the corpus (docs span ~8-90 tokens and
+    even doc_ids carry a duplicated boilerplate line)."""
+    from origami_spark.operators.clean import gopher_gate
+
+    docs = _t(spark, sf, "documents")
+    sent = F.lit("\nthe copied boilerplate line")
+    text2 = F.concat(
+        F.concat_ws("\n", _lines8_cols()),
+        sent,
+        F.when(F.col("doc_id") % 2 == 0, sent).otherwise(F.lit("")),
+    )
+    return gopher_gate(
+        docs.select("doc_id", text2.alias("text")),
+        min_tokens=30,
+        max_tokens=80,
+        min_stop_hits=2,
+        max_dup_line_frac=0.12,
+        max_dup_line_char_frac=0.15,
+        max_top_2gram_frac=0.10,
+        max_dup_5gram_frac=0.05,
+    )
+
+
 def dedup_paragraphs(spark, sf):
     """ccnet-style corpus-wide paragraph dedup (operators/dedup.py):
     the line-synthesized corpus plus the boilerplate sentinel gives
@@ -774,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_url_canonical": text_url_canonical,
         "text_repetition": text_repetition,
+        "text_gopher_gate": text_gopher_gate,
         "text_clean_lines": text_clean_lines,
         "text_pii_scrub": text_pii_scrub,
         "multimodal_payload": multimodal_payload,
@@ -1451,6 +1478,98 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lc d USING (doc_id)
             LEFT JOIN top2 t2 USING (doc_id)
             JOIN g5s g5 USING (doc_id)""",
+        "text_gopher_gate": f"""
+            WITH toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            l8 AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) > 0 THEN
+                       list_transform(range(1, CAST(ceil(len(t) / 8.0) AS INT) + 1),
+                         i -> array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END AS lines8
+              FROM toks0),
+            tx AS (
+              SELECT doc_id,
+                     array_to_string(lines8, chr(10))
+                     || chr(10) || 'the copied boilerplate line'
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN chr(10) || 'the copied boilerplate line'
+                             ELSE '' END AS text2
+              FROM l8),
+            base AS (
+              SELECT doc_id, length(text2) AS chars,
+                     list_filter(list_transform(
+                       regexp_split_to_array(text2, chr(10)), x -> trim(x)),
+                       x -> x <> '') AS lines,
+                     list_filter(regexp_split_to_array(lower(text2), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM tx),
+            lstat AS (
+              SELECT doc_id, chars, t, lines,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     round(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                           * 1.0 / greatest(len(t), 1), 4) AS mean_len,
+                     len(list_intersect(list_distinct(t),
+                         ['the','a','of','and','to','in','is','on','for','it']))
+                       AS stop_hits,
+                     len(lines) AS n_lines,
+                     len(list_distinct(lines)) AS n_distinct_lines,
+                     coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+                       AS line_chars
+              FROM base),
+            lx AS (SELECT doc_id, unnest(lines) AS line FROM base),
+            lcnt AS (SELECT doc_id, line, count(*) AS c FROM lx GROUP BY 1, 2),
+            lc AS (SELECT doc_id, sum((c - 1) * length(line)) AS dup_chars
+                   FROM lcnt GROUP BY 1),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                     ELSE CAST([] AS VARCHAR[]) END AS g2,
+                     CASE WHEN len(t) >= 5 THEN
+                       list_transform(range(1, len(t) - 3),
+                                      i -> array_to_string(t[i:i+4], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END AS g5
+              FROM lstat),
+            g2x AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+            g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2x GROUP BY 1, 2),
+            top2 AS (
+              SELECT doc_id, gram AS top_2gram, c AS top_c
+              FROM (SELECT doc_id, gram, c,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY c DESC, gram ASC) AS rn
+                    FROM g2c)
+              WHERE rn = 1),
+            g5s AS (SELECT doc_id, len(g5) AS n5, len(list_distinct(g5)) AS nd5 FROM g),
+            feat AS (
+              SELECT s.doc_id, s.n_tokens, s.mean_len, s.stop_hits,
+                     round((s.n_lines - s.n_distinct_lines) * 1.0
+                           / greatest(s.n_lines, 1), 4) AS dup_line_frac,
+                     round(coalesce(d.dup_chars, 0) * 1.0
+                           / greatest(s.line_chars, 1), 4) AS dup_line_char_frac,
+                     round(coalesce(t2.top_c * length(t2.top_2gram), 0) * 1.0
+                           / greatest(s.chars, 1), 4) AS top_2gram_frac,
+                     round((g5.n5 - g5.nd5) * 1.0 / greatest(g5.n5, 1), 4)
+                       AS dup_5gram_frac
+              FROM lstat s
+              LEFT JOIN lc d USING (doc_id)
+              LEFT JOIN top2 t2 USING (doc_id)
+              JOIN g5s g5 USING (doc_id)),
+            gated AS (
+              SELECT doc_id, n_tokens,
+                     concat_ws(',',
+                       CASE WHEN n_tokens < 30 THEN 'too_few_tokens' END,
+                       CASE WHEN n_tokens > 80 THEN 'too_many_tokens' END,
+                       CASE WHEN mean_len < 3.0 THEN 'mean_len_low' END,
+                       CASE WHEN mean_len > 10.0 THEN 'mean_len_high' END,
+                       CASE WHEN stop_hits < 2 THEN 'too_few_stopwords' END,
+                       CASE WHEN dup_line_frac > 0.12 THEN 'dup_lines' END,
+                       CASE WHEN dup_line_char_frac > 0.15 THEN 'dup_line_chars' END,
+                       CASE WHEN top_2gram_frac > 0.10 THEN 'top_2gram' END,
+                       CASE WHEN dup_5gram_frac > 0.05 THEN 'dup_5grams' END
+                     ) AS reasons
+              FROM feat)
+            SELECT doc_id, n_tokens, (reasons = '') AS keep, reasons
+            FROM gated""",
         "dedup_paragraphs": f"""
             WITH toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
             l8 AS (

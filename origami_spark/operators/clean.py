@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .text import shingles_expr, tokens_col
 
-__all__ = ["repetition_stats", "clean_lines", "pii_scrub"]
+__all__ = ["repetition_stats", "clean_lines", "pii_scrub", "gopher_gate"]
 
 def _zero():
     """Fresh bigint-0 literal (Columns need an active SparkContext,
@@ -244,4 +244,113 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_ips.alias("n_ips"),
         n_longnums.alias("n_longnums"),
         scrubbed.alias("scrubbed"),
+    )
+
+
+def gopher_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stop_hits: int = 2,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_2gram_frac: float = 0.20,
+    max_dup_5gram_frac: float = 0.30,
+) -> DataFrame:
+    """Composite Gopher-style document gate (Rae et al. 2021 rules,
+    public): token-count window, mean-token-length window, minimum
+    distinct-stopword hits, and the repetition ceilings.
+
+    One narrow projection per document — all features come from the
+    same sorted-array folds as :func:`repetition_stats`, so there is no
+    join and no shuffle; the gate is a pure map at any corpus size.
+
+    Output: ``doc_id, n_tokens, keep, reasons`` where ``reasons`` is a
+    comma-joined, fixed-order list of every rule the doc violates
+    (empty when kept).  Ratios are rounded to 4 decimals *before*
+    comparison on both engines (oracle-portability rule: filter on the
+    rounded value).
+    """
+    from .text import STOPWORDS
+
+    t = docs.select(
+        "doc_id",
+        F.length(text_col).cast("bigint").alias("chars"),
+        _lines_expr(text_col).alias("lines"),
+        tokens_col(text_col).alias("toks"),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = t.select(
+        "doc_id",
+        "chars",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.aggregate("toks", _zero(), lambda acc, x: acc + F.length(x))
+            .cast("double")
+            / F.greatest(F.size("toks").cast("bigint"), F.lit(1).cast("bigint")),
+            4,
+        ).alias("mean_len"),
+        F.size(F.array_intersect(F.array_distinct("toks"), stop_arr))
+        .cast("bigint")
+        .alias("stop_hits"),
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size(F.array_distinct("lines")).cast("bigint").alias("n_distinct_lines"),
+        F.aggregate("lines", _zero(), lambda acc, x: acc + F.length(x).cast("bigint"))
+        .alias("line_chars"),
+        _dup_chars_fold(F.array_sort("lines")).alias("dup_chars"),
+        _top_gram_fold(F.array_sort(shingles_expr("toks", 2))).alias("top2"),
+        F.size(shingles_expr("toks", 5)).cast("bigint").alias("n_5grams"),
+        F.size(F.array_distinct(shingles_expr("toks", 5)))
+        .cast("bigint")
+        .alias("n_distinct_5grams"),
+    )
+    one = F.lit(1).cast("bigint")
+    t = t.select(
+        "doc_id",
+        "n_tokens",
+        "mean_len",
+        "stop_hits",
+        F.round(
+            (F.col("n_lines") - F.col("n_distinct_lines")).cast("double")
+            / F.greatest("n_lines", one),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.col("dup_chars").cast("double") / F.greatest("line_chars", one), 4
+        ).alias("dup_line_char_frac"),
+        F.round(
+            (F.col("top2")["best"] * F.length(F.col("top2")["best_gram"]))
+            .cast("double")
+            / F.greatest("chars", one),
+            4,
+        ).alias("top_2gram_frac"),
+        F.round(
+            (F.col("n_5grams") - F.col("n_distinct_5grams")).cast("double")
+            / F.greatest("n_5grams", one),
+            4,
+        ).alias("dup_5gram_frac"),
+    )
+    rules = [
+        (F.col("n_tokens") < min_tokens, "too_few_tokens"),
+        (F.col("n_tokens") > max_tokens, "too_many_tokens"),
+        (F.col("mean_len") < min_mean_len, "mean_len_low"),
+        (F.col("mean_len") > max_mean_len, "mean_len_high"),
+        (F.col("stop_hits") < min_stop_hits, "too_few_stopwords"),
+        (F.col("dup_line_frac") > max_dup_line_frac, "dup_lines"),
+        (F.col("dup_line_char_frac") > max_dup_line_char_frac, "dup_line_chars"),
+        (F.col("top_2gram_frac") > max_top_2gram_frac, "top_2gram"),
+        (F.col("dup_5gram_frac") > max_dup_5gram_frac, "dup_5grams"),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)) for cond, name in rules]),
+        lambda x: x.isNotNull(),
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        (F.size(reasons) == 0).alias("keep"),
+        F.concat_ws(",", reasons).alias("reasons"),
     )

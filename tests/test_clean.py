@@ -149,3 +149,70 @@ def test_pii_scrub_clean_text_unchanged(spark):
     r = _one(pii_scrub(_docs(spark, [(1, "nothing sensitive here")])), 1)
     assert r["scrubbed"] == "nothing sensitive here"
     assert (r["n_emails"], r["n_ips"], r["n_longnums"]) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# gopher_gate
+# ---------------------------------------------------------------------------
+
+from origami_spark.operators.clean import gopher_gate  # noqa: E402
+
+
+def test_gopher_gate_keeps_clean_doc(spark):
+    words = []
+    for i in range(30):
+        words += ["the", f"word{i}", "of", f"item{i}"]
+    doc = " ".join(words)  # 120 tokens, stopwords present, no repeats
+    r = _one(gopher_gate(_docs(spark, [(1, doc)])), 1)
+    assert r["keep"] is True and r["reasons"] == ""
+    assert r["n_tokens"] == 120
+
+
+def test_gopher_gate_reason_order_is_fixed(spark):
+    # two tokens, no stopwords, mean length 1, and the single 2-gram
+    # covers the whole text -> four reasons in the documented rule order
+    r = _one(gopher_gate(_docs(spark, [(1, "x y")])), 1)
+    assert r["keep"] is False
+    assert r["reasons"] == "too_few_tokens,mean_len_low,too_few_stopwords,top_2gram"
+
+
+def test_gopher_gate_token_window(spark):
+    many = " ".join(["the", "of"] * 40)  # 80 tokens of the/of
+    r = _one(
+        gopher_gate(
+            _docs(spark, [(1, many)]),
+            min_tokens=1, max_tokens=50,
+            min_mean_len=0.0, max_mean_len=99.0,
+            max_top_2gram_frac=1.0, max_dup_5gram_frac=1.0,
+        ),
+        1,
+    )
+    assert r["reasons"] == "too_many_tokens"
+
+
+def test_gopher_gate_repetition_rules_fire(spark):
+    text = "\n".join(["the same of line here"] * 10)
+    r = _one(
+        gopher_gate(
+            _docs(spark, [(1, text)]),
+            min_tokens=1, min_stop_hits=1,
+        ),
+        1,
+    )
+    assert r["keep"] is False
+    assert "dup_lines" in r["reasons"]
+    assert "dup_line_chars" in r["reasons"]
+    assert "dup_5grams" in r["reasons"]
+
+
+def test_gopher_gate_mean_len_high(spark):
+    text = " ".join(["extraordinarily"] * 60)
+    r = _one(
+        gopher_gate(
+            _docs(spark, [(1, text)]),
+            min_tokens=1, min_stop_hits=0,
+            max_top_2gram_frac=1.0, max_dup_5gram_frac=1.0,
+        ),
+        1,
+    )
+    assert "mean_len_high" in r["reasons"]
