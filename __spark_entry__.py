@@ -1039,7 +1039,106 @@ def _lsh_topk_oracle_sql(planes: int = 8, tables: int = 8, dim: int = 64,
         SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= {k}"""
 
 
+def _l8_cte(decorated: bool = False) -> str:
+    """Shared line-synthesis CTEs (mirrors _lines8_cols): 8-token lines
+    of the shared tokenizer output, optionally with the C4-trigger
+    decorations."""
+    deco = ""
+    if decorated:
+        deco = """
+                              || CASE WHEN i % 7 = 0 THEN ' javascript' ELSE '' END
+                              || CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END"""
+    return f"""toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            l8 AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) > 0 THEN
+                       list_transform(range(1, CAST(ceil(len(t) / 8.0) AS INT) + 1),
+                         i -> array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' '){deco})
+                     ELSE CAST([] AS VARCHAR[]) END AS lines8
+              FROM toks0)"""
+
+
+# boilerplate-sentinel text used by the repetition / gate / paragraph
+# oracles (mirrors the Spark wrappers: one sentinel line for every doc,
+# a second on even doc_ids)
+_SENT_TX_CTE = """tx AS (
+              SELECT doc_id,
+                     array_to_string(lines8, chr(10))
+                     || chr(10) || 'the copied boilerplate line'
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN chr(10) || 'the copied boilerplate line'
+                             ELSE '' END AS text2
+              FROM l8)"""
+
+
+# repetition-feature CTE chain over `tx` — shared verbatim by the
+# text_repetition and text_gopher_gate oracles (the gate's extra token
+# features ride along unused in the former)
+_REP_FEATURE_CTES = """base AS (
+              SELECT doc_id, length(text2) AS chars,
+                     list_filter(list_transform(
+                       regexp_split_to_array(text2, chr(10)), x -> trim(x)),
+                       x -> x <> '') AS lines,
+                     list_filter(regexp_split_to_array(lower(text2), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM tx),
+            lstat AS (
+              SELECT doc_id, chars, t, lines,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     round(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                           * 1.0 / greatest(len(t), 1), 4) AS mean_len,
+                     len(list_intersect(list_distinct(t),
+                         ['the','a','of','and','to','in','is','on','for','it']))
+                       AS stop_hits,
+                     len(lines) AS n_lines,
+                     len(list_distinct(lines)) AS n_distinct_lines,
+                     coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+                       AS line_chars
+              FROM base),
+            lx AS (SELECT doc_id, unnest(lines) AS line FROM base),
+            lcnt AS (SELECT doc_id, line, count(*) AS c FROM lx GROUP BY 1, 2),
+            lc AS (SELECT doc_id, sum((c - 1) * length(line)) AS dup_chars
+                   FROM lcnt GROUP BY 1),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                     ELSE CAST([] AS VARCHAR[]) END AS g2,
+                     CASE WHEN len(t) >= 5 THEN
+                       list_transform(range(1, len(t) - 3),
+                                      i -> array_to_string(t[i:i+4], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END AS g5
+              FROM lstat),
+            g2x AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+            g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2x GROUP BY 1, 2),
+            top2 AS (
+              SELECT doc_id, gram AS top_2gram, c AS top_c
+              FROM (SELECT doc_id, gram, c,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY c DESC, gram ASC) AS rn
+                    FROM g2c)
+              WHERE rn = 1),
+            g5s AS (SELECT doc_id, len(g5) AS n5, len(list_distinct(g5)) AS nd5 FROM g),
+            feat AS (
+              SELECT s.doc_id, s.chars, s.n_tokens, s.mean_len, s.stop_hits,
+                     s.n_lines,
+                     round((s.n_lines - s.n_distinct_lines) * 1.0
+                           / greatest(s.n_lines, 1), 4) AS dup_line_frac,
+                     round(coalesce(d.dup_chars, 0) * 1.0
+                           / greatest(s.line_chars, 1), 4) AS dup_line_char_frac,
+                     coalesce(t2.top_2gram, '') AS top_2gram,
+                     round(coalesce(t2.top_c * length(t2.top_2gram), 0) * 1.0
+                           / greatest(s.chars, 1), 4) AS top_2gram_frac,
+                     round((g5.n5 - g5.nd5) * 1.0 / greatest(g5.n5, 1), 4)
+                       AS dup_5gram_frac
+              FROM lstat s
+              LEFT JOIN lc d USING (doc_id)
+              LEFT JOIN top2 t2 USING (doc_id)
+              JOIN g5s g5 USING (doc_id))"""
+
+
 def oracle_sql() -> dict[str, str]:
+
     sql = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1408,152 +1507,17 @@ def oracle_sql() -> dict[str, str]:
         # line-synthesis CTE shared by the clean.py oracles mirrors
         # _lines8_cols: 8-token chunks of the shared tokenizer output
         "text_repetition": f"""
-            WITH toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
-            l8 AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) > 0 THEN
-                       list_transform(range(1, CAST(ceil(len(t) / 8.0) AS INT) + 1),
-                         i -> array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' '))
-                     ELSE CAST([] AS VARCHAR[]) END AS lines8
-              FROM toks0),
-            tx AS (
-              SELECT doc_id,
-                     array_to_string(lines8, chr(10))
-                     || chr(10) || 'the copied boilerplate line'
-                     || CASE WHEN doc_id % 2 = 0
-                             THEN chr(10) || 'the copied boilerplate line'
-                             ELSE '' END AS text2
-              FROM l8),
-            base AS (
-              SELECT doc_id, length(text2) AS chars,
-                     list_filter(list_transform(
-                       regexp_split_to_array(text2, chr(10)), x -> trim(x)),
-                       x -> x <> '') AS lines,
-                     list_filter(regexp_split_to_array(lower(text2), '[^a-z0-9]+'),
-                                 x -> x <> '') AS t
-              FROM tx),
-            lstat AS (
-              SELECT doc_id, chars, t, lines,
-                     len(lines) AS n_lines,
-                     len(list_distinct(lines)) AS n_distinct_lines,
-                     coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
-                       AS line_chars
-              FROM base),
-            lx AS (SELECT doc_id, unnest(lines) AS line FROM base),
-            lcnt AS (SELECT doc_id, line, count(*) AS c FROM lx GROUP BY 1, 2),
-            lc AS (SELECT doc_id, sum((c - 1) * length(line)) AS dup_chars
-                   FROM lcnt GROUP BY 1),
-            g AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) >= 2 THEN
-                       list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-                     ELSE CAST([] AS VARCHAR[]) END AS g2,
-                     CASE WHEN len(t) >= 5 THEN
-                       list_transform(range(1, len(t) - 3),
-                                      i -> array_to_string(t[i:i+4], ' '))
-                     ELSE CAST([] AS VARCHAR[]) END AS g5
-              FROM lstat),
-            g2x AS (SELECT doc_id, unnest(g2) AS gram FROM g),
-            g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2x GROUP BY 1, 2),
-            top2 AS (
-              SELECT doc_id, gram AS top_2gram, c AS top_c
-              FROM (SELECT doc_id, gram, c,
-                           row_number() OVER (PARTITION BY doc_id
-                                              ORDER BY c DESC, gram ASC) AS rn
-                    FROM g2c)
-              WHERE rn = 1),
-            g5s AS (SELECT doc_id, len(g5) AS n5, len(list_distinct(g5)) AS nd5 FROM g)
-            SELECT s.doc_id,
-                   CAST(s.n_lines AS BIGINT) AS n_lines,
-                   round((s.n_lines - s.n_distinct_lines) * 1.0
-                         / greatest(s.n_lines, 1), 4) AS dup_line_frac,
-                   round(coalesce(d.dup_chars, 0) * 1.0
-                         / greatest(s.line_chars, 1), 4) AS dup_line_char_frac,
-                   coalesce(t2.top_2gram, '') AS top_2gram,
-                   round(coalesce(t2.top_c * length(t2.top_2gram), 0) * 1.0
-                         / greatest(s.chars, 1), 4) AS top_2gram_frac,
-                   round((g5.n5 - g5.nd5) * 1.0 / greatest(g5.n5, 1), 4)
-                     AS dup_5gram_frac
-            FROM lstat s
-            LEFT JOIN lc d USING (doc_id)
-            LEFT JOIN top2 t2 USING (doc_id)
-            JOIN g5s g5 USING (doc_id)""",
+            WITH {_l8_cte()},
+            {_SENT_TX_CTE},
+            {_REP_FEATURE_CTES}
+            SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+                   dup_line_frac, dup_line_char_frac, top_2gram,
+                   top_2gram_frac, dup_5gram_frac
+            FROM feat""",
         "text_gopher_gate": f"""
-            WITH toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
-            l8 AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) > 0 THEN
-                       list_transform(range(1, CAST(ceil(len(t) / 8.0) AS INT) + 1),
-                         i -> array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' '))
-                     ELSE CAST([] AS VARCHAR[]) END AS lines8
-              FROM toks0),
-            tx AS (
-              SELECT doc_id,
-                     array_to_string(lines8, chr(10))
-                     || chr(10) || 'the copied boilerplate line'
-                     || CASE WHEN doc_id % 2 = 0
-                             THEN chr(10) || 'the copied boilerplate line'
-                             ELSE '' END AS text2
-              FROM l8),
-            base AS (
-              SELECT doc_id, length(text2) AS chars,
-                     list_filter(list_transform(
-                       regexp_split_to_array(text2, chr(10)), x -> trim(x)),
-                       x -> x <> '') AS lines,
-                     list_filter(regexp_split_to_array(lower(text2), '[^a-z0-9]+'),
-                                 x -> x <> '') AS t
-              FROM tx),
-            lstat AS (
-              SELECT doc_id, chars, t, lines,
-                     CAST(len(t) AS BIGINT) AS n_tokens,
-                     round(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
-                           * 1.0 / greatest(len(t), 1), 4) AS mean_len,
-                     len(list_intersect(list_distinct(t),
-                         ['the','a','of','and','to','in','is','on','for','it']))
-                       AS stop_hits,
-                     len(lines) AS n_lines,
-                     len(list_distinct(lines)) AS n_distinct_lines,
-                     coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
-                       AS line_chars
-              FROM base),
-            lx AS (SELECT doc_id, unnest(lines) AS line FROM base),
-            lcnt AS (SELECT doc_id, line, count(*) AS c FROM lx GROUP BY 1, 2),
-            lc AS (SELECT doc_id, sum((c - 1) * length(line)) AS dup_chars
-                   FROM lcnt GROUP BY 1),
-            g AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) >= 2 THEN
-                       list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-                     ELSE CAST([] AS VARCHAR[]) END AS g2,
-                     CASE WHEN len(t) >= 5 THEN
-                       list_transform(range(1, len(t) - 3),
-                                      i -> array_to_string(t[i:i+4], ' '))
-                     ELSE CAST([] AS VARCHAR[]) END AS g5
-              FROM lstat),
-            g2x AS (SELECT doc_id, unnest(g2) AS gram FROM g),
-            g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2x GROUP BY 1, 2),
-            top2 AS (
-              SELECT doc_id, gram AS top_2gram, c AS top_c
-              FROM (SELECT doc_id, gram, c,
-                           row_number() OVER (PARTITION BY doc_id
-                                              ORDER BY c DESC, gram ASC) AS rn
-                    FROM g2c)
-              WHERE rn = 1),
-            g5s AS (SELECT doc_id, len(g5) AS n5, len(list_distinct(g5)) AS nd5 FROM g),
-            feat AS (
-              SELECT s.doc_id, s.n_tokens, s.mean_len, s.stop_hits,
-                     round((s.n_lines - s.n_distinct_lines) * 1.0
-                           / greatest(s.n_lines, 1), 4) AS dup_line_frac,
-                     round(coalesce(d.dup_chars, 0) * 1.0
-                           / greatest(s.line_chars, 1), 4) AS dup_line_char_frac,
-                     round(coalesce(t2.top_c * length(t2.top_2gram), 0) * 1.0
-                           / greatest(s.chars, 1), 4) AS top_2gram_frac,
-                     round((g5.n5 - g5.nd5) * 1.0 / greatest(g5.n5, 1), 4)
-                       AS dup_5gram_frac
-              FROM lstat s
-              LEFT JOIN lc d USING (doc_id)
-              LEFT JOIN top2 t2 USING (doc_id)
-              JOIN g5s g5 USING (doc_id)),
+            WITH {_l8_cte()},
+            {_SENT_TX_CTE},
+            {_REP_FEATURE_CTES},
             gated AS (
               SELECT doc_id, n_tokens,
                      concat_ws(',',
@@ -1571,22 +1535,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, (reasons = '') AS keep, reasons
             FROM gated""",
         "dedup_paragraphs": f"""
-            WITH toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
-            l8 AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) > 0 THEN
-                       list_transform(range(1, CAST(ceil(len(t) / 8.0) AS INT) + 1),
-                         i -> array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' '))
-                     ELSE CAST([] AS VARCHAR[]) END AS lines8
-              FROM toks0),
-            tx AS (
-              SELECT doc_id,
-                     array_to_string(lines8, chr(10))
-                     || chr(10) || 'the copied boilerplate line'
-                     || CASE WHEN doc_id % 2 = 0
-                             THEN chr(10) || 'the copied boilerplate line'
-                             ELSE '' END AS text2
-              FROM l8),
+            WITH {_l8_cte()},
+            {_SENT_TX_CTE},
             pl AS (
               SELECT doc_id,
                      list_filter(list_transform(
@@ -1616,16 +1566,7 @@ def oracle_sql() -> dict[str, str]:
                                 ORDER BY idx) AS kept_text
               FROM flagged GROUP BY doc_id) f USING (doc_id)""",
         "text_clean_lines": f"""
-            WITH toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
-            l8 AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) > 0 THEN
-                       list_transform(range(1, CAST(ceil(len(t) / 8.0) AS INT) + 1),
-                         i -> array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' ')
-                              || CASE WHEN i % 7 = 0 THEN ' javascript' ELSE '' END
-                              || CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END)
-                     ELSE CAST([] AS VARCHAR[]) END AS lines8
-              FROM toks0),
+            WITH {_l8_cte(decorated=True)},
             tx AS (
               SELECT doc_id,
                      array_to_string(lines8, chr(10))

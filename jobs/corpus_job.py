@@ -24,7 +24,26 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
                  near_dup: bool = False, dedup_spans: bool = False,
                  dedup_paragraphs: bool = False,
                  shard_mb: int = 256) -> dict:
-    """The corpus-build DAG; returns per-stage counts."""
+    """The corpus-build DAG; returns per-stage counts.
+
+    Cache cleanup is guaranteed (finally): a failure mid-build in a
+    long-lived driver must not leave this build's cached frames — or
+    the dedup module's tracked fingerprint caches — pinned in executor
+    storage memory."""
+    from origami_spark.operators import dedup as D
+
+    cached = []
+    try:
+        return _build_corpus(spark, pages, out_dir, min_tokens, near_dup,
+                             dedup_spans, dedup_paragraphs, shard_mb, cached)
+    finally:
+        for df in cached:
+            df.unpersist()
+        D.release_caches()
+
+
+def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
+                  dedup_paragraphs, shard_mb, cached) -> dict:
     from pyspark.sql import functions as F
 
     from origami_spark.operators import dedup as D
@@ -52,10 +71,11 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
     )
     counts["after_quality"] = kept.count()
 
-    # every cached frame this function creates, for the final release
-    # (NB: `uniq` is rebound below when near_dup runs — track handles,
-    # not names, or the shadowed cache leaks in a long-lived driver)
-    cached = [extracted, kept]
+    # every cached frame goes into the caller-owned `cached` list for
+    # the guaranteed finally-release (NB: `uniq` is rebound below when
+    # near_dup runs — track handles, not names, or the shadowed cache
+    # leaks in a long-lived driver)
+    cached += [extracted, kept]
 
     # exact dedup: keep the lexicographically-first url per content digest
     keepers = D.exact_duplicates(kept, min_count=1).select(
@@ -145,11 +165,6 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
     # instead of leaving one file per partition
     counts["shards"] = export_jsonl(final, out_dir, target_shard_mb=shard_mb,
                                     total_rows=counts["exported"])
-    # long-lived drivers must not accumulate cached blocks: release the
-    # dedup module's tracked caches and this function's own
-    for df in cached:
-        df.unpersist()
-    D.release_caches()
     return counts
 
 

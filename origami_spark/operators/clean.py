@@ -116,6 +116,65 @@ def _top_gram_fold(sorted_grams: Column) -> Column:
     )
 
 
+def _repetition_features(docs: DataFrame, text_col: str) -> DataFrame:
+    """Shared raw-feature projection behind :func:`repetition_stats`
+    and :func:`gopher_gate`: per doc — ``chars``, ``toks``, line counts
+    and duplicate-line characters, the top-2-gram fold, and 5-gram
+    counts.  One narrow map; downstream selects prune what they don't
+    use."""
+    t = docs.select(
+        "doc_id",
+        F.length(text_col).cast("bigint").alias("chars"),
+        _lines_expr(text_col).alias("lines"),
+        tokens_col(text_col).alias("toks"),
+    )
+    return t.select(
+        "doc_id",
+        "chars",
+        "toks",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size(F.array_distinct("lines")).cast("bigint").alias("n_distinct_lines"),
+        F.aggregate(
+            "lines", _zero(), lambda acc, x: acc + F.length(x).cast("bigint")
+        ).alias("line_chars"),
+        _dup_chars_fold(F.array_sort("lines")).alias("dup_chars"),
+        _top_gram_fold(F.array_sort(shingles_expr("toks", 2))).alias("top2"),
+        F.size(shingles_expr("toks", 5)).cast("bigint").alias("n_5grams"),
+        F.size(F.array_distinct(shingles_expr("toks", 5))).cast("bigint").alias("n_distinct_5grams"),
+    )
+
+
+def _one_bigint():
+    return F.lit(1).cast("bigint")
+
+
+def _repetition_ratios() -> list:
+    """Rounded ratio columns over a `_repetition_features` frame —
+    shared verbatim by repetition_stats and gopher_gate so the two can
+    never drift."""
+    one = _one_bigint()
+    return [
+        F.round(
+            (F.col("n_lines") - F.col("n_distinct_lines")).cast("double")
+            / F.greatest("n_lines", one),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.col("dup_chars").cast("double") / F.greatest("line_chars", one), 4
+        ).alias("dup_line_char_frac"),
+        F.round(
+            (F.col("top2")["best"] * F.length(F.col("top2")["best_gram"])).cast("double")
+            / F.greatest("chars", one),
+            4,
+        ).alias("top_2gram_frac"),
+        F.round(
+            (F.col("n_5grams") - F.col("n_distinct_5grams")).cast("double")
+            / F.greatest("n_5grams", one),
+            4,
+        ).alias("dup_5gram_frac"),
+    ]
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per document.
 
@@ -133,48 +192,16 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     * ``dup_5gram_frac`` — word 5-grams occurring more than once, as
       surplus occurrences over total 5-grams
     """
-    t = docs.select(
-        "doc_id",
-        F.length(text_col).cast("bigint").alias("chars"),
-        _lines_expr(text_col).alias("lines"),
-        tokens_col(text_col).alias("toks"),
-    )
-    t = t.select(
-        "doc_id",
-        "chars",
-        F.size("lines").cast("bigint").alias("n_lines"),
-        F.size(F.array_distinct("lines")).cast("bigint").alias("n_distinct_lines"),
-        F.aggregate(
-            "lines", _zero(), lambda acc, x: acc + F.length(x).cast("bigint")
-        ).alias("line_chars"),
-        _dup_chars_fold(F.array_sort("lines")).alias("dup_chars"),
-        _top_gram_fold(F.array_sort(shingles_expr("toks", 2))).alias("top2"),
-        F.size(shingles_expr("toks", 5)).cast("bigint").alias("n_5grams"),
-        F.size(F.array_distinct(shingles_expr("toks", 5))).cast("bigint").alias("n_distinct_5grams"),
-    )
-    one = F.lit(1).cast("bigint")
+    t = _repetition_features(docs, text_col)
+    ratios = _repetition_ratios()
     return t.select(
         "doc_id",
         "n_lines",
-        F.round(
-            (F.col("n_lines") - F.col("n_distinct_lines")).cast("double")
-            / F.greatest("n_lines", one),
-            4,
-        ).alias("dup_line_frac"),
-        F.round(
-            F.col("dup_chars").cast("double") / F.greatest("line_chars", one), 4
-        ).alias("dup_line_char_frac"),
+        ratios[0],
+        ratios[1],
         F.col("top2")["best_gram"].alias("top_2gram"),
-        F.round(
-            (F.col("top2")["best"] * F.length(F.col("top2")["best_gram"])).cast("double")
-            / F.greatest("chars", one),
-            4,
-        ).alias("top_2gram_frac"),
-        F.round(
-            (F.col("n_5grams") - F.col("n_distinct_5grams")).cast("double")
-            / F.greatest("n_5grams", one),
-            4,
-        ).alias("dup_5gram_frac"),
+        ratios[2],
+        ratios[3],
     )
 
 
@@ -276,62 +303,22 @@ def gopher_gate(
     """
     from .text import STOPWORDS
 
-    t = docs.select(
-        "doc_id",
-        F.length(text_col).cast("bigint").alias("chars"),
-        _lines_expr(text_col).alias("lines"),
-        tokens_col(text_col).alias("toks"),
-    )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = _repetition_features(docs, text_col)
+    one = _one_bigint()
     t = t.select(
         "doc_id",
-        "chars",
         F.size("toks").cast("bigint").alias("n_tokens"),
         F.round(
             F.aggregate("toks", _zero(), lambda acc, x: acc + F.length(x))
             .cast("double")
-            / F.greatest(F.size("toks").cast("bigint"), F.lit(1).cast("bigint")),
+            / F.greatest(F.size("toks").cast("bigint"), one),
             4,
         ).alias("mean_len"),
         F.size(F.array_intersect(F.array_distinct("toks"), stop_arr))
         .cast("bigint")
         .alias("stop_hits"),
-        F.size("lines").cast("bigint").alias("n_lines"),
-        F.size(F.array_distinct("lines")).cast("bigint").alias("n_distinct_lines"),
-        F.aggregate("lines", _zero(), lambda acc, x: acc + F.length(x).cast("bigint"))
-        .alias("line_chars"),
-        _dup_chars_fold(F.array_sort("lines")).alias("dup_chars"),
-        _top_gram_fold(F.array_sort(shingles_expr("toks", 2))).alias("top2"),
-        F.size(shingles_expr("toks", 5)).cast("bigint").alias("n_5grams"),
-        F.size(F.array_distinct(shingles_expr("toks", 5)))
-        .cast("bigint")
-        .alias("n_distinct_5grams"),
-    )
-    one = F.lit(1).cast("bigint")
-    t = t.select(
-        "doc_id",
-        "n_tokens",
-        "mean_len",
-        "stop_hits",
-        F.round(
-            (F.col("n_lines") - F.col("n_distinct_lines")).cast("double")
-            / F.greatest("n_lines", one),
-            4,
-        ).alias("dup_line_frac"),
-        F.round(
-            F.col("dup_chars").cast("double") / F.greatest("line_chars", one), 4
-        ).alias("dup_line_char_frac"),
-        F.round(
-            (F.col("top2")["best"] * F.length(F.col("top2")["best_gram"]))
-            .cast("double")
-            / F.greatest("chars", one),
-            4,
-        ).alias("top_2gram_frac"),
-        F.round(
-            (F.col("n_5grams") - F.col("n_distinct_5grams")).cast("double")
-            / F.greatest("n_5grams", one),
-            4,
-        ).alias("dup_5gram_frac"),
+        *_repetition_ratios(),
     )
     rules = [
         (F.col("n_tokens") < min_tokens, "too_few_tokens"),

@@ -810,7 +810,13 @@ def remove_duplicate_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
     """Cut the given (doc_id, start, end) spans out of each doc's text —
     pure Catalyst: sorted span array folded into substring concat (no
     Python in the apply path).  Docs without spans pass through
-    unchanged.  Returns (doc_id, text)."""
+    unchanged.  Returns (doc_id, text).
+
+    Robust to overlapping or contained spans (not just the disjoint
+    merged output of ``duplicate_spans``): the cursor is monotone
+    (``greatest``), so a span nested inside an earlier cut can neither
+    re-emit text from inside that cut nor rewind the cursor — the
+    effective removal is the union of the given intervals."""
     agg = spans.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("start", "end"))).alias("cuts"))
     joined = docs.join(agg, "doc_id", "left")
@@ -819,7 +825,7 @@ def remove_duplicate_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
         F.struct(F.lit(0).cast("bigint").alias("pos"),
                  F.lit("").alias("acc")),
         lambda st, c: F.struct(
-            c["end"].alias("pos"),
+            F.greatest(st["pos"], c["end"]).alias("pos"),
             F.concat(
                 st["acc"],
                 F.substring(

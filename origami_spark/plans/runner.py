@@ -89,6 +89,18 @@ def _recorded_bucket_spec(work_dir: str, name: str) -> dict | None:
         return json.load(f)
 
 
+def _catalog_bucket_count(spark: SparkSession, tbl: str) -> int | None:
+    """Bucket count a registered table was created with, from DESCRIBE
+    EXTENDED (None when the row is absent or unparseable)."""
+    try:
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED `{tbl}`").collect():
+            if r["col_name"] == "Num Buckets":
+                return int(r["data_type"])
+    except Exception:
+        pass
+    return None
+
+
 def _prepare_bucketed_write(spark: SparkSession, work_dir: str, name: str,
                             result: DataFrame, key: str,
                             buckets: int) -> int | None:
@@ -116,9 +128,24 @@ def _prepare_bucketed_write(spark: SparkSession, work_dir: str, name: str,
     tbl = _stage_table_name(work_dir, name)
     recorded = _recorded_bucket_spec(work_dir, name)
     effective = recorded["buckets"] if recorded else buckets
-    if spark.catalog.tableExists(tbl):
-        return effective
     from .snapshots import _data_files
+
+    if spark.catalog.tableExists(tbl):
+        if _data_files(out_path) and not _dir_is_bucketed(out_path):
+            # plain files crept into the directory (out-of-band write):
+            # the catalog bucket metadata now lies about the files —
+            # drop it and downgrade, same as the pre-registration check
+            spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+            return None
+        if recorded is None:
+            # spec file lost (e.g. stale-manifest recovery wiped
+            # _snapshots/): re-derive the count from the catalog entry
+            # — never the caller's argument, which may differ from what
+            # the surviving files were hashed with
+            cat = _catalog_bucket_count(spark, tbl)
+            effective = cat if cat else effective
+            _record_bucket_spec(work_dir, name, key, effective)
+        return effective
 
     if not _data_files(out_path):
         _record_bucket_spec(work_dir, name, key, effective)
@@ -182,6 +209,14 @@ def run_stage(
         # would make every future read_snapshot fail — treat them as
         # stale and recompute from scratch.
         delete_snapshots(work_dir, name)
+    if buckets is None:
+        recorded = _recorded_bucket_spec(work_dir, name)
+        if recorded:
+            # the stage was created bucketed: later runs must stay
+            # bucketed even when the caller omits the flag — a plain
+            # append would mix layouts under the catalog's bucket
+            # metadata and silently break exchange-elided joins
+            buckets = recorded["buckets"]
     if _exists(out_path):
         # resume against the COMMITTED view (snapshot manifests), not the
         # raw directory: a crash between the parquet append and the

@@ -224,3 +224,37 @@ def test_bucket_count_is_recorded_and_wins_on_resume(spark, tmp_path):
     # reset clears the spec so a rewrite may choose a new count
     reset_stages(wd, ["s2_blocks"], spark=spark)
     assert _recorded_bucket_spec(wd, "s2_blocks") is None
+
+
+def test_bucketed_stage_stays_bucketed_when_flag_omitted(spark, tmp_path):
+    """A buckets=N -> buckets=None -> buckets=N sequence in one session
+    must never interleave plain part files under the catalog's bucket
+    metadata: the recorded spec keeps the stage bucketed on the
+    flag-less run, results stay byte-correct, and the committed view is
+    still servable as a catalog bucketed table."""
+    from origami_spark.pipeline import extract_staged
+    from origami_spark.plans.runner import (
+        _dir_is_bucketed,
+        _recorded_bucket_spec,
+    )
+    from origami_spark.sources.corpus import pages_df
+
+    wd = str(tmp_path / "wd")
+    p1 = pages_df(spark, 10, num_partitions=1).cache()
+    extract_staged(spark, p1, wd, run_id="r1", buckets=4)
+
+    p2 = pages_df(spark, 25, num_partitions=1).cache()
+    extract_staged(spark, p2, wd, run_id="r2")  # no buckets flag
+
+    p3 = pages_df(spark, 40, num_partitions=1).cache()
+    out = extract_staged(spark, p3, wd, run_id="r3", buckets=4)
+    assert out.count() == 40
+    golden = {r["url"]: r["text"] for r in p3.select("url", "text").collect()}
+    for r in out.select("url", "text").collect():
+        assert r["text"] == golden[r["url"]], r["url"]
+    # every file in every stage dir is still bucket-named
+    import os
+
+    for stage in ("s2_blocks", "s5_layout", "s7_order", "s8_compose"):
+        assert _dir_is_bucketed(os.path.join(wd, stage)), stage
+        assert _recorded_bucket_spec(wd, stage)["buckets"] == 4

@@ -415,3 +415,22 @@ def test_paragraph_dedup_preserves_order(spark):
         (2, "alpha\ndup\nbeta\ngamma"),
     ])
     assert out[2]["kept_text"] == "alpha\nbeta\ngamma"
+
+
+def test_remove_spans_tolerates_contained_and_overlapping(spark):
+    """Unmerged span sets (contained / overlapping intervals) must
+    remove the UNION of the intervals — a nested span must not re-emit
+    text from inside an earlier cut or rewind the cursor."""
+    from origami_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "0123456789abcdefghijKEEP"), (2, "0123456789")],
+        "doc_id bigint, text string")
+    spans = spark.createDataFrame(
+        [(1, 0, 20), (1, 5, 10),      # contained
+         (2, 0, 4), (2, 2, 7)],       # overlapping
+        "doc_id bigint, start bigint, end bigint")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(docs, spans).collect()}
+    assert out[1] == "KEEP"
+    assert out[2] == "789"
