@@ -37,9 +37,18 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
         return _build_corpus(spark, pages, out_dir, min_tokens, near_dup,
                              dedup_spans, dedup_paragraphs, shard_mb, cached)
     finally:
+        # best-effort: a dead session makes unpersist itself raise —
+        # that must neither mask the build's root-cause exception nor
+        # abort the remaining releases
         for df in cached:
-            df.unpersist()
-        D.release_caches()
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        try:
+            D.release_caches()
+        except Exception:
+            pass
 
 
 def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,

@@ -50,15 +50,16 @@ def _stage_table_name(work_dir: str, name: str) -> str:
 _BUCKET_FILE_RE = None
 
 
-def _dir_is_bucketed(path: str) -> bool:
+def _dir_is_bucketed(path: str, files: list | None = None) -> bool:
     import re
 
     global _BUCKET_FILE_RE
     if _BUCKET_FILE_RE is None:
         _BUCKET_FILE_RE = re.compile(r"_\d{5}\.")
-    from .snapshots import _data_files
+    if files is None:
+        from .snapshots import _data_files
 
-    files = _data_files(path)
+        files = _data_files(path)
     return bool(files) and all(_BUCKET_FILE_RE.search(f) for f in files)
 
 
@@ -77,6 +78,12 @@ def _record_bucket_spec(work_dir: str, name: str, key: str,
     if not os.path.exists(path):
         with open(path, "w") as f:
             json.dump({"buckets": buckets, "key": key}, f)
+
+
+def _delete_bucket_spec(work_dir: str, name: str) -> None:
+    path = _bucket_meta_path(work_dir, name)
+    if os.path.exists(path):
+        os.remove(path)
 
 
 def _recorded_bucket_spec(work_dir: str, name: str) -> dict | None:
@@ -127,30 +134,44 @@ def _prepare_bucketed_write(spark: SparkSession, work_dir: str, name: str,
     out_path = os.path.join(work_dir, name)
     tbl = _stage_table_name(work_dir, name)
     recorded = _recorded_bucket_spec(work_dir, name)
+    if recorded and recorded.get("key") != key:
+        # bucket metadata over files hashed by a different column would
+        # elide exchanges the data does not justify — fail loudly; the
+        # caller must reset the stage to change its bucketing key
+        raise ValueError(
+            f"stage {name!r} was bucketed by {recorded['key']!r}; "
+            f"cannot resume it with key={key!r} (reset the stage first)")
     effective = recorded["buckets"] if recorded else buckets
     from .snapshots import _data_files
 
+    files = _data_files(out_path)
     if spark.catalog.tableExists(tbl):
-        if _data_files(out_path) and not _dir_is_bucketed(out_path):
+        if files and not _dir_is_bucketed(out_path, files=files):
             # plain files crept into the directory (out-of-band write):
             # the catalog bucket metadata now lies about the files —
-            # drop it and downgrade, same as the pre-registration check
+            # drop BOTH the table and the recorded spec (a stale spec
+            # would resurrect bucketing on every later flag-less run)
             spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+            _delete_bucket_spec(work_dir, name)
             return None
         if recorded is None:
             # spec file lost (e.g. stale-manifest recovery wiped
             # _snapshots/): re-derive the count from the catalog entry
             # — never the caller's argument, which may differ from what
-            # the surviving files were hashed with
+            # the surviving files were hashed with.  If the catalog row
+            # is unreadable, record NOTHING: a mismatched append will
+            # fail loudly on saveAsTable's own bucket-spec validation
+            # rather than persisting a possibly-wrong count
             cat = _catalog_bucket_count(spark, tbl)
-            effective = cat if cat else effective
-            _record_bucket_spec(work_dir, name, key, effective)
+            if cat:
+                effective = cat
+                _record_bucket_spec(work_dir, name, key, effective)
         return effective
 
-    if not _data_files(out_path):
+    if not files:
         _record_bucket_spec(work_dir, name, key, effective)
         return effective  # fresh table: saveAsTable creates dir + entry
-    if not _dir_is_bucketed(out_path):
+    if not _dir_is_bucketed(out_path, files=files):
         return None  # mixed layout would lie to the planner
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in result.schema.fields)

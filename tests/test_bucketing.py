@@ -258,3 +258,25 @@ def test_bucketed_stage_stays_bucketed_when_flag_omitted(spark, tmp_path):
     for stage in ("s2_blocks", "s5_layout", "s7_order", "s8_compose"):
         assert _dir_is_bucketed(os.path.join(wd, stage)), stage
         assert _recorded_bucket_spec(wd, stage)["buckets"] == 4
+
+
+def test_bucketed_resume_with_different_key_raises(spark, tmp_path):
+    """Re-registering bucket metadata CLUSTERED BY a different column
+    than the files were hashed with would elide unjustified exchanges —
+    the recorded spec's key must be enforced loudly."""
+    import pytest
+
+    from origami_spark.plans.runner import run_stage
+
+    wd = str(tmp_path / "wd")
+    df = spark.range(20).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.col("id").alias("doc_id"))
+    run_stage(spark, "s_toy", df, lambda d: d, wd, key="url",
+              run_id="r1", buckets=2)
+    more = spark.range(40).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="bucketed by 'url'"):
+        run_stage(spark, "s_toy", more, lambda d: d, wd, key="doc_id",
+                  run_id="r2", buckets=2)
