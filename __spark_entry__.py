@@ -656,6 +656,40 @@ def dedup_paragraphs(spark, sf):
     return D.paragraph_dedup(docs.select("doc_id", text2.alias("text")))
 
 
+def _skewed_url_docs(spark, sf):
+    """Documents with synthesized Zipf-ish skewed urls: two thirds of
+    the corpus lands on one mega-host, the rest spreads over 20 small
+    hosts — mirrored verbatim in the host_* oracles."""
+    docs = _t(spark, sf, "documents")
+    host = F.when(
+        F.col("doc_id") % 3 != 0, F.lit("big.example.com")
+    ).otherwise(
+        F.concat(F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".example.com"))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                   F.col("doc_id").cast("string"))
+    return docs.select("doc_id", url.alias("url"), "text")
+
+
+def host_stats(spark, sf):
+    """Skew-safe per-host aggregation (operators/hosts.py): salted
+    two-phase groupBy; the oracle is the direct GROUP BY, proving value
+    identity."""
+    from origami_spark.operators.hosts import host_stats as hs
+
+    return hs(_skewed_url_docs(spark, sf), salt=8)
+
+
+def host_cap(spark, sf):
+    """Host frequency capping (operators/hosts.py): at most 5 pages
+    per host in deterministic url order."""
+    from origami_spark.operators.hosts import host_cap as hc
+
+    return hc(_skewed_url_docs(spark, sf), k=5).select(
+        "doc_id", "url", "host")
+
+
 def multimodal_payload(spark, sf):
     media = M.media_from_documents(_t(spark, sf, "documents"))
     feats = M.media_features(media)
@@ -789,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": dedup_substring,
         "dedup_span_removal": dedup_span_removal,
         "dedup_paragraphs": dedup_paragraphs,
+        "host_stats": host_stats,
+        "host_cap": host_cap,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1565,6 +1601,35 @@ def oracle_sql() -> dict[str, str]:
                      string_agg(CASE WHEN keep THEN para END, chr(10)
                                 ORDER BY idx) AS kept_text
               FROM flagged GROUP BY doc_id) f USING (doc_id)""",
+        "host_stats": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 <> 0 THEN 'big.example.com'
+                          ELSE 'site' || CAST(doc_id % 20 AS VARCHAR)
+                               || '.example.com' END AS host,
+                     length(text) AS chars
+              FROM documents)
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(chars) AS BIGINT) AS total_chars,
+                   round(sum(chars) * 1.0 / count(*), 4) AS mean_chars
+            FROM u GROUP BY host""",
+        "host_cap": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 <> 0 THEN 'big.example.com'
+                          ELSE 'site' || CAST(doc_id % 20 AS VARCHAR)
+                               || '.example.com' END AS host
+              FROM documents),
+            v AS (
+              SELECT doc_id, host,
+                     'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM u),
+            r AS (
+              SELECT doc_id, url, host,
+                     row_number() OVER (PARTITION BY host ORDER BY url) AS rk
+              FROM v)
+            SELECT doc_id, url, host FROM r WHERE rk <= 5""",
         "text_clean_lines": f"""
             WITH {_l8_cte(decorated=True)},
             tx AS (

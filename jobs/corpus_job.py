@@ -22,7 +22,7 @@ import sys
 
 def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
                  near_dup: bool = False, dedup_spans: bool = False,
-                 dedup_paragraphs: bool = False,
+                 dedup_paragraphs: bool = False, host_cap: int = 0,
                  shard_mb: int = 256) -> dict:
     """The corpus-build DAG; returns per-stage counts.
 
@@ -35,7 +35,8 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
     cached = []
     try:
         return _build_corpus(spark, pages, out_dir, min_tokens, near_dup,
-                             dedup_spans, dedup_paragraphs, shard_mb, cached)
+                             dedup_spans, dedup_paragraphs, host_cap,
+                             shard_mb, cached)
     finally:
         # best-effort: a dead session makes unpersist itself raise —
         # that must neither mask the build's root-cause exception nor
@@ -52,7 +53,7 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
 
 
 def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
-                  dedup_paragraphs, shard_mb, cached) -> dict:
+                  dedup_paragraphs, host_cap, shard_mb, cached) -> dict:
     from pyspark.sql import functions as F
 
     from origami_spark.operators import dedup as D
@@ -81,10 +82,24 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
     counts["after_quality"] = kept.count()
 
     # every cached frame goes into the caller-owned `cached` list for
-    # the guaranteed finally-release (NB: `uniq` is rebound below when
-    # near_dup runs — track handles, not names, or the shadowed cache
-    # leaks in a long-lived driver)
+    # the guaranteed finally-release (NB: `kept`/`uniq` are rebound by
+    # the optional stages below — track handles, not names, or the
+    # shadowed cache leaks in a long-lived driver)
     cached += [extracted, kept]
+
+    if host_cap:
+        # single-domain dominance control (C4/ccnet recipe): keep at
+        # most host_cap pages per url host, deterministic url order
+        from origami_spark.operators.hosts import host_cap as _hc
+
+        kept = (
+            _hc(kept.withColumnRenamed("doc_id", "url"), k=host_cap)
+            .drop("host")
+            .withColumnRenamed("url", "doc_id")
+            .cache()
+        )
+        cached.append(kept)
+        counts["after_host_cap"] = kept.count()
 
     # exact dedup: keep the lexicographically-first url per content digest
     keepers = D.exact_duplicates(kept, min_count=1).select(
@@ -191,6 +206,8 @@ def main(argv=None):
     ap.add_argument("--dedup-paragraphs", action="store_true",
                     help="drop corpus-wide duplicate paragraphs "
                          "(keep first occurrence)")
+    ap.add_argument("--host-cap", type=int, default=0,
+                    help="keep at most N pages per url host (0 = off)")
     ap.add_argument("--shard-mb", type=int, default=256)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
@@ -224,6 +241,7 @@ def main(argv=None):
                           near_dup=args.near_dup,
                           dedup_spans=args.dedup_spans,
                           dedup_paragraphs=args.dedup_paragraphs,
+                          host_cap=args.host_cap,
                           shard_mb=args.shard_mb)
     print(json.dumps(counts))
     spark.stop()

@@ -1,0 +1,74 @@
+"""Host-level corpus operators: per-host statistics and host frequency
+capping.
+
+Web crawls are Zipf-skewed by host (tests/test_skew.py measures this on
+the synthetic corpus too), and training-data pipelines run two
+host-grain steps over them:
+
+* :func:`host_stats` — per-host aggregates, computed with the two-phase
+  salted aggregation (salt → partial agg per ``(host, salt)`` → final
+  agg per host) so the head host of a Zipf corpus cannot pin its entire
+  row set on one reducer.  Value-identical to a direct ``groupBy`` —
+  the DuckDB oracle is the direct form.
+* :func:`host_cap` — keep at most ``k`` pages per host (single-domain
+  dominance control, as in the C4/ccnet recipes).  Deterministic: pages
+  are ranked by url within the host.  One window shuffle on the host;
+  ``row_number`` is a streaming pass over each sorted partition, so a
+  mega-host costs a sort spill at worst, never a driver-side
+  collection.
+
+Both pure Catalyst.  Reference parity note: origami has no host grain;
+these extend the engine for crawl-scale corpus curation (same family as
+operators/clean.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["host_of", "host_stats", "host_cap"]
+
+
+def host_of(url_col) -> Column:
+    """Lower-cased host part of a url (scheme required; empty string
+    when the url does not parse)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.lower(F.regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+
+
+def host_stats(pages: DataFrame, url_col: str = "url",
+               text_col: str = "text", salt: int = 8) -> DataFrame:
+    """Pages / total and mean text chars per host, skew-safely.
+
+    Output: ``host, n_pages, total_chars, mean_chars`` (mean rounded to
+    4 decimals)."""
+    t = pages.select(
+        host_of(url_col).alias("host"),
+        F.pmod(F.xxhash64(url_col), F.lit(salt)).alias("_salt"),
+        F.length(text_col).cast("bigint").alias("chars"),
+    )
+    partial = t.groupBy("host", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("chars").alias("pchars"),
+    )
+    return partial.groupBy("host").agg(
+        F.sum("pn").cast("bigint").alias("n_pages"),
+        F.sum("pchars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum("pchars").cast("double") / F.sum("pn"), 4
+        ).alias("mean_chars"),
+    )
+
+
+def host_cap(pages: DataFrame, url_col: str = "url", k: int = 100) -> DataFrame:
+    """Keep at most ``k`` pages per host (first ``k`` in url order —
+    deterministic at any parallelism).  Returns the input columns plus
+    ``host``."""
+    w = Window.partitionBy("host").orderBy(F.col(url_col))
+    return (
+        pages.withColumn("host", host_of(url_col))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

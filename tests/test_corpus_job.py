@@ -159,3 +159,22 @@ def test_corpus_job_dedup_paragraphs(spark, tmp_path):
     assert dup == [], dup
     # the grafted paragraph survived exactly once
     assert paras.filter(F.col("p") == para).count() == 1
+
+
+def test_corpus_job_host_cap(spark, tmp_path):
+    """--host-cap N leaves at most N exported pages per url host."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.operators.hosts import host_of
+    from origami_spark.sources.corpus import pages_df
+
+    out = str(tmp_path / "corpus_hc")
+    counts = build_corpus(spark, pages_df(spark, 60, num_partitions=2), out,
+                          min_tokens=5, host_cap=2)
+    assert counts["after_host_cap"] <= counts["after_quality"]
+    back = spark.read.json(out)
+    per_host = (
+        back.select(host_of("url").alias("h"))
+        .groupBy("h").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_host <= 2

@@ -1,0 +1,74 @@
+"""Host-grain operators: url-host extraction, skew-safe stats, capping."""
+
+import pyspark.sql.functions as F
+
+from origami_spark.operators.hosts import host_cap, host_of, host_stats
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_host_of_parses_and_normalizes(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Ex.COM:443/a?q=1",),
+         ("http://h.org/p",),
+         ("not a url",),
+         ("ftp://files.net/x",)],
+        "url string")
+    got = [r[0] for r in df.select(host_of("url")).collect()]
+    assert got == ["www.ex.com", "h.org", "", "files.net"]
+
+
+def test_host_stats_matches_direct_groupby(spark):
+    rows = [(f"https://h{i % 3}.com/p/{i}", "x" * (i + 1)) for i in range(30)]
+    pages = _pages(spark, rows)
+    salted = {r["host"]: r.asDict()
+              for r in host_stats(pages, salt=4).collect()}
+    direct = {
+        r["host"]: r.asDict()
+        for r in pages.select(host_of("url").alias("host"),
+                              F.length("text").alias("c"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             F.sum("c").alias("total_chars"))
+        .collect()
+    }
+    assert set(salted) == set(direct)
+    for h in direct:
+        assert salted[h]["n_pages"] == direct[h]["n_pages"]
+        assert salted[h]["total_chars"] == direct[h]["total_chars"]
+        assert salted[h]["mean_chars"] == round(
+            direct[h]["total_chars"] / direct[h]["n_pages"], 4)
+
+
+def test_host_cap_keeps_first_k_by_url(spark):
+    rows = [(f"https://one.com/p/{i:03d}", "t") for i in range(10)]
+    rows += [("https://two.com/p/000", "t")]
+    out = host_cap(_pages(spark, rows), k=3)
+    kept = sorted(r["url"] for r in out.collect())
+    assert kept == [
+        "https://one.com/p/000",
+        "https://one.com/p/001",
+        "https://one.com/p/002",
+        "https://two.com/p/000",
+    ]
+    assert set(out.columns) == {"url", "text", "host"}
+
+
+def test_host_cap_deterministic_across_parallelism(spark):
+    rows = [(f"https://h{i % 2}.net/p/{i}", "t") for i in range(40)]
+    a = host_cap(_pages(spark, rows).repartition(1), k=7)
+    b = host_cap(_pages(spark, rows).repartition(13), k=7)
+    assert sorted(r["url"] for r in a.collect()) == \
+        sorted(r["url"] for r in b.collect())
+
+
+def test_host_stats_plan_is_two_phase(spark):
+    """The salted form must show two aggregation exchanges (salted
+    partial then final) and no per-row Python."""
+    rows = [(f"https://h{i % 3}.com/p/{i}", "x") for i in range(30)]
+    plan = host_stats(_pages(spark, rows))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan
