@@ -672,6 +672,16 @@ def _skewed_url_docs(spark, sf):
     return docs.select("doc_id", url.alias("url"), "text")
 
 
+def dedup_contamination(spark, sf):
+    """Benchmark decontamination check (operators/dedup.py): every 50th
+    document plays the evaluation set; 8-gram collisions flag
+    contaminated training docs (each benchmark doc trivially flags
+    itself, plus any corpus near-copies)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return D.benchmark_contamination(docs, bench, n=8, min_hits=1)
+
+
 def host_stats(spark, sf):
     """Skew-safe per-host aggregation (operators/hosts.py): salted
     two-phase groupBy; the oracle is the direct GROUP BY, proving value
@@ -823,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": dedup_substring,
         "dedup_span_removal": dedup_span_removal,
         "dedup_paragraphs": dedup_paragraphs,
+        "dedup_contamination": dedup_contamination,
         "host_stats": host_stats,
         "host_cap": host_cap,
         "dedup_embedding": dedup_embedding,
@@ -1601,6 +1612,29 @@ def oracle_sql() -> dict[str, str]:
                      string_agg(CASE WHEN keep THEN para END, chr(10)
                                 ORDER BY idx) AS kept_text
               FROM flagged GROUP BY doc_id) f USING (doc_id)""",
+        "dedup_contamination": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) >= 8 THEN
+                       list_transform(range(1, len(t) - 6),
+                                      i -> array_to_string(t[i:i+7], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS gs
+              FROM toks),
+            cg AS (
+              SELECT doc_id, {_H60.format(x='gram')} AS gh
+              FROM (SELECT doc_id, unnest(gs) AS gram FROM g)),
+            bg AS (SELECT doc_id AS bench_id, gh FROM cg WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT c.doc_id,
+                     count(DISTINCT c.gh) AS n_hits,
+                     count(DISTINCT b.bench_id) AS n_benchmarks
+              FROM cg c JOIN bg b USING (gh) GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n_benchmarks, 0) AS BIGINT) AS n_benchmarks,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)""",
         "host_stats": """
             WITH u AS (
               SELECT doc_id,

@@ -912,3 +912,50 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
             ),
         ).alias("kept_text"),
     )
+
+
+def benchmark_contamination(docs: DataFrame, benchmarks: DataFrame,
+                            n: int = 13, min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination check (the n-gram collision test used
+    by public LLM training pipelines, e.g. GPT-3 App. C / PaLM: a
+    training document is contaminated when it shares at least
+    ``min_hits`` word n-grams with any evaluation document).
+
+    Inputs are two (doc_id, text) frames.  Output: one row per training
+    doc with ``n_hits`` (distinct shared grams), ``n_benchmarks``
+    (distinct eval docs hit) and ``contaminated``.
+
+    Scale shape: eval suites are tiny next to a training corpus, so the
+    benchmark gram set is **broadcast** — the corpus side computes its
+    grams in place and never shuffles; the only wide operation is the
+    final per-doc aggregation of hits, whose input is already filtered
+    to colliding grams (a vanishing fraction of the corpus).  Asserted
+    in tests/test_plan_quality.py.
+    """
+    from .text import portable_hash60, shingles_expr, tokens_col
+
+    def grams(frame, id_out):
+        t = frame.select(F.col("doc_id").alias(id_out),
+                         tokens_col().alias("toks"))
+        return t.select(
+            id_out,
+            F.explode(F.array_distinct(shingles_expr("toks", n))).alias("g"),
+        ).select(id_out, portable_hash60(F.col("g")).alias("gh"))
+
+    bench = grams(benchmarks, "bench_id")
+    corpus = grams(docs, "doc_id")
+    hits = corpus.join(F.broadcast(bench), "gh")
+    agg = hits.groupBy("doc_id").agg(
+        F.countDistinct("gh").cast("bigint").alias("n_hits"),
+        F.countDistinct("bench_id").cast("bigint").alias("n_benchmarks"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            F.coalesce("n_benchmarks", F.lit(0).cast("bigint")).alias("n_benchmarks"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -434,3 +434,39 @@ def test_remove_spans_tolerates_contained_and_overlapping(spark):
            for r in remove_duplicate_spans(docs, spans).collect()}
     assert out[1] == "KEEP"
     assert out[2] == "789"
+
+
+def test_benchmark_contamination_flags_ngram_overlap(spark):
+    from origami_spark.operators.dedup import benchmark_contamination
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = mk([
+        (1, f"intro words {shared} closing words"),  # contains the 8-gram
+        (2, "totally different content with no overlap at all here"),
+        (3, shared),                                  # exactly the benchmark
+        (4, "short"),                                 # < n tokens
+    ])
+    bench = mk([(100, f"leading {shared} trailing")])
+    out = {r["doc_id"]: r.asDict()
+           for r in benchmark_contamination(docs, bench, n=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_benchmarks"] == 1
+    assert out[3]["contaminated"] and out[3]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[4]["contaminated"]
+    assert set(out) == {1, 2, 3, 4}  # every training doc gets a row
+
+
+def test_benchmark_contamination_min_hits_threshold(spark):
+    from origami_spark.operators.dedup import benchmark_contamination
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    # doc 1 shares exactly one 3-gram with the benchmark; doc 2 shares 2+
+    docs = mk([(1, "a b c x y z"), (2, "a b c d e f")])
+    bench = mk([(9, "a b c d e f g")])
+    loose = {r["doc_id"]: r["contaminated"] for r in
+             benchmark_contamination(docs, bench, n=3, min_hits=1).collect()}
+    strict = {r["doc_id"]: r["contaminated"] for r in
+              benchmark_contamination(docs, bench, n=3, min_hits=2).collect()}
+    assert loose == {1: True, 2: True}
+    assert strict == {1: False, 2: True}

@@ -119,3 +119,11 @@ def test_paragraph_dedup_two_exchanges(spark):
     assert plan.count("Exchange") == 2, plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_contamination_broadcasts_benchmarks(spark):
+    """The benchmark gram side must broadcast — the training corpus
+    never shuffles for the collision join."""
+    plan = plan_of(E.dedup_contamination(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan
