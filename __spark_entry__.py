@@ -672,6 +672,38 @@ def _skewed_url_docs(spark, sf):
     return docs.select("doc_id", url.alias("url"), "text")
 
 
+def sample_hash(spark, sf):
+    """Deterministic hash-threshold sampling (operators/sampling.py):
+    rate 0.25, seed 's0' — the same docs survive on every run, every
+    partitioning, and in the DuckDB oracle."""
+    from origami_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf, "documents")
+    return hash_sample(docs, 0.25).select("doc_id", "n_chars")
+
+
+def sample_stratified(spark, sf):
+    """Per-stratum deterministic sampling over the source column:
+    keep all of src1, half of src2, a tenth of src3, 2% elsewhere."""
+    from origami_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(
+        docs, "source", {"src1": 1.0, "src2": 0.5, "src3": 0.1},
+        default_rate=0.02,
+    ).select("doc_id", "source")
+
+
+def sample_token_budget(spark, sf):
+    """Token budgeting per source (operators/sampling.py): 500 tokens
+    from each source in deterministic hash order (prefix cut — tight
+    enough that the cut bites at every test SF)."""
+    from origami_spark.operators.sampling import token_budget
+
+    docs = _t(spark, sf, "documents")
+    return token_budget(docs, 500, by="source")
+
+
 def dedup_contamination(spark, sf):
     """Benchmark decontamination check (operators/dedup.py): every 50th
     document plays the evaluation set; 8-gram collisions flag
@@ -834,6 +866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": dedup_span_removal,
         "dedup_paragraphs": dedup_paragraphs,
         "dedup_contamination": dedup_contamination,
+        "sample_hash": sample_hash,
+        "sample_stratified": sample_stratified,
+        "sample_token_budget": sample_token_budget,
         "host_stats": host_stats,
         "host_cap": host_cap,
         "dedup_embedding": dedup_embedding,
@@ -1612,6 +1647,37 @@ def oracle_sql() -> dict[str, str]:
                      string_agg(CASE WHEN keep THEN para END, chr(10)
                                 ORDER BY idx) AS kept_text
               FROM flagged GROUP BY doc_id) f USING (doc_id)""",
+        # deterministic sampling bucket shared by the sample_* oracles:
+        # pmod(hash60('s0|' || doc_id), 1e6) — mirrors sampling._bucket
+        "sample_hash": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE CAST(('0x' || substring(md5('s0|' || CAST(doc_id AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 1000000 < 250000""",
+        "sample_stratified": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(('0x' || substring(md5('s0|' || CAST(doc_id AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 1000000
+                  < CASE source WHEN 'src1' THEN 1000000
+                                WHEN 'src2' THEN 500000
+                                WHEN 'src3' THEN 100000
+                                ELSE 20000 END""",
+        "sample_token_budget": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                     CAST(('0x' || substring(md5('s0' || '|'
+                          || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1000000 AS b
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY b, doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       AS cum_tokens
+              FROM t)
+            SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c WHERE cum_tokens <= 500""",
         "dedup_contamination": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
             g AS (

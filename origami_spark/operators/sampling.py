@@ -1,0 +1,93 @@
+"""Deterministic sampling and token budgeting for corpus mixing.
+
+Training-data pipelines don't use ``rand()``: a sample must be exactly
+reproducible across runs, partitionings, and engines, or downstream
+experiments can't be compared.  Everything here keys on the portable
+md5-based 60-bit hash (operators/text.py), so the DuckDB oracles
+reproduce every selected row bit-identically and a re-run at any
+parallelism selects the same documents.
+
+* :func:`hash_sample` — keep a deterministic ``rate`` fraction of docs
+  (hash-threshold sampling).  Pure filter: no shuffle, no state.
+* :func:`stratified_sample` — per-stratum rates (e.g. downsample
+  low-quality, keep all high-quality).  Same pure-filter shape.
+* :func:`token_budget` — keep documents, in deterministic hash order,
+  until each group's running token total reaches a budget — the
+  "mix K tokens from each source" step.  One window shuffle per call,
+  partitioned by the group column, so it scales with group count; a
+  single global budget over 10^12 docs would serialize one partition —
+  for that case run per-source budgets sized by the mixing weights
+  (which is what mixture specs describe anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import portable_hash60, tokens_col
+
+__all__ = ["hash_sample", "stratified_sample", "token_budget"]
+
+_SCALE = 1_000_000
+
+
+def _bucket(id_col: str, seed: str) -> F.Column:
+    """Deterministic bucket in [0, 1e6) from (seed, doc id)."""
+    return F.pmod(
+        portable_hash60(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+        F.lit(_SCALE),
+    )
+
+
+def hash_sample(docs: DataFrame, rate: float, seed: str = "s0",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction: doc survives iff its
+    hash bucket < rate * 1e6.  Changing ``seed`` draws an independent
+    sample; the same seed always selects the same docs."""
+    return docs.filter(_bucket(id_col, seed) < int(rate * _SCALE))
+
+
+def stratified_sample(docs: DataFrame, strata_col: str, rates: dict,
+                      default_rate: float = 0.0, seed: str = "s0",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-stratum hash sampling: ``rates`` maps stratum value ->
+    fraction; unmapped strata use ``default_rate``."""
+    thr = F.lit(int(default_rate * _SCALE))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(int(rate * _SCALE))).otherwise(thr)
+    return docs.filter(_bucket(id_col, seed) < thr)
+
+
+def token_budget(docs: DataFrame, budget_tokens: int, by: str = "source",
+                 text_col: str = "text", seed: str = "s0",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Keep docs in deterministic hash order until each ``by`` group's
+    running token total reaches ``budget_tokens``: a doc is kept iff
+    the prefix sum *including it* is within budget — a pure prefix
+    cut, so the kept set is a deterministic function of (seed, budget)
+    alone, independent of partitioning and engine.
+
+    Output: ``doc_id, <by>, n_tokens, cum_tokens`` for kept docs.
+    """
+    t = docs.select(
+        id_col,
+        by,
+        F.size(tokens_col(text_col)).cast("bigint").alias("n_tokens"),
+        _bucket(id_col, seed).alias("_b"),
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("_b", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # NB: deliberately the prefix-cut rule, not greedy first-fit —
+    # first-fit needs the keep decision inside the running sum, which
+    # is stateful; the prefix cut is one windowed sum, identical in
+    # both engines, and wastes at most one document of budget
+    cum = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        cum.filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, by, "n_tokens", "cum_tokens")
+    )

@@ -1,0 +1,66 @@
+"""Deterministic sampling + token budgeting (operators/sampling.py)."""
+
+from origami_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    token_budget,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_sample_is_deterministic_and_nested(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3).select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         hash_sample(docs.repartition(13), 0.3).select("doc_id").collect()}
+    assert a == b  # partitioning-independent
+    small = {r["doc_id"] for r in
+             hash_sample(docs, 0.1).select("doc_id").collect()}
+    assert small <= a  # threshold sampling nests across rates
+    other = {r["doc_id"] for r in
+             hash_sample(docs, 0.3, seed="s1").select("doc_id").collect()}
+    assert other != a  # a new seed draws an independent sample
+    # rate is approximately honored
+    assert 0.2 < len(a) / docs.count() < 0.4
+
+
+def test_stratified_sample_rates(spark):
+    rows = [(i, f"src{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = stratified_sample(docs, "source",
+                            {"src0": 1.0, "src1": 0.0}, default_rate=0.5)
+    by_src = {r["source"]: r["count"] for r in
+              out.groupBy("source").count().collect()}
+    assert by_src.get("src0") == 100   # rate 1.0: everything
+    assert "src1" not in by_src        # rate 0.0: nothing
+    assert 20 < by_src.get("src2", 0) < 80  # default 0.5
+
+
+def test_token_budget_prefix_cut(spark):
+    # one source, three docs of 4 tokens each, budget 9 -> exactly the
+    # first two docs in hash order are kept and cum_tokens is exact
+    rows = [(i, "s", "a b c d") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = token_budget(docs, 9).orderBy("cum_tokens").collect()
+    assert [r["cum_tokens"] for r in out] == [4, 8]
+    assert all(r["n_tokens"] == 4 for r in out)
+    # zero budget keeps nothing; huge budget keeps everything
+    assert token_budget(docs, 0).count() == 0
+    assert token_budget(docs, 100).count() == 3
+
+
+def test_token_budget_is_per_group_and_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = token_budget(docs, 500)
+    b = token_budget(docs.repartition(17), 500)
+    ka = sorted(r["doc_id"] for r in a.collect())
+    kb = sorted(r["doc_id"] for r in b.collect())
+    assert ka == kb
+    # every source respects its own budget
+    import pyspark.sql.functions as F
+
+    worst = a.groupBy("source").agg(F.max("cum_tokens").alias("m")) \
+        .agg(F.max("m")).collect()[0][0]
+    assert worst <= 500
+    assert a.select("source").distinct().count() > 1
