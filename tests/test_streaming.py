@@ -107,3 +107,39 @@ def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
     golden = {p["url"]: p["text"] for p in pages}
     for r in got:
         assert r["text"] == golden[r["url"]], r["url"]
+
+
+def test_cleaning_ops_stream_equals_batch(spark, tmp_path):
+    """The stateless cleaning operators (pii_scrub, gopher_gate) apply
+    unchanged to a streaming frame — the drained stream must equal the
+    batch computation row for row."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.operators.clean import gopher_gate, pii_scrub
+
+    land = str(tmp_path / "cl_land")
+    out = str(tmp_path / "cl_out")
+    ckpt = str(tmp_path / "cl_ckpt")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} mail u{i}@x.org the quick brown fox of it "
+             f"ip 10.0.0.{i % 250} run {'word ' * (i % 30)}")
+         for i in range(60)],
+        "doc_id bigint, text string")
+    docs.coalesce(3).write.mode("append").parquet(land)
+
+    stream = spark.readStream.schema(docs.schema).parquet(land)
+    gated = gopher_gate(pii_scrub(stream).withColumnRenamed(
+        "scrubbed", "text").select("doc_id", "text"), min_tokens=10)
+    q = (
+        gated.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet").option("path", out).start()
+    )
+    q.awaitTermination(120)
+
+    batch = gopher_gate(pii_scrub(docs).withColumnRenamed(
+        "scrubbed", "text").select("doc_id", "text"), min_tokens=10)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) == 60
