@@ -434,3 +434,40 @@ def lineage_stats(spark: SparkSession, work_dir: str) -> DataFrame:
         F.expr("percentile(wall_time, 0.5)").alias("wall_median"),
         F.expr("percentile(wall_time, 0.9)").alias("wall_p90"),
     )
+
+
+def compact_stage(spark: SparkSession, work_dir: str, name: str,
+                  target_files: int = 1) -> dict:
+    """Small-file compaction for a committed stage (the Iceberg
+    rewrite-data-files analog): read the latest snapshot, rewrite it as
+    ``target_files`` larger parquet files in the same directory, and
+    commit the result as a REWRITE snapshot.  The new head serves reads
+    from the compacted files; every older version still time-travels
+    over the original files until ``expire_snapshots`` + ``vacuum_stage``
+    reclaim them.
+
+    Refuses bucketed stages: a plain coalesce would destroy the bucket
+    layout the catalog metadata promises (reset the stage or compact by
+    rewriting through ``run_stage(buckets=...)`` instead).
+
+    At 10^5 partitions a long-appended stage accretes one small file
+    per partition per run; reads then pay per-file open cost and the
+    driver pays listing cost.  Compaction is the standard maintenance
+    pass — run it between ingest waves, never concurrently with a
+    writer (single-writer-per-stage is already the snapshot-commit
+    contract).
+    """
+    from .snapshots import _data_files, commit_snapshot, read_snapshot
+
+    if _recorded_bucket_spec(work_dir, name):
+        raise ValueError(
+            f"stage {name!r} is bucketed; plain compaction would break "
+            "the bucket layout — reset or rewrite via run_stage instead")
+    out_path = os.path.join(work_dir, name)
+    df = read_snapshot(spark, work_dir, name)
+    before = _data_files(out_path)
+    # the source is a pinned file list (read_snapshot reads explicit
+    # paths), so appending the rewrite into the same directory is safe
+    df.coalesce(target_files).write.mode("append").parquet(out_path)
+    return commit_snapshot(work_dir, name, run_id="compact-" + uuid.uuid4().hex[:8],
+                           before_files=before, replace=True)

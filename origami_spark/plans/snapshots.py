@@ -44,8 +44,15 @@ def _data_files(table_path: str) -> list:
 
 
 def commit_snapshot(work_dir: str, stage: str, run_id: str,
-                    before_files: list) -> dict:
+                    before_files: list, replace: bool = False) -> dict:
     """Record the files added since `before_files` as a new version.
+
+    ``replace=False`` (append commit): the new manifest extends the
+    previous one — the table grows.  ``replace=True`` (rewrite commit,
+    the compaction case): the new manifest is EXACTLY the added files —
+    the rewrite output replaces the table content going forward, while
+    every older snapshot still references the old files, so time travel
+    keeps working until those snapshots are expired.
 
     Returns the snapshot dict (version, run_id, added/total files)."""
     table_path = os.path.join(work_dir, stage)
@@ -53,7 +60,10 @@ def commit_snapshot(work_dir: str, stage: str, run_id: str,
     added = sorted(set(after) - set(before_files))
     snaps = snapshots(work_dir, stage)
     version = (snaps[-1]["version"] + 1) if snaps else 1
-    manifest = (snaps[-1]["manifest"] if snaps else []) + added
+    if replace:
+        manifest = added
+    else:
+        manifest = (snaps[-1]["manifest"] if snaps else []) + added
     snap = {
         "stage": stage,
         "version": version,
@@ -98,6 +108,21 @@ def commit_snapshot(work_dir: str, stage: str, run_id: str,
             json.dump(snap, f)
     os.remove(tmp)
     return snap
+
+
+def expire_snapshots(work_dir: str, stage: str, keep_last: int = 1) -> int:
+    """Drop all but the newest ``keep_last`` snapshot versions (the
+    Iceberg expire-snapshots analog).  Afterwards ``vacuum_stage``
+    reclaims any data file no surviving manifest references — the
+    second half of the compaction story.  Returns versions removed."""
+    snaps = snapshots(work_dir, stage)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (a table needs a head)")
+    to_drop = snaps[:-keep_last]
+    snap_dir = os.path.join(work_dir, SNAPSHOT_DIR)
+    for s in to_drop:
+        os.remove(os.path.join(snap_dir, f"{stage}-v{s['version']}.json"))
+    return len(to_drop)
 
 
 def delete_snapshots(work_dir: str, stage: str) -> int:

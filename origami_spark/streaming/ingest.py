@@ -101,3 +101,27 @@ def stream_extract_warc(
     pages = files.mapInPandas(pages_kernel, schema=WARC_PAGES_SCHEMA)
     return _start_extract_sink(spark, pages, out_dir, checkpoint_dir,
                                trigger_seconds, available_now)
+
+
+def stream_exact_dedup(pages, ts_col: str = "warc_ts",
+                       text_col: str = "text",
+                       watermark: str = "1 day") -> DataFrame:
+    """Continuous exact dedup on a stream: digest the text and keep the
+    first arrival per digest, with state bounded by the event-time
+    watermark (``dropDuplicatesWithinWatermark`` — a digest seen again
+    within the horizon is dropped; after the watermark passes, its
+    state is evicted, so a re-crawl far outside the horizon is treated
+    as new content, which is the standard continuous-ingest contract).
+
+    Pair with the exactly-once foreachBatch sink for an end-to-end
+    continuously-deduplicating landing pipeline.  State size is one
+    (digest, timestamp) pair per distinct document inside the horizon —
+    at web scale, size the watermark to the re-crawl cadence.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        pages.withColumn("digest", F.md5(F.col(text_col).cast("string")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )

@@ -270,3 +270,83 @@ def test_commit_without_hardlink_support(tmp_path, monkeypatch):
             S.commit_snapshot(wd, "s1", "w2", [])
     finally:
         S.snapshots = orig
+
+
+def test_compact_stage_rewrites_head_keeps_time_travel(spark, tmp_path):
+    """Compaction rewrites the head into fewer files; older versions
+    still time-travel over the original files; expire + vacuum then
+    reclaims them and the head still reads."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from origami_spark.plans.runner import compact_stage, run_stage
+    from origami_spark.plans.snapshots import (
+        _data_files,
+        expire_snapshots,
+        read_snapshot,
+        snapshots,
+        vacuum_stage,
+    )
+
+    wd = str(tmp_path / "wd")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.col("id").alias("v"))
+    run_stage(spark, "s", mk(0, 20), lambda d: d.repartition(6), wd,
+              run_id="r1")
+    run_stage(spark, "s", mk(0, 35), lambda d: d.repartition(6), wd,
+              run_id="r2")
+    path = os.path.join(wd, "s")
+    files_before = len(_data_files(path))
+    assert files_before >= 12
+
+    want = sorted(r["url"] for r in read_snapshot(spark, wd, "s").collect())
+    snap = compact_stage(spark, wd, "s", target_files=1)
+    assert snap["version"] == 3 and len(snap["manifest"]) <= 2
+
+    # head reads the compacted files, identical content
+    got = sorted(r["url"] for r in read_snapshot(spark, wd, "s").collect())
+    assert got == want
+    # time travel to the pre-compaction versions still works
+    assert read_snapshot(spark, wd, "s", version=1).count() == 20
+    assert read_snapshot(spark, wd, "s", version=2).count() == 35
+
+    # expire everything but the head, vacuum the unreferenced originals
+    assert expire_snapshots(wd, "s", keep_last=1) == 2
+    removed = vacuum_stage(wd, "s")
+    assert len(removed) == files_before
+    assert [s["version"] for s in snapshots(wd, "s")] == [3]
+    assert sorted(r["url"]
+                  for r in read_snapshot(spark, wd, "s").collect()) == want
+    assert len(_data_files(path)) == len(snap["manifest"])
+
+
+def test_compact_stage_refuses_bucketed(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from origami_spark.plans.runner import compact_stage, run_stage
+
+    wd = str(tmp_path / "wd")
+    df = spark.range(10).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"))
+    run_stage(spark, "sb", df, lambda d: d, wd, run_id="r1", buckets=2)
+    with pytest.raises(ValueError, match="bucketed"):
+        compact_stage(spark, wd, "sb")
+
+
+def test_expire_snapshots_keeps_head(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from origami_spark.plans.runner import run_stage
+    from origami_spark.plans.snapshots import expire_snapshots, snapshots
+
+    wd = str(tmp_path / "wd")
+    df = spark.range(5).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+    run_stage(spark, "s", df, lambda d: d, wd, run_id="r1")
+    assert expire_snapshots(wd, "s", keep_last=1) == 0  # nothing to drop
+    assert [s["version"] for s in snapshots(wd, "s")] == [1]
+    with pytest.raises(ValueError):
+        expire_snapshots(wd, "s", keep_last=0)

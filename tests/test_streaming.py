@@ -143,3 +143,43 @@ def test_cleaning_ops_stream_equals_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want and len(got) == 60
+
+
+def test_stream_exact_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """A re-served page (same text, new url) arriving in a LATER
+    micro-batch is dropped by the streaming dedup state; distinct
+    digests all pass."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.streaming.ingest import stream_exact_dedup
+
+    land = str(tmp_path / "dd_land")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    pages = pages_df(spark, 40, num_partitions=2).cache()
+    pages.write.mode("append").parquet(land)
+    # second drop: 10 duplicates under mirror urls + nothing new
+    (pages.limit(10)
+     .withColumn("url", F.concat("url", F.lit("?mirror")))
+     .write.mode("append").parquet(land))
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(land)
+    )
+    q = (
+        stream_exact_dedup(stream)
+        .select("url", "digest", "warc_ts")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet").option("path", out).start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    n_digests = pages.select(F.md5(F.col("text").cast("string"))) \
+        .distinct().count()
+    assert got.count() == n_digests
+    assert got.select("digest").distinct().count() == n_digests
