@@ -44,13 +44,22 @@ def release_caches() -> int:
     return n
 
 
+def content_digest(col) -> F.Column:
+    """THE content-identity digest for exact dedup — batch
+    (exact_duplicates) and streaming (streaming.ingest.stream_exact_dedup)
+    must share this expression or a streamed landing zone stops
+    agreeing with batch dedup over the same corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
 def exact_duplicates(docs: DataFrame, min_count: int = 2) -> DataFrame:
     """Hash-groupBy exact dedup: one row per content digest with the
     keeper (min doc_id) and the member count.  Map-side partial agg, one
     shuffle on the digest.  min_count=2 -> duplicates only; min_count=1
     -> the full digest table (what a dedup job joins back against)."""
     return (
-        docs.select("doc_id", F.md5("text").alias("digest"))
+        docs.select("doc_id", content_digest("text").alias("digest"))
         .groupBy("digest")
         .agg(
             F.min("doc_id").alias("keeper"),

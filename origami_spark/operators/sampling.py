@@ -33,11 +33,22 @@ _SCALE = 1_000_000
 
 
 def _bucket(id_col: str, seed: str) -> F.Column:
-    """Deterministic bucket in [0, 1e6) from (seed, doc id)."""
+    """Deterministic bucket in [0, 1e6) from (seed, doc id).  NB:
+    ``concat`` (not ``concat_ws``) so a NULL id yields a NULL bucket
+    and the row filters out — exactly what the DuckDB ``||`` oracle
+    computes; concat_ws would silently skip the NULL and keep the
+    row on the Spark side only."""
     return F.pmod(
-        portable_hash60(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+        portable_hash60(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))),
         F.lit(_SCALE),
     )
+
+
+def _threshold(rate: float) -> int:
+    """Round, don't floor: int(0.3 * 1e6) is 299999 under binary
+    floats, which both misses the advertised rate by one bucket and
+    breaks parity with an oracle written as the natural literal."""
+    return int(round(rate * _SCALE))
 
 
 def hash_sample(docs: DataFrame, rate: float, seed: str = "s0",
@@ -45,7 +56,7 @@ def hash_sample(docs: DataFrame, rate: float, seed: str = "s0",
     """Keep a deterministic ``rate`` fraction: doc survives iff its
     hash bucket < rate * 1e6.  Changing ``seed`` draws an independent
     sample; the same seed always selects the same docs."""
-    return docs.filter(_bucket(id_col, seed) < int(rate * _SCALE))
+    return docs.filter(_bucket(id_col, seed) < _threshold(rate))
 
 
 def stratified_sample(docs: DataFrame, strata_col: str, rates: dict,
@@ -53,10 +64,10 @@ def stratified_sample(docs: DataFrame, strata_col: str, rates: dict,
                       id_col: str = "doc_id") -> DataFrame:
     """Per-stratum hash sampling: ``rates`` maps stratum value ->
     fraction; unmapped strata use ``default_rate``."""
-    thr = F.lit(int(default_rate * _SCALE))
+    thr = F.lit(_threshold(default_rate))
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == value,
-                     F.lit(int(rate * _SCALE))).otherwise(thr)
+                     F.lit(_threshold(rate))).otherwise(thr)
     return docs.filter(_bucket(id_col, seed) < thr)
 
 

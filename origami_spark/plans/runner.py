@@ -437,14 +437,17 @@ def lineage_stats(spark: SparkSession, work_dir: str) -> DataFrame:
 
 
 def compact_stage(spark: SparkSession, work_dir: str, name: str,
-                  target_files: int = 1) -> dict:
+                  target_files: int = 1, reclaim: bool = False) -> dict:
     """Small-file compaction for a committed stage (the Iceberg
     rewrite-data-files analog): read the latest snapshot, rewrite it as
     ``target_files`` larger parquet files in the same directory, and
     commit the result as a REWRITE snapshot.  The new head serves reads
     from the compacted files; every older version still time-travels
     over the original files until ``expire_snapshots`` + ``vacuum_stage``
-    reclaim them.
+    reclaim them — pass ``reclaim=True`` to do both immediately
+    (trading time travel for space).  NB raw-directory readers
+    (sample_stage) see BOTH generations until reclaim runs; snapshot
+    readers never do.
 
     Refuses bucketed stages: a plain coalesce would destroy the bucket
     layout the catalog metadata promises (reset the stage or compact by
@@ -469,5 +472,11 @@ def compact_stage(spark: SparkSession, work_dir: str, name: str,
     # the source is a pinned file list (read_snapshot reads explicit
     # paths), so appending the rewrite into the same directory is safe
     df.coalesce(target_files).write.mode("append").parquet(out_path)
-    return commit_snapshot(work_dir, name, run_id="compact-" + uuid.uuid4().hex[:8],
+    snap = commit_snapshot(work_dir, name, run_id="compact-" + uuid.uuid4().hex[:8],
                            before_files=before, replace=True)
+    if reclaim:
+        from .snapshots import expire_snapshots, vacuum_stage
+
+        expire_snapshots(work_dir, name, keep_last=1)
+        vacuum_stage(work_dir, name)
+    return snap

@@ -149,8 +149,11 @@ def vacuum_stage(work_dir: str, stage: str) -> list:
     writers' orphans whose work was recomputed (the table-format
     expire/vacuum analog).  Raw-directory readers (e.g. sample_stage)
     see orphan duplicates until this runs; snapshot readers never do.
-    Only safe while no writer is appending to the stage.  Returns the
-    removed file names."""
+    NB after a REWRITE commit (compact_stage) the pre-compaction files
+    are still referenced by OLDER snapshots, so vacuum alone removes
+    nothing — run ``expire_snapshots`` first (or compact with
+    ``reclaim=True``) to release them.  Only safe while no writer is
+    appending to the stage.  Returns the removed file names."""
     table_path = os.path.join(work_dir, stage)
     referenced: set = set()
     for snap in snapshots(work_dir, stage):

@@ -118,10 +118,10 @@ def stream_exact_dedup(pages, ts_col: str = "warc_ts",
     (digest, timestamp) pair per distinct document inside the horizon —
     at web scale, size the watermark to the re-crawl cadence.
     """
-    from pyspark.sql import functions as F
+    from ..operators.dedup import content_digest
 
     return (
-        pages.withColumn("digest", F.md5(F.col(text_col).cast("string")))
+        pages.withColumn("digest", content_digest(text_col))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["digest"])
     )

@@ -350,3 +350,28 @@ def test_expire_snapshots_keeps_head(spark, tmp_path):
     assert [s["version"] for s in snapshots(wd, "s")] == [1]
     with pytest.raises(ValueError):
         expire_snapshots(wd, "s", keep_last=0)
+
+
+def test_compact_reclaim_removes_old_generation_immediately(spark, tmp_path):
+    """compact_stage(reclaim=True) leaves only the compacted files on
+    disk (raw-dir readers see one generation) and only the head
+    snapshot."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from origami_spark.plans.runner import compact_stage, run_stage
+    from origami_spark.plans.snapshots import (
+        _data_files,
+        read_snapshot,
+        snapshots,
+    )
+
+    wd = str(tmp_path / "wd")
+    df = spark.range(30).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+    run_stage(spark, "s", df, lambda d: d.repartition(5), wd, run_id="r1")
+    snap = compact_stage(spark, wd, "s", target_files=1, reclaim=True)
+    path = os.path.join(wd, "s")
+    assert sorted(_data_files(path)) == sorted(snap["manifest"])
+    assert [x["version"] for x in snapshots(wd, "s")] == [snap["version"]]
+    assert read_snapshot(spark, wd, "s").count() == 30
