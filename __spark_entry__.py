@@ -704,6 +704,16 @@ def sample_token_budget(spark, sf):
     return token_budget(docs, 500, by="source")
 
 
+def sample_token_budget_global(spark, sf):
+    """Corpus-wide token budget (operators/sampling.py): the decomposed
+    prefix sum — 256-group offsets + parallel per-group windows — cut
+    at 3000 tokens over the whole corpus."""
+    from origami_spark.operators.sampling import token_budget_global
+
+    docs = _t(spark, sf, "documents")
+    return token_budget_global(docs, 3000)
+
+
 def dedup_contamination(spark, sf):
     """Benchmark decontamination check (operators/dedup.py): every 50th
     document plays the evaluation set; 8-gram collisions flag
@@ -869,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
         "sample_token_budget": sample_token_budget,
+        "sample_token_budget_global": sample_token_budget_global,
         "host_stats": host_stats,
         "host_cap": host_cap,
         "dedup_embedding": dedup_embedding,
@@ -1678,6 +1689,29 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
             SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
             FROM c WHERE cum_tokens <= 500""",
+        "sample_token_budget_global": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                     CAST(('0x' || substring(md5('s0' || '|'
+                          || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1000000 AS b
+              FROM documents),
+            tg AS (SELECT *, CAST(floor(b * 256 / 1000000) AS INT) AS g FROM t),
+            gs AS (SELECT g, sum(n_tokens) AS gsum FROM tg GROUP BY g),
+            pre AS (
+              SELECT g,
+                     CAST(sum(gsum) OVER (ORDER BY g
+                          ROWS UNBOUNDED PRECEDING) - gsum AS BIGINT) AS prefix
+              FROM gs),
+            c AS (
+              SELECT tg.doc_id, tg.n_tokens,
+                     CAST(pre.prefix + sum(tg.n_tokens) OVER (
+                          PARTITION BY tg.g ORDER BY tg.b, tg.doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM tg JOIN pre USING (g))
+            SELECT doc_id, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 3000""",
         "dedup_contamination": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
             g AS (

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 from .text import portable_hash60, tokens_col
 
-__all__ = ["hash_sample", "stratified_sample", "token_budget"]
+__all__ = ["hash_sample", "stratified_sample", "token_budget",
+           "token_budget_global"]
 
 _SCALE = 1_000_000
 
@@ -101,4 +102,54 @@ def token_budget(docs: DataFrame, budget_tokens: int, by: str = "source",
     return (
         cum.filter(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, by, "n_tokens", "cum_tokens")
+    )
+
+
+def token_budget_global(docs: DataFrame, budget_tokens: int,
+                        text_col: str = "text", seed: str = "s0",
+                        id_col: str = "doc_id", groups: int = 256) -> DataFrame:
+    """Corpus-wide token budget without a single-partition window.
+
+    A naive global prefix cut would sort every doc in ONE window
+    partition — a serial bottleneck at 10^12 docs.  Instead the
+    deterministic hash order is decomposed: docs fall into ``groups``
+    contiguous hash ranges; a tiny aggregate (one row per group)
+    yields each group's token sum, a window over that 256-row table
+    yields exclusive prefix offsets, and the offsets broadcast back so
+    each group computes its own parallel within-group running sum.
+    ``global cum = group prefix + within-group cum`` — identical to the
+    serial prefix sum, engine-portable, and every wide operation is
+    either per-group (parallel) or over 256 rows.
+
+    Output: ``doc_id, n_tokens, cum_tokens`` for kept docs (prefix cut,
+    same contract as :func:`token_budget`).
+    """
+    t = docs.select(
+        id_col,
+        F.size(tokens_col(text_col)).cast("bigint").alias("n_tokens"),
+        _bucket(id_col, seed).alias("_b"),
+    ).withColumn("_g", F.floor(F.col("_b") * groups / _SCALE).cast("int"))
+    gs = t.groupBy("_g").agg(F.sum("n_tokens").alias("gsum"))
+    wp = (
+        Window.orderBy("_g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = gs.withColumn(
+        "prefix", (F.sum("gsum").over(wp) - F.col("gsum")).cast("bigint")
+    ).select("_g", "prefix")
+    wg = (
+        Window.partitionBy("_g")
+        .orderBy("_b", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        t.join(F.broadcast(pre), "_g")
+        .withColumn(
+            "cum_tokens",
+            (F.col("prefix") + F.sum("n_tokens").over(wg)).cast("bigint"),
+        )
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, "n_tokens", "cum_tokens")
     )

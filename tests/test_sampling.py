@@ -64,3 +64,44 @@ def test_token_budget_is_per_group_and_deterministic(spark):
         .agg(F.max("m")).collect()[0][0]
     assert worst <= 500
     assert a.select("source").distinct().count() > 1
+
+
+def test_token_budget_global_equals_serial_prefix_cut(spark):
+    """The decomposed (group-offset + per-group window) form must equal
+    the naive single-window global prefix cut exactly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from origami_spark.operators.sampling import (
+        _bucket,
+        token_budget_global,
+    )
+    from origami_spark.operators.text import tokens_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {r["doc_id"]: r["cum_tokens"]
+           for r in token_budget_global(docs, 2500).collect()}
+
+    serial = docs.select(
+        "doc_id",
+        F.size(tokens_col()).cast("bigint").alias("n_tokens"),
+        _bucket("doc_id", "s0").alias("_b"),
+    )
+    w = Window.orderBy("_b", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["doc_id"]: r["cum"]
+        for r in serial.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= 2500).collect()
+    }
+    assert got == want and 0 < len(got) < docs.count()
+
+
+def test_token_budget_global_deterministic_across_parallelism(spark):
+    from origami_spark.operators.sampling import token_budget_global
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(r["doc_id"] for r in token_budget_global(docs, 2500).collect())
+    b = sorted(r["doc_id"] for r in
+               token_budget_global(docs.repartition(11), 2500).collect())
+    assert a == b
