@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """End-to-end training-corpus build: archives in, clean JSONL out.
 
-    spark-submit --py-files dist/origami_spark.zip jobs/corpus_job.py \
+    spark-submit --driver-memory 8g \
+        --py-files dist/origami_spark.zip jobs/corpus_job.py \
         --warc '/data/crawl/*.warc.gz'   \
         --output /data/corpus            \
         --min-tokens 20 --near-dup --shard-mb 256
@@ -11,6 +12,10 @@ parquet pages, or the synthetic generator) -> fused extraction ->
 token/quality gate -> exact dedup (keep-first per content digest) ->
 optional MinHash near-dup pruning -> size-targeted JSONL shards.
 Prints one JSON summary line with per-stage survivor counts.
+
+NB in local/driver-only mode pass ``--driver-memory`` on spark-submit
+(the session-level setting cannot raise heap after JVM start); the
+default 1g OOMs once the dedup stages cache their intermediates.
 """
 
 from __future__ import annotations
