@@ -88,7 +88,11 @@ def token_budget(docs: DataFrame, budget_tokens: int, by: str = "source",
         by,
         F.size(tokens_col(text_col)).cast("bigint").alias("n_tokens"),
         _bucket(id_col, seed).alias("_b"),
-    )
+    ).filter(F.col("_b").isNotNull())
+    # ^ a NULL id must be EXCLUDED, not sorted: Spark's window would
+    # order it NULLS FIRST (consuming budget invisibly) while the
+    # DuckDB oracle sorts NULLS LAST and filters its NULL cum — the
+    # explicit filter keeps both engines on the serial definition
     w = (
         Window.partitionBy(by)
         .orderBy("_b", id_col)
@@ -124,11 +128,20 @@ def token_budget_global(docs: DataFrame, budget_tokens: int,
     Output: ``doc_id, n_tokens, cum_tokens`` for kept docs (prefix cut,
     same contract as :func:`token_budget`).
     """
+    from .dedup import _tracked_cache
+
     t = docs.select(
         id_col,
         F.size(tokens_col(text_col)).cast("bigint").alias("n_tokens"),
         _bucket(id_col, seed).alias("_b"),
-    ).withColumn("_g", F.floor(F.col("_b") * groups / _SCALE).cast("int"))
+    ).filter(F.col("_b").isNotNull()) \
+        .withColumn("_g", F.floor(F.col("_b") * groups / _SCALE).cast("int"))
+    # NULL ids excluded for the same reason as token_budget (a NULL
+    # group would land in every real group's prefix via NULLS FIRST).
+    # The frame feeds BOTH the group aggregate and the window join —
+    # cache it (dedup's tracked registry; release_caches() frees it)
+    # or tokenization+hashing runs twice per document
+    t = _tracked_cache(t)
     gs = t.groupBy("_g").agg(F.sum("n_tokens").alias("gsum"))
     wp = (
         Window.orderBy("_g")

@@ -105,3 +105,23 @@ def test_token_budget_global_deterministic_across_parallelism(spark):
     b = sorted(r["doc_id"] for r in
                token_budget_global(docs.repartition(11), 2500).collect())
     assert a == b
+
+
+def test_token_budgets_exclude_null_ids(spark):
+    """A NULL doc_id must not consume budget (Spark would sort it NULLS
+    FIRST while the oracle sorts it last — both budget operators filter
+    it out instead)."""
+    from origami_spark.operators.sampling import (
+        token_budget,
+        token_budget_global,
+    )
+
+    rows = [(i, "s", "a b c d e") for i in range(10)] + \
+           [(None, "s", "x " * 400)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    per_src = token_budget(docs, 25).collect()
+    assert sorted(r["cum_tokens"] for r in per_src) == [5, 10, 15, 20, 25]
+    assert all(r["doc_id"] is not None for r in per_src)
+    glob = token_budget_global(docs, 25).collect()
+    assert sorted(r["cum_tokens"] for r in glob) == [5, 10, 15, 20, 25]
+    assert all(r["doc_id"] is not None for r in glob)
