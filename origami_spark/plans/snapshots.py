@@ -202,3 +202,36 @@ def read_snapshot(spark: SparkSession, work_dir: str, stage: str,
     table_path = os.path.join(work_dir, stage)
     paths = [os.path.join(table_path, f) for f in snap["manifest"]]
     return spark.read.parquet(*paths).drop("_part_id", "_run_id")
+
+
+def snapshot_diff(spark: SparkSession, work_dir: str, stage: str,
+                  from_version: int, to_version: int | None = None) -> DataFrame:
+    """Rows added between two snapshot versions (the incremental-read /
+    changelog analog): reads ONLY the files that entered the manifest
+    after ``from_version`` — an incremental consumer pays for the delta,
+    never a full-table diff.
+
+    Append commits make the delta exactly the appended rows.  A rewrite
+    commit (compact_stage) replaces the manifest, so its "delta" is the
+    rewritten content — callers consuming increments should diff between
+    append commits and treat a rewrite as a compaction barrier (its
+    run_id starts with ``compact-``)."""
+    snaps = snapshots(work_dir, stage)
+    by_v = {s["version"]: s for s in snaps}
+    if from_version not in by_v:
+        raise ValueError(
+            f"stage {stage!r} has no snapshot v{from_version}; "
+            f"available: {sorted(by_v)}")
+    to = to_version if to_version is not None else snaps[-1]["version"]
+    if to not in by_v:
+        raise ValueError(
+            f"stage {stage!r} has no snapshot v{to}; available: {sorted(by_v)}")
+    if to < from_version:
+        raise ValueError("to_version must be >= from_version")
+    base = set(by_v[from_version]["manifest"])
+    new_files = [f for f in by_v[to]["manifest"] if f not in base]
+    table_path = os.path.join(work_dir, stage)
+    if not new_files:
+        return read_snapshot(spark, work_dir, stage, version=to).limit(0)
+    return spark.read.parquet(
+        *[os.path.join(table_path, f) for f in new_files])

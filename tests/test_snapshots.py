@@ -375,3 +375,32 @@ def test_compact_reclaim_removes_old_generation_immediately(spark, tmp_path):
     assert sorted(_data_files(path)) == sorted(snap["manifest"])
     assert [x["version"] for x in snapshots(wd, "s")] == [snap["version"]]
     assert read_snapshot(spark, wd, "s").count() == 30
+
+
+def test_snapshot_diff_reads_only_the_delta(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from origami_spark.plans.runner import run_stage
+    from origami_spark.plans.snapshots import snapshot_diff
+
+    wd = str(tmp_path / "wd")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"))
+    run_stage(spark, "s", mk(0, 10), lambda d: d, wd, run_id="r1")
+    run_stage(spark, "s", mk(0, 25), lambda d: d, wd, run_id="r2")
+    run_stage(spark, "s", mk(0, 25), lambda d: d, wd, run_id="r3")  # no-op
+
+    delta = snapshot_diff(spark, wd, "s", from_version=1)
+    urls = sorted(r["url"] for r in delta.select("url").collect())
+    assert urls == sorted(f"u{i}" for i in range(10, 25))
+    assert snapshot_diff(spark, wd, "s", 1, 1).count() == 0
+    # fully-resumed r3 committed nothing new
+    from origami_spark.plans.snapshots import snapshots
+
+    head = snapshots(wd, "s")[-1]["version"]
+    assert snapshot_diff(spark, wd, "s", 2, head).count() == 0
+    with pytest.raises(ValueError):
+        snapshot_diff(spark, wd, "s", 99)
+    with pytest.raises(ValueError):
+        snapshot_diff(spark, wd, "s", 2, 1)
