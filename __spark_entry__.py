@@ -1170,7 +1170,8 @@ _SENT_TX_CTE = """tx AS (
 _REP_FEATURE_CTES = """base AS (
               SELECT doc_id, length(text2) AS chars,
                      list_filter(list_transform(
-                       regexp_split_to_array(text2, chr(10)), x -> trim(x)),
+                       regexp_split_to_array(text2, chr(10)),
+                       x -> regexp_replace(x, '^[\s\xa0]+|[\s\xa0]+$', '', 'g')),
                        x -> x <> '') AS lines,
                      list_filter(regexp_split_to_array(lower(text2), '[^a-z0-9]+'),
                                  x -> x <> '') AS t
@@ -1633,7 +1634,8 @@ def oracle_sql() -> dict[str, str]:
             pl AS (
               SELECT doc_id,
                      list_filter(list_transform(
-                       regexp_split_to_array(text2, chr(10)), x -> trim(x)),
+                       regexp_split_to_array(text2, chr(10)),
+                       x -> regexp_replace(x, '^[\s\xa0]+|[\s\xa0]+$', '', 'g')),
                        x -> x <> '') AS paras
               FROM tx),
             p AS (
@@ -1777,7 +1779,8 @@ def oracle_sql() -> dict[str, str]:
             base AS (
               SELECT doc_id,
                      list_filter(list_transform(
-                       regexp_split_to_array(text2, chr(10)), x -> trim(x)),
+                       regexp_split_to_array(text2, chr(10)),
+                       x -> regexp_replace(x, '^[\s\xa0]+|[\s\xa0]+$', '', 'g')),
                        x -> x <> '') AS lines,
                      (NOT contains(lower(text2), 'lorem ipsum')
                       AND NOT contains(text2, '{{')) AS page_ok

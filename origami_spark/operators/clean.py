@@ -56,11 +56,14 @@ LONGNUM_RE = r"\b\d{9,}\b"
 
 def _lines_expr(text_col: str) -> Column:
     """Non-empty trimmed lines of ``text_col`` (order preserved)."""
-    # NB: the lambda must be single-arg — passing F.trim directly makes
-    # PySpark bind the element *index* to trim's optional trimStr
-    # parameter, silently disabling the trim.
+    # Full-whitespace trim (regexp, not F.trim — Spark/DuckDB trim()
+    # strips 0x20 only, so a tab-only line would survive as "content").
+    # \xa0 (NBSP, ubiquitous in webtext) is included explicitly: \s is
+    # ASCII-only in BOTH Java regex and RE2, so the class stays engine-
+    # portable.  Mirrored verbatim in every oracle that builds lines.
+    strip = lambda x: F.regexp_replace(x, r"^[\s\xa0]+|[\s\xa0]+$", "")  # noqa: E731
     return F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        F.transform(F.split(F.col(text_col), "\n"), strip),
         lambda x: x != "",
     )
 

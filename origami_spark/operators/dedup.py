@@ -878,14 +878,11 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
     one window partition, and both aggregations are partial-agg
     friendly.  No self-join, no explode beyond the paragraph grain.
     """
+    from .clean import _lines_expr
+
     paras = docs.select(
         "doc_id",
-        F.posexplode_outer(
-            F.filter(
-                F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
-                lambda x: x != "",
-            )
-        ).alias("idx", "para"),
+        F.posexplode_outer(_lines_expr(text_col)).alias("idx", "para"),
     )
     h = portable_hash60(F.col("para"))
     w = Window.partitionBy(h, "para")
