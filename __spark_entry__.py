@@ -1171,7 +1171,8 @@ _REP_FEATURE_CTES = """base AS (
               SELECT doc_id, length(text2) AS chars,
                      list_filter(list_transform(
                        regexp_split_to_array(text2, chr(10)),
-                       x -> regexp_replace(x, '^[\s\xa0]+|[\s\xa0]+$', '', 'g')),
+                       x -> regexp_replace(x,
+                         '\A[ \t\n\r\f\x0b\xa0]+|[ \t\n\r\f\x0b\xa0]+\z', '', 'g')),
                        x -> x <> '') AS lines,
                      list_filter(regexp_split_to_array(lower(text2), '[^a-z0-9]+'),
                                  x -> x <> '') AS t
@@ -1635,7 +1636,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_filter(list_transform(
                        regexp_split_to_array(text2, chr(10)),
-                       x -> regexp_replace(x, '^[\s\xa0]+|[\s\xa0]+$', '', 'g')),
+                       x -> regexp_replace(x,
+                         '\A[ \t\n\r\f\x0b\xa0]+|[ \t\n\r\f\x0b\xa0]+\z', '', 'g')),
                        x -> x <> '') AS paras
               FROM tx),
             p AS (
@@ -1681,7 +1683,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(('0x' || substring(md5('s0' || '|'
                           || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                        % 1000000 AS b
-              FROM documents),
+              FROM documents
+              WHERE doc_id IS NOT NULL),
             c AS (
               SELECT doc_id, source, n_tokens,
                      sum(n_tokens) OVER (PARTITION BY source
@@ -1698,7 +1701,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(('0x' || substring(md5('s0' || '|'
                           || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                        % 1000000 AS b
-              FROM documents),
+              FROM documents
+              WHERE doc_id IS NOT NULL),
             tg AS (SELECT *, CAST(floor(b * 256 / 1000000) AS INT) AS g FROM t),
             gs AS (SELECT g, sum(n_tokens) AS gsum FROM tg GROUP BY g),
             pre AS (
@@ -1780,7 +1784,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_filter(list_transform(
                        regexp_split_to_array(text2, chr(10)),
-                       x -> regexp_replace(x, '^[\s\xa0]+|[\s\xa0]+$', '', 'g')),
+                       x -> regexp_replace(x,
+                         '\A[ \t\n\r\f\x0b\xa0]+|[ \t\n\r\f\x0b\xa0]+\z', '', 'g')),
                        x -> x <> '') AS lines,
                      (NOT contains(lower(text2), 'lorem ipsum')
                       AND NOT contains(text2, '{{')) AS page_ok

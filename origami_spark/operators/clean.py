@@ -58,10 +58,14 @@ def _lines_expr(text_col: str) -> Column:
     """Non-empty trimmed lines of ``text_col`` (order preserved)."""
     # Full-whitespace trim (regexp, not F.trim — Spark/DuckDB trim()
     # strips 0x20 only, so a tab-only line would survive as "content").
-    # \xa0 (NBSP, ubiquitous in webtext) is included explicitly: \s is
-    # ASCII-only in BOTH Java regex and RE2, so the class stays engine-
-    # portable.  Mirrored verbatim in every oracle that builds lines.
-    strip = lambda x: F.regexp_replace(x, r"^[\s\xa0]+|[\s\xa0]+$", "")  # noqa: E731
+    # The class is ENUMERATED, never \s: Java's \s includes \x0b while
+    # RE2's does not, and Java's $ matches before a trailing \u2028
+    # while RE2's does not — so the portable form is an explicit class
+    # anchored with \A/\z (absolute ends in both engines).  \xa0 (NBSP,
+    # ubiquitous in webtext) included.  Mirrored verbatim in every
+    # oracle that builds lines.
+    strip = lambda x: F.regexp_replace(  # noqa: E731
+        x, r"\A[ \t\n\r\f\x0b\xa0]+|[ \t\n\r\f\x0b\xa0]+\z", "")
     return F.filter(
         F.transform(F.split(F.col(text_col), "\n"), strip),
         lambda x: x != "",

@@ -90,9 +90,10 @@ def token_budget(docs: DataFrame, budget_tokens: int, by: str = "source",
         _bucket(id_col, seed).alias("_b"),
     ).filter(F.col("_b").isNotNull())
     # ^ a NULL id must be EXCLUDED, not sorted: Spark's window would
-    # order it NULLS FIRST (consuming budget invisibly) while the
-    # DuckDB oracle sorts NULLS LAST and filters its NULL cum — the
-    # explicit filter keeps both engines on the serial definition
+    # order it NULLS FIRST (consuming budget invisibly) while DuckDB
+    # sorts NULLS LAST (its cum is still non-NULL, so it could even be
+    # kept) — both the operator and its oracle filter NULL ids so the
+    # pair encodes one function
     w = (
         Window.partitionBy(by)
         .orderBy("_b", id_col)

@@ -212,10 +212,14 @@ def snapshot_diff(spark: SparkSession, work_dir: str, stage: str,
     never a full-table diff.
 
     Append commits make the delta exactly the appended rows.  A rewrite
-    commit (compact_stage) replaces the manifest, so its "delta" is the
-    rewritten content — callers consuming increments should diff between
-    append commits and treat a rewrite as a compaction barrier (its
-    run_id starts with ``compact-``)."""
+    commit (compact_stage) replaces the manifest, so a range spanning
+    one has no meaningful row delta — the whole table would masquerade
+    as "added" and an incremental consumer would re-ingest everything.
+    Such ranges RAISE; consume increments between append commits and
+    treat the rewrite as a compaction barrier.
+
+    Schema matches ``read_snapshot`` (internal ``_part_id``/``_run_id``
+    columns dropped) whether or not the delta is empty."""
     snaps = snapshots(work_dir, stage)
     by_v = {s["version"]: s for s in snaps}
     if from_version not in by_v:
@@ -228,10 +232,27 @@ def snapshot_diff(spark: SparkSession, work_dir: str, stage: str,
             f"stage {stage!r} has no snapshot v{to}; available: {sorted(by_v)}")
     if to < from_version:
         raise ValueError("to_version must be >= from_version")
+    for v in range(from_version + 1, to + 1):
+        prev, cur = by_v.get(v - 1), by_v.get(v)
+        if prev and cur and not set(cur["manifest"]) >= set(prev["manifest"]):
+            # manifest shrank/was replaced: a rewrite commit, not an
+            # append — there is no row-level delta across it
+            raise ValueError(
+                f"stage {stage!r} v{v} is a rewrite commit "
+                f"(run {cur['run_id']!r}); snapshot_diff cannot span it")
     base = set(by_v[from_version]["manifest"])
     new_files = [f for f in by_v[to]["manifest"] if f not in base]
     table_path = os.path.join(work_dir, stage)
     if not new_files:
-        return read_snapshot(spark, work_dir, stage, version=to).limit(0)
-    return spark.read.parquet(
-        *[os.path.join(table_path, f) for f in new_files])
+        if not by_v[to]["manifest"]:
+            raise ValueError(
+                f"stage {stage!r} v{to} has no data files — no schema "
+                "to shape an empty delta from")
+        # schema-only: one manifest file carries the schema — don't
+        # touch every footer of a possibly-huge table for zero rows
+        one = os.path.join(table_path, by_v[to]["manifest"][0])
+        return spark.read.parquet(one).drop("_part_id", "_run_id").limit(0)
+    return (
+        spark.read.parquet(*[os.path.join(table_path, f) for f in new_files])
+        .drop("_part_id", "_run_id")
+    )

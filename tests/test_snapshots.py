@@ -404,3 +404,34 @@ def test_snapshot_diff_reads_only_the_delta(spark, tmp_path):
         snapshot_diff(spark, wd, "s", 99)
     with pytest.raises(ValueError):
         snapshot_diff(spark, wd, "s", 2, 1)
+
+
+def test_snapshot_diff_schema_and_rewrite_barrier(spark, tmp_path):
+    """The delta's schema matches read_snapshot (internal columns
+    dropped) whether empty or not, and a range spanning a rewrite
+    commit raises instead of re-ingesting the whole table."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from origami_spark.plans.runner import compact_stage, run_stage
+    from origami_spark.plans.snapshots import read_snapshot, snapshot_diff
+
+    wd = str(tmp_path / "wd")
+    mk = lambda hi: spark.range(hi).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"))
+    run_stage(spark, "s", mk(8), lambda d: d, wd, run_id="r1")
+    run_stage(spark, "s", mk(20), lambda d: d, wd, run_id="r2")
+
+    head_cols = read_snapshot(spark, wd, "s").columns
+    assert snapshot_diff(spark, wd, "s", 1, 2).columns == head_cols
+    assert snapshot_diff(spark, wd, "s", 2, 2).columns == head_cols  # empty
+    # unionByName with the committed view must not raise
+    read_snapshot(spark, wd, "s").unionByName(
+        snapshot_diff(spark, wd, "s", 1, 2)).count()
+
+    compact_stage(spark, wd, "s", target_files=1)
+    with pytest.raises(ValueError, match="rewrite commit"):
+        snapshot_diff(spark, wd, "s", 1)
+    # diffs entirely after the rewrite work again
+    run_stage(spark, "s", mk(26), lambda d: d, wd, run_id="r4")
+    assert snapshot_diff(spark, wd, "s", 3).count() == 6
