@@ -1,0 +1,94 @@
+"""Continuous corpus building: the streaming analog of
+``jobs/corpus_job.py``.
+
+One always-on query chains the batch DAG's per-document stages over a
+landing zone of page files:
+
+    readStream(pages) -> fused extraction -> quality gate ->
+    watermark-bounded exact dedup -> exactly-once parquet sink
+
+Per-document stages (extraction, gating) are stateless maps, so they
+compose into the stream unchanged — the SAME operators the batch job
+and the driver queries verify, not reimplementations.  Dedup carries
+the only state: one (digest, ts) pair per distinct doc inside the
+watermark horizon (ingest.stream_exact_dedup).  Corpus-WIDE stages
+(paragraph dedup, near-dup banding) are batch jobs by nature — run
+them as periodic compactions over the landed output, exactly like the
+reference's staged artifact model.
+
+Sink idempotence: every micro-batch overwrites its own ``batch_id=N``
+subdirectory, so replays after a crash land in place instead of
+duplicating rows (same recipe as ingest._start_extract_sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import extract_fused
+from ..sources.corpus import PAGES_SCHEMA
+from .ingest import stream_exact_dedup
+
+
+def stream_corpus(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_tokens: int = 20,
+    watermark: str = "1 day",
+    trigger_seconds: int = 10,
+    max_files_per_trigger: int = 64,
+    available_now: bool = False,
+):
+    """Start the continuous corpus query; returns the handle.
+
+    Output rows: ``url, text, warc_ts, n_tokens, quality`` partitioned
+    by ``batch_id`` — the same export surface as the batch job's JSONL
+    (minus sharding, which a periodic compaction owns).
+    """
+    from ..operators.text import quality_score
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # extract_fused emits (url, text, spans); carry warc_ts along
+        # from the batch for the export surface
+        extracted = (
+            extract_fused(spark, batch_df)
+            .filter(F.col("text") != "")
+            .join(batch_df.select("url", "warc_ts"), "url")
+            .select("url", "text", "warc_ts")
+        )
+        docs = extracted.select(F.col("url").alias("doc_id"), "text")
+        q = quality_score(docs).select("doc_id", "n_tokens", "quality")
+        gated = (
+            extracted.join(q, extracted["url"] == q["doc_id"])
+            .filter((F.col("quality") != "low")
+                    & (F.col("n_tokens") >= min_tokens))
+            .select("url", "text", "warc_ts", "n_tokens", "quality")
+        )
+        gated.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    # the dedup must run INSIDE the streaming plan (it is the stateful
+    # part); extraction/gating run per micro-batch in the sink so the
+    # heavyweight parse only touches rows that survived dedup... but
+    # dedup keys on extracted TEXT, which does not exist pre-parse.
+    # Order of operations therefore: dedup on the raw html digest
+    # first (exact re-serves are byte-identical archives), then parse
+    # the survivors.  A re-crawl with identical bytes never reaches
+    # the parser.
+    deduped = stream_exact_dedup(pages, text_col="html",
+                                 watermark=watermark)
+    writer = deduped.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

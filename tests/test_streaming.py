@@ -183,3 +183,46 @@ def test_stream_exact_dedup_drops_cross_batch_duplicates(spark, tmp_path):
         .distinct().count()
     assert got.count() == n_digests
     assert got.select("digest").distinct().count() == n_digests
+
+
+def test_stream_corpus_end_to_end(spark, tmp_path):
+    """Continuous corpus pipeline: two landing drops, the second
+    re-serving 8 pages byte-identically under mirror urls.  The drained
+    output must carry exactly one copy per distinct html, pass the
+    quality gate, and match the batch computation over the same pages."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.operators.text import quality_score
+    from origami_spark.pipeline import extract_fused
+    from origami_spark.streaming.corpus import stream_corpus
+
+    land = str(tmp_path / "sc_land")
+    out = str(tmp_path / "sc_out")
+    ckpt = str(tmp_path / "sc_ckpt")
+    pages = pages_df(spark, 50, num_partitions=2).cache()
+    pages.write.mode("append").parquet(land)
+    (pages.limit(8)
+     .withColumn("url", F.concat("url", F.lit("?mirror")))
+     .write.mode("append").parquet(land))
+
+    q = stream_corpus(spark, land, out, ckpt, min_tokens=10,
+                      max_files_per_trigger=2, available_now=True)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    assert set(got.columns) >= {"url", "text", "warc_ts", "n_tokens", "quality"}
+    # batch reference: extraction + gate over the ORIGINAL 50 pages
+    ext = extract_fused(spark, pages).filter(F.col("text") != "")
+    docs = ext.select(F.col("url").alias("doc_id"), "text")
+    metrics = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    want = (
+        ext.join(metrics, ext["url"] == metrics["doc_id"])
+        .filter((F.col("quality") != "low") & (F.col("n_tokens") >= 10))
+        .select("url", "text")
+    )
+    got_texts = sorted(r["text"] for r in got.collect())
+    want_texts = sorted(r["text"] for r in want.collect())
+    assert got_texts == want_texts  # one copy per distinct html, gated
+    assert got.filter("quality = 'low'").count() == 0
+    # the mirrors were byte-identical: none of them re-parsed into output
+    assert got.filter(F.col("url").endswith("?mirror")).count() == 0
