@@ -449,9 +449,15 @@ def compact_stage(spark: SparkSession, work_dir: str, name: str,
     (sample_stage) see BOTH generations until reclaim runs; snapshot
     readers never do.
 
-    Refuses bucketed stages: a plain coalesce would destroy the bucket
-    layout the catalog metadata promises (reset the stage or compact by
-    rewriting through ``run_stage(buckets=...)`` instead).
+    Bucketed stages compact through the bucketed writer with the
+    RECORDED spec (``target_files`` is ignored — the file count is the
+    bucket count): a ``repartition(N, key)`` pre-shuffle aligns tasks
+    with buckets, so the rewrite emits ~one file per bucket.  Until
+    ``reclaim`` runs, the directory holds both generations, so the
+    committed view falls back to the manifest file list (correct rows,
+    bucket layout unusable); after reclaim the directory equals the
+    manifest again and the catalog bucketed table serves the compacted
+    files exchange-free.
 
     At 10^5 partitions a long-appended stage accretes one small file
     per partition per run; reads then pay per-file open cost and the
@@ -460,18 +466,38 @@ def compact_stage(spark: SparkSession, work_dir: str, name: str,
     writer (single-writer-per-stage is already the snapshot-commit
     contract).
     """
-    from .snapshots import _data_files, commit_snapshot, read_snapshot
+    from .snapshots import _data_files, commit_snapshot, snapshots
 
-    if _recorded_bucket_spec(work_dir, name):
-        raise ValueError(
-            f"stage {name!r} is bucketed; plain compaction would break "
-            "the bucket layout — reset or rewrite via run_stage instead")
     out_path = os.path.join(work_dir, name)
-    df = read_snapshot(spark, work_dir, name)
+    # read the head manifest RAW (read_snapshot drops the internal
+    # _part_id/_run_id lineage columns, but the rewrite must preserve
+    # the on-disk schema — the bucketed catalog table declares them,
+    # and plain stages keep one schema across their whole history)
+    head = snapshots(work_dir, name)
+    if not head:
+        raise ValueError(f"no snapshots committed for stage {name!r}")
+    df = spark.read.parquet(
+        *[os.path.join(out_path, f) for f in head[-1]["manifest"]])
+    spec = _recorded_bucket_spec(work_dir, name)
     before = _data_files(out_path)
     # the source is a pinned file list (read_snapshot reads explicit
     # paths), so appending the rewrite into the same directory is safe
-    df.coalesce(target_files).write.mode("append").parquet(out_path)
+    if spec:
+        eff = _prepare_bucketed_write(spark, work_dir, name, df,
+                                      spec["key"], spec["buckets"])
+        if eff is None:
+            raise ValueError(
+                f"stage {name!r} has a bucket spec but a mixed-layout "
+                "directory — reset the stage before compacting")
+        (
+            df.repartition(eff, spec["key"])
+            .write.mode("append")
+            .bucketBy(eff, spec["key"]).sortBy(spec["key"])
+            .option("path", out_path).format("parquet")
+            .saveAsTable(_stage_table_name(work_dir, name))
+        )
+    else:
+        df.coalesce(target_files).write.mode("append").parquet(out_path)
     snap = commit_snapshot(work_dir, name, run_id="compact-" + uuid.uuid4().hex[:8],
                            before_files=before, replace=True)
     if reclaim:

@@ -322,18 +322,50 @@ def test_compact_stage_rewrites_head_keeps_time_travel(spark, tmp_path):
     assert len(_data_files(path)) == len(snap["manifest"])
 
 
-def test_compact_stage_refuses_bucketed(spark, tmp_path):
-    import pyspark.sql.functions as F
-    import pytest
+def test_compact_stage_bucketed_keeps_layout(spark, tmp_path):
+    """Compacting a bucketed stage rewrites through the bucketed writer
+    with the RECORDED spec: after reclaim the directory holds ~one file
+    per bucket, every file is bucket-named, content is unchanged, and
+    the committed view still serves the catalog bucketed table."""
+    import os
 
-    from origami_spark.plans.runner import compact_stage, run_stage
+    import pyspark.sql.functions as F
+
+    from origami_spark.plans.runner import (
+        _dir_is_bucketed,
+        compact_stage,
+        run_stage,
+    )
+    from origami_spark.plans.snapshots import _data_files, read_snapshot
 
     wd = str(tmp_path / "wd")
-    df = spark.range(10).select(
-        F.concat(F.lit("u"), F.col("id")).alias("url"))
-    run_stage(spark, "sb", df, lambda d: d, wd, run_id="r1", buckets=2)
-    with pytest.raises(ValueError, match="bucketed"):
-        compact_stage(spark, wd, "sb")
+    mk = lambda hi: spark.range(hi).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.col("id").alias("v"))
+    run_stage(spark, "sb", mk(12), lambda d: d.repartition(4), wd,
+              run_id="r1", buckets=2)
+    run_stage(spark, "sb", mk(30), lambda d: d.repartition(4), wd,
+              run_id="r2", buckets=2)
+    path = os.path.join(wd, "sb")
+    files_before = len(_data_files(path))
+    want = sorted(r["url"] for r in read_snapshot(spark, wd, "sb").collect())
+
+    compact_stage(spark, wd, "sb", reclaim=True)
+    files = _data_files(path)
+    assert len(files) < files_before and len(files) <= 4
+    assert _dir_is_bucketed(path, files=files)
+    got = sorted(r["url"] for r in read_snapshot(spark, wd, "sb").collect())
+    assert got == want
+    # the committed view serves the bucketed catalog table again (dir ==
+    # manifest after reclaim), so a url-window plans with no exchange
+    from origami_spark.plans.runner import _committed_view
+    from pyspark.sql import Window
+
+    view = _committed_view(spark, wd, "sb", 2, fallback=None)
+    plan = (view.withColumn("rn", F.row_number().over(
+        Window.partitionBy("url").orderBy("v")))
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
 
 
 def test_expire_snapshots_keeps_head(spark, tmp_path):
