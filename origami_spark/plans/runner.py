@@ -476,19 +476,31 @@ def compact_stage(spark: SparkSession, work_dir: str, name: str,
     head = snapshots(work_dir, name)
     if not head:
         raise ValueError(f"no snapshots committed for stage {name!r}")
-    df = spark.read.parquet(
+    # mergeSchema: a head manifest can mix schemas (files from an
+    # older engine version may lack the lineage columns) — schema
+    # inference from one arbitrary file would silently truncate
+    df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(out_path, f) for f in head[-1]["manifest"]])
     spec = _recorded_bucket_spec(work_dir, name)
     before = _data_files(out_path)
     # the source is a pinned file list (read_snapshot reads explicit
     # paths), so appending the rewrite into the same directory is safe
     if spec:
-        eff = _prepare_bucketed_write(spark, work_dir, name, df,
-                                      spec["key"], spec["buckets"])
-        if eff is None:
+        # check the layout BEFORE _prepare_bucketed_write: its mixed-
+        # layout branch drops the table AND the spec file, which would
+        # make a retry silently compact as plain — checking first keeps
+        # this error idempotent (same message, no side effects)
+        files = _data_files(out_path)
+        if files and not _dir_is_bucketed(out_path, files=files):
             raise ValueError(
                 f"stage {name!r} has a bucket spec but a mixed-layout "
                 "directory — reset the stage before compacting")
+        eff = _prepare_bucketed_write(spark, work_dir, name, df,
+                                      spec["key"], spec["buckets"])
+        if eff is None:  # unreachable given the check above; be loud
+            raise RuntimeError(
+                f"stage {name!r}: bucketed write preparation downgraded "
+                "unexpectedly")
         (
             df.repartition(eff, spec["key"])
             .write.mode("append")

@@ -12,4 +12,9 @@ sink semantics — each micro-batch is the same idempotent per-url write
 the batch runner commits.
 """
 
-from .ingest import stream_extract, stream_extract_warc  # noqa: F401
+from .corpus import stream_corpus  # noqa: F401
+from .ingest import (  # noqa: F401
+    stream_exact_dedup,
+    stream_extract,
+    stream_extract_warc,
+)

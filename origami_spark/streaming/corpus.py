@@ -4,8 +4,9 @@
 One always-on query chains the batch DAG's per-document stages over a
 landing zone of page files:
 
-    readStream(pages) -> fused extraction -> quality gate ->
-    watermark-bounded exact dedup -> exactly-once parquet sink
+    readStream(pages) -> watermark-bounded exact dedup on the raw
+    html digest -> fused extraction -> quality gate ->
+    exactly-once parquet sink
 
 Per-document stages (extraction, gating) are stateless maps, so they
 compose into the stream unchanged — the SAME operators the batch job
@@ -28,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline import extract_fused
 from ..sources.corpus import PAGES_SCHEMA
-from .ingest import stream_exact_dedup
+from .ingest import start_stream_sink, stream_exact_dedup
 
 
 def stream_corpus(
@@ -57,23 +58,43 @@ def stream_corpus(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        # one row per url per micro-batch: a url re-crawled with
+        # DIFFERENT bytes inside one trigger survives the digest dedup
+        # twice, and duplicate urls would cross-multiply through the
+        # joins below — keep the newest crawl (deterministic tie-break
+        # on digest)
+        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), "digest")
+        one = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         # extract_fused emits (url, text, spans); carry warc_ts along
-        # from the batch for the export surface
+        # from the batch for the export surface.  Cache: `gated` joins
+        # two frames derived from `extracted`, and without the cache
+        # the parse kernel — the dominant cost — would run twice
         extracted = (
-            extract_fused(spark, batch_df)
+            extract_fused(spark, one)
             .filter(F.col("text") != "")
-            .join(batch_df.select("url", "warc_ts"), "url")
+            .join(one.select("url", "warc_ts"), "url")
             .select("url", "text", "warc_ts")
+            .cache()
         )
-        docs = extracted.select(F.col("url").alias("doc_id"), "text")
-        q = quality_score(docs).select("doc_id", "n_tokens", "quality")
-        gated = (
-            extracted.join(q, extracted["url"] == q["doc_id"])
-            .filter((F.col("quality") != "low")
-                    & (F.col("n_tokens") >= min_tokens))
-            .select("url", "text", "warc_ts", "n_tokens", "quality")
-        )
-        gated.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        try:
+            docs = extracted.select(F.col("url").alias("doc_id"), "text")
+            q = quality_score(docs).select("doc_id", "n_tokens", "quality")
+            gated = (
+                extracted.join(q, extracted["url"] == q["doc_id"])
+                .filter((F.col("quality") != "low")
+                        & (F.col("n_tokens") >= min_tokens))
+                .select("url", "text", "warc_ts", "n_tokens", "quality")
+            )
+            gated.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}")
+        finally:
+            extracted.unpersist()
 
     # the dedup must run INSIDE the streaming plan (it is the stateful
     # part); extraction/gating run per micro-batch in the sink so the
@@ -85,10 +106,5 @@ def stream_corpus(
     # the parser.
     deduped = stream_exact_dedup(pages, text_col="html",
                                  watermark=watermark)
-    writer = deduped.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint_dir)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    return start_stream_sink(deduped, sink, checkpoint_dir,
+                             trigger_seconds, available_now)

@@ -33,7 +33,15 @@ def _start_extract_sink(spark: SparkSession, pages, out_dir: str,
             f"{out_dir}/batch_id={batch_id}"
         )
 
-    writer = pages.writeStream.foreachBatch(sink).option(
+    return start_stream_sink(pages, sink, checkpoint_dir, trigger_seconds,
+                             available_now)
+
+
+def start_stream_sink(stream_df, sink, checkpoint_dir: str,
+                      trigger_seconds: int, available_now: bool):
+    """The one exactly-once writer tail every streaming entry point
+    shares: foreachBatch sink + checkpoint + trigger + start."""
+    writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

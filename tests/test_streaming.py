@@ -226,3 +226,37 @@ def test_stream_corpus_end_to_end(spark, tmp_path):
     assert got.filter("quality = 'low'").count() == 0
     # the mirrors were byte-identical: none of them re-parsed into output
     assert got.filter(F.col("url").endswith("?mirror")).count() == 0
+
+
+def test_stream_corpus_same_url_different_bytes_keeps_newest(spark, tmp_path):
+    """A url re-crawled with DIFFERENT html inside one trigger survives
+    the digest dedup twice; the sink must emit exactly ONE row for it
+    (the newest crawl), never cross-multiplied join products."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.streaming.corpus import stream_corpus
+
+    land = str(tmp_path / "du_land")
+    out = str(tmp_path / "du_out")
+    ckpt = str(tmp_path / "du_ckpt")
+    pages = pages_df(spark, 20, num_partitions=1).cache()
+    recrawl = (
+        pages.limit(4)
+        .withColumn("html",
+                    F.concat(F.col("html").cast("string"),
+                             F.lit("<!-- v2 -->")).cast("binary"))
+        .withColumn("warc_ts",
+                    F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    pages.unionByName(recrawl).write.mode("append").parquet(land)
+
+    q = stream_corpus(spark, land, out, ckpt, min_tokens=5,
+                      available_now=True)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    dup = got.groupBy("url").count().filter("count > 1").collect()
+    assert dup == [], dup
+    # the re-crawled urls carry the NEWER timestamp
+    newer = {r["url"]: r["warc_ts"] for r in recrawl.collect()}
+    for r in got.filter(F.col("url").isin(*newer.keys())).collect():
+        assert r["warc_ts"] == newer[r["url"]], r["url"]
