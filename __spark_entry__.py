@@ -1141,7 +1141,7 @@ def _l8_cte(decorated: bool = False) -> str:
         deco = """
                               || CASE WHEN i % 7 = 0 THEN ' javascript' ELSE '' END
                               || CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END"""
-    return f"""toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    return rf"""toks0 AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
             l8 AS (
               SELECT doc_id,
                      CASE WHEN len(t) > 0 THEN
@@ -1167,7 +1167,7 @@ _SENT_TX_CTE = """tx AS (
 # repetition-feature CTE chain over `tx` — shared verbatim by the
 # text_repetition and text_gopher_gate oracles (the gate's extra token
 # features ride along unused in the former)
-_REP_FEATURE_CTES = """base AS (
+_REP_FEATURE_CTES = r"""base AS (
               SELECT doc_id, length(text2) AS chars,
                      list_filter(list_transform(
                        regexp_split_to_array(text2, chr(10)),
@@ -1629,7 +1629,7 @@ def oracle_sql() -> dict[str, str]:
               FROM feat)
             SELECT doc_id, n_tokens, (reasons = '') AS keep, reasons
             FROM gated""",
-        "dedup_paragraphs": f"""
+        "dedup_paragraphs": rf"""
             WITH {_l8_cte()},
             {_SENT_TX_CTE},
             pl AS (
@@ -1770,7 +1770,7 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY host ORDER BY url) AS rk
               FROM v)
             SELECT doc_id, url, host FROM r WHERE rk <= 5""",
-        "text_clean_lines": f"""
+        "text_clean_lines": rf"""
             WITH {_l8_cte(decorated=True)},
             tx AS (
               SELECT doc_id,
