@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Cluster entry point for the CONTINUOUS corpus pipeline.
+
+    spark-submit --driver-memory 8g \
+        --py-files dist/origami_spark.zip jobs/stream_corpus_job.py \
+        --source /data/landing --output /data/corpus_stream \
+        --checkpoint /data/corpus_ckpt \
+        --min-tokens 20 --watermark '1 day' --trigger 30
+
+Runs ``origami_spark.streaming.stream_corpus``: watermark-bounded
+dedup on the raw html digest, then the batch DAG's extraction +
+quality-gate operators per micro-batch into the exactly-once
+``batch_id`` sink.  ``--drain`` processes everything currently landed
+and exits (availableNow) — the catch-up / cron mode; without it the
+query runs until killed, and the checkpoint resumes it exactly-once
+on restart.
+
+On a cluster, spark-submit provides master/executors; this script
+never calls .master().  Local smoke:
+
+    python jobs/stream_corpus_job.py --source /tmp/land \
+        --output /tmp/out --checkpoint /tmp/ckpt --drain
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True,
+                    help="landing-zone dir of parquet page files")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--watermark", default="1 day",
+                    help="dedup state horizon (event time)")
+    ap.add_argument("--trigger", type=int, default=30,
+                    help="micro-batch trigger seconds (ignored with --drain)")
+    ap.add_argument("--max-files-per-trigger", type=int, default=64)
+    ap.add_argument("--drain", action="store_true",
+                    help="availableNow: process the backlog and exit")
+    ap.add_argument("--timeout", type=int, default=0,
+                    help="stop after N seconds (0 = run forever)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("origami-stream-corpus")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from origami_spark.streaming import stream_corpus
+
+    q = stream_corpus(
+        spark,
+        args.source,
+        args.output,
+        args.checkpoint,
+        min_tokens=args.min_tokens,
+        watermark=args.watermark,
+        trigger_seconds=args.trigger,
+        max_files_per_trigger=args.max_files_per_trigger,
+        available_now=args.drain,
+    )
+    if args.drain:
+        q.awaitTermination()
+    elif args.timeout:
+        q.awaitTermination(args.timeout)
+        q.stop()
+    else:
+        q.awaitTermination()
+    out = spark.read.parquet(args.output)
+    print(json.dumps({"rows": out.count(),
+                      "batches": out.select("batch_id").distinct().count()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -178,3 +178,37 @@ def test_corpus_job_host_cap(spark, tmp_path):
         .groupBy("h").count().agg(F.max("count")).collect()[0][0]
     )
     assert per_host <= 2
+
+
+def test_stream_corpus_job_cli_drain(spark, tmp_path):
+    """The streaming job's CLI drains a landing zone via availableNow
+    and reports row/batch counts (driven in-process: the module never
+    sets a master, so it reuses the active test session)."""
+    import json
+
+    from origami_spark.sources.corpus import pages_df
+
+    land = str(tmp_path / "scj_land")
+    pages_df(spark, 25, num_partitions=2).write.parquet(land)
+    import io
+    from contextlib import redirect_stdout
+
+    import stream_corpus_job
+
+    buf = io.StringIO()
+    # NB the job calls spark.stop() — monkeypatch it out so the shared
+    # session-scoped fixture survives for later tests
+    orig_stop = type(spark).stop
+    type(spark).stop = lambda self: None
+    try:
+        with redirect_stdout(buf):
+            stream_corpus_job.main([
+                "--source", land,
+                "--output", str(tmp_path / "scj_out"),
+                "--checkpoint", str(tmp_path / "scj_ckpt"),
+                "--min-tokens", "10", "--drain",
+            ])
+    finally:
+        type(spark).stop = orig_stop
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["rows"] > 0 and report["batches"] >= 1
