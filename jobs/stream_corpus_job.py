@@ -49,6 +49,11 @@ def main(argv=None):
     from pyspark.sql import SparkSession
 
     builder = SparkSession.builder.appName("origami-stream-corpus")
+    if not SparkSession.getActiveSession():
+        import os
+
+        if "SPARK_SUBMIT" not in os.environ and not os.environ.get("SPARK_MASTER"):
+            builder = builder.master("local[*]")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -65,16 +70,29 @@ def main(argv=None):
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=args.drain,
     )
-    if args.drain:
-        q.awaitTermination()
-    elif args.timeout:
+    # --timeout bounds BOTH modes (a huge backlog drain included):
+    # wait up to N seconds, then stop whatever is in flight
+    if args.timeout:
         q.awaitTermination(args.timeout)
         q.stop()
     else:
         q.awaitTermination()
-    out = spark.read.parquet(args.output)
-    print(json.dumps({"rows": out.count(),
-                      "batches": out.select("batch_id").distinct().count()}))
+    # report only COMMITTED batches: a timeout can interrupt a sink
+    # write mid-batch, and that batch will be replayed/rewritten on
+    # restart — counting its partial rows would contradict the
+    # exactly-once story (and an empty landing zone never creates the
+    # output dir at all)
+    import glob
+    import os
+
+    done = [d for d in glob.glob(os.path.join(args.output, "batch_id=*"))
+            if os.path.exists(os.path.join(d, "_SUCCESS"))]
+    if done:
+        out = spark.read.parquet(*done)
+        report = {"rows": out.count(), "batches": len(done)}
+    else:
+        report = {"rows": 0, "batches": 0}
+    print(json.dumps(report))
     spark.stop()
 
 

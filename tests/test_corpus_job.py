@@ -212,3 +212,34 @@ def test_stream_corpus_job_cli_drain(spark, tmp_path):
         type(spark).stop = orig_stop
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["rows"] > 0 and report["batches"] >= 1
+
+
+def test_stream_corpus_job_cli_empty_landing_reports_zero(spark, tmp_path):
+    """Draining an empty landing zone exits cleanly with a zero report
+    (the cron catch-up case) instead of crashing on a missing output."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    import stream_corpus_job
+
+    land = str(tmp_path / "empty_land")
+    import os
+
+    os.makedirs(land)
+    # the streaming file source needs a schema; an empty dir is fine
+    buf = io.StringIO()
+    orig_stop = type(spark).stop
+    type(spark).stop = lambda self: None
+    try:
+        with redirect_stdout(buf):
+            stream_corpus_job.main([
+                "--source", land,
+                "--output", str(tmp_path / "empty_out"),
+                "--checkpoint", str(tmp_path / "empty_ckpt"),
+                "--drain",
+            ])
+    finally:
+        type(spark).stop = orig_stop
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report == {"rows": 0, "batches": 0}
