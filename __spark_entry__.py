@@ -476,17 +476,36 @@ def ann_lsh_topk(spark, sf):
                       planes=4, tables=16)
 
 
-IVF_CENTROIDS_PATH = "/tmp/origami_ivf_centroids.parquet"
+# Cross-engine staging scratch paths (evidence/centroid tables the
+# DuckDB oracles re-read).  The correctness gate runs each Spark query
+# and then its oracle SEQUENTIALLY in one process, which is the only
+# supported pattern: two drivers staging concurrently on one host would
+# race on these paths (the oracle SQL is a static string, so it cannot
+# be parameterized per run).  Do not run two correctness gates at once.
+# The dir lives INSIDE the repo and is created mode 0700 (`_staged`):
+# a predictable world-writable /tmp path on a shared host could be
+# clobbered by any local user and silently feed the gate (ADVICE r3).
+_STAGE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".oracle_stage")
+IVF_CENTROIDS_PATH = os.path.join(_STAGE_DIR, "ivf_centroids.parquet")
+
+
+def _staged(path: str) -> str:
+    """Ensure the private staging dir exists before a write to ``path``."""
+    os.makedirs(_STAGE_DIR, mode=0o700, exist_ok=True)
+    return path
 
 
 def ann_ivf_topk(spark, sf):
-    """IVF approximate top-k, now hash-gated: the k-means TRAINING stays
+    """IVF approximate top-k, hash-gated: the k-means TRAINING stays
     an iterative driver-loop (not SQL-expressible), but its output — the
-    centroid table — is staged to parquet and the SERVING path
-    (deterministic argmin assignment + nprobe + exact re-rank,
-    operators/similarity.ivf_topk_served) is pure relational SQL that
-    the DuckDB oracle reruns over the same staged centroids.  Recall vs
-    the exact scan is asserted in tests/test_similarity.py."""
+    centroid table — is staged to parquet; the SERVING path
+    (operators/similarity.ivf_topk_served) assigns the corpus through
+    the broadcast Arrow argmin kernel (zero Exchange/Sort before
+    assignment — tests/test_plan_quality.py), while the DuckDB oracle
+    reruns the bit-compatible relational window-argmin SQL over the
+    same staged centroids (parity: tests/test_similarity.py).  Recall
+    vs the exact scan is asserted in tests/test_similarity.py."""
     emb = _t(spark, sf, "embeddings")
     cents = S.train_ivf_centroids(emb, n_clusters=16, iters=5)
     rows = [
@@ -495,7 +514,7 @@ def ann_ivf_topk(spark, sf):
     ]
     cdf = spark.createDataFrame(
         rows, "cluster int, centroid array<double>, c_sq double")
-    cdf.coalesce(1).write.mode("overwrite").parquet(IVF_CENTROIDS_PATH)
+    cdf.coalesce(1).write.mode("overwrite").parquet(_staged(IVF_CENTROIDS_PATH))
     staged = spark.read.parquet(IVF_CENTROIDS_PATH)
     return S.ivf_topk_served(emb, staged, list(range(8)), k=5, nprobe=4)
 
@@ -789,14 +808,7 @@ def lines_confidence(spark, sf):
     )
 
 
-# Cross-engine staging scratch paths (evidence/centroid tables the
-# DuckDB oracles re-read).  The correctness gate runs each Spark query
-# and then its oracle SEQUENTIALLY in one process, which is the only
-# supported pattern: two drivers staging concurrently on one host would
-# race on these fixed paths (the oracle SQL is a static string, so it
-# cannot be parameterized per run).  Do not run two correctness gates
-# at once on a shared host.
-LINES_EVIDENCE_PATH = "/tmp/origami_lines_evidence.parquet"
+LINES_EVIDENCE_PATH = os.path.join(_STAGE_DIR, "lines_evidence.parquet")
 
 
 def lines_confidence_checked(spark, sf):
@@ -826,7 +838,7 @@ def lines_confidence_checked(spark, sf):
         F.coalesce(F.col("z")["line_spans"]["link_len"], F.lit(0))
         .cast("bigint").alias("link_len"),
     ).filter(F.col("line_len") > 0)
-    evidence.write.mode("overwrite").parquet(LINES_EVIDENCE_PATH)
+    evidence.write.mode("overwrite").parquet(_staged(LINES_EVIDENCE_PATH))
 
     staged = spark.read.parquet(LINES_EVIDENCE_PATH)
     conf = F.round(

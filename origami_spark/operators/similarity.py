@@ -210,13 +210,58 @@ def _assign_clusters(emb: DataFrame, centroids) -> DataFrame:
     return emb.withColumn("cluster", assign("embedding"))
 
 
+def _exact_rerank(cand: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every top-k path: exact cosine over the candidate
+    set (columns query_id, vec_id, qv, embedding), rank, cut at k."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "query_id", "vec_id",
+            F.round(_cosine("qv", "embedding"), 4).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def assign_ivf(emb: DataFrame, centroids, c_sq, clusters) -> DataFrame:
+    """Serving-time cluster assignment as one Arrow matmul per batch
+    over the broadcast centroid matrix — no Exchange, no Sort, no
+    per-row Python (VERDICT r3 item 1; reference intent
+    core/predict.py:304-324 is a vectorized argmin, not a sort).
+
+    Bit-compatible with the relational window-argmin the DuckDB oracle
+    runs: the dot product accumulates left-to-right per dimension
+    (`_seq_dot`, the list_sum fold order), the distance is rounded
+    half-away-from-zero at 6 decimals, and numpy's first-minimum argmin
+    over centroid columns sorted by cluster id IS the lowest-cluster-id
+    tie-break.  ``centroids``: (k, dim) float64 ordered by cluster id;
+    ``c_sq``: (k,) squared norms; ``clusters``: the cluster ids in the
+    same order (argmin index -> id)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64).T)
+    sq = np.asarray(c_sq, dtype=np.float64)
+    ids = np.asarray(clusters, dtype=np.int32)
+
+    @pandas_udf("int")
+    def assign(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.asarray(col.tolist(), dtype=np.float64)      # (n, dim)
+        d = sq - 2.0 * _seq_dot(x, mat)                     # (n, k)
+        d = np.copysign(np.floor(np.abs(d) * 1e6 + 0.5), d) / 1e6
+        return pd.Series(ids[d.argmin(axis=1)])
+
+    return emb.withColumn("cluster", assign("embedding"))
+
+
 def ivf_topk_served(emb: DataFrame, centroids_df: DataFrame, query_ids,
-                    k: int = 5, nprobe: int = 4) -> DataFrame:
-    """IVF SERVING over fixed, already-trained centroids — fully
-    relational and engine-portable, so the DuckDB oracle can run the
-    identical SQL over the same staged centroid table (the training
-    stays iterative and un-oracled; only the quantizer output crosses
-    the boundary, as a table).
+                    k: int = 5, nprobe: int = 4,
+                    engine: str = "kernel") -> DataFrame:
+    """IVF SERVING over fixed, already-trained centroids.
 
     ``centroids_df``: (cluster int, centroid array<double>, c_sq double)
     — c_sq is staged alongside so neither engine recomputes the norm.
@@ -224,9 +269,73 @@ def ivf_topk_served(emb: DataFrame, centroids_df: DataFrame, query_ids,
     tie-break; ranking on a ROUNDED distance keeps the argmin identical
     across engines (the dot product folds left-to-right in both — the
     _seq_dot rationale).  Queries probe their `nprobe` nearest
-    centroids; exact cosine re-rank inside the probed lists.  The
-    centroid side is k rows — broadcast, the corpus never shuffles for
-    assignment."""
+    centroids; exact cosine re-rank inside the probed lists.
+
+    Two formulations of the SAME function (parity asserted in
+    tests/test_similarity.py):
+
+    * ``engine="kernel"`` (default, the scale path): the corpus is
+      assigned by :func:`assign_ivf` — a broadcast-matrix Arrow argmin,
+      zero Exchange/Sort between the scan and the assignment.  Only the
+      tiny filtered query side runs the relational crossJoin+window to
+      pick its probes.
+    * ``engine="relational"``: the pure-SQL crossJoin+window form, kept
+      ONLY as the engine-portable oracle shape (the DuckDB oracle in
+      __spark_entry__ runs this SQL verbatim) and as the small-scale
+      verifier of the kernel.  It hash-exchanges and sorts n*k rows —
+      do not serve through it."""
+    if engine == "relational":
+        return _ivf_topk_served_relational(emb, centroids_df, query_ids,
+                                           k, nprobe)
+    import numpy as np
+
+    rows = sorted(
+        centroids_df.select("cluster", "centroid", "c_sq").collect(),
+        key=lambda r: r["cluster"],
+    )
+    cmat = np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
+    csq = np.asarray([r["c_sq"] for r in rows], dtype=np.float64)
+    cids = [int(r["cluster"]) for r in rows]
+
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    assigned = assign_ivf(e, cmat, csq, cids)
+
+    # probe selection touches ONLY the filtered query rows (a handful),
+    # so the relational window is the right tool here — its exchange
+    # carries len(query_ids) * k rows, not the corpus
+    q = e.filter(F.col("vec_id").isin(list(query_ids)))
+    dot = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored_q = q.crossJoin(F.broadcast(centroids_df)).select(
+        F.col("vec_id").alias("query_id"), "cluster",
+        F.round(F.col("c_sq") - 2.0 * dot, 6).alias("dist"),
+    )
+    aw = Window.partitionBy("query_id").orderBy("dist", "cluster")
+    probes = (
+        scored_q.withColumn("ark", F.row_number().over(aw))
+        .filter(F.col("ark") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    qv = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv"))
+    cand = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+    )
+    return _exact_rerank(cand, k)
+
+
+def _ivf_topk_served_relational(emb: DataFrame, centroids_df: DataFrame,
+                                query_ids, k: int = 5,
+                                nprobe: int = 4) -> DataFrame:
+    """The oracle-shape formulation: see :func:`ivf_topk_served`."""
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -254,16 +363,7 @@ def ivf_topk_served(emb: DataFrame, centroids_df: DataFrame, query_ids,
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(qv), "query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        cand.select(
-            "query_id", "vec_id",
-            F.round(_cosine("qv", "embedding"), 4).alias("cosine"),
-        )
-        .withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "vec_id", "cosine", "rk")
-    )
+    return _exact_rerank(cand, k)
 
 
 def ivf_topk(emb: DataFrame, query_ids, k: int = 5, n_clusters: int = 16,

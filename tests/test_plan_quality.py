@@ -98,6 +98,34 @@ def test_no_per_row_python_in_any_query(spark):
         ), name
 
 
+def test_ivf_assignment_is_exchange_free(spark):
+    """VERDICT r3 item 1: IVF serving must not shuffle or sort the
+    corpus to assign clusters.  Two assertions: (a) the assignment
+    subtree alone (scan -> Arrow argmin kernel) contains no Exchange
+    and no Sort; (b) the full served query never hash-partitions by
+    vec_id (the old crossJoin+window form exchanged and sorted n*k
+    rows on vec_id to compute a per-row argmin)."""
+    import numpy as np
+
+    from origami_spark.operators.similarity import assign_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cmat = np.asarray(
+        [[(i * 17 + d) % 7 / 7.0 for d in range(64)] for i in range(16)])
+    csq = (cmat * cmat).sum(axis=1)
+    sub = plan_of(assign_ivf(e, cmat, csq, list(range(16))))
+    assert "Exchange" not in sub, sub
+    assert "Sort" not in sub, sub
+    assert "ArrowEvalPython" in sub
+
+    full = plan_of(E.ann_ivf_topk(spark, SF))
+    assert "hashpartitioning(vec_id" not in full, full
+
+
 def test_dedup_substring_plan_shape(spark):
     """Winnowing dedup: the fingerprint relation is computed once and
     cached (both pair-join sides + the max_df branch read the cache),

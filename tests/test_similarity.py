@@ -105,3 +105,78 @@ def test_ivf_served_matches_kernel_assignment(spark):
         key = (r["query_id"], r["vec_id"])
         if key in exact:
             assert abs(exact[key] - r["cosine"]) < 1e-9
+
+
+def test_ivf_served_kernel_equals_relational(spark):
+    """The two formulations of ivf_topk_served are ONE function: the
+    Arrow-argmin engine path (kernel) and the window-argmin oracle shape
+    (relational) must return row-identical results over the same staged
+    centroids — distances fold left-to-right in both, rounding at 6
+    decimals and the lowest-cluster tie-break match bitwise."""
+    from origami_spark.operators.similarity import (
+        ivf_topk_served,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    cents = train_ivf_centroids(emb, n_clusters=16, iters=5)
+    rows = [
+        (int(i), [float(v) for v in c],
+         float(sum(float(v) * float(v) for v in c)))
+        for i, c in enumerate(cents)
+    ]
+    cdf = spark.createDataFrame(
+        rows, "cluster int, centroid array<double>, c_sq double")
+    kern = sorted(
+        map(tuple, ivf_topk_served(emb, cdf, QUERIES, k=K, nprobe=6,
+                                   engine="kernel").collect()))
+    rel = sorted(
+        map(tuple, ivf_topk_served(emb, cdf, QUERIES, k=K, nprobe=6,
+                                   engine="relational").collect()))
+    assert kern == rel
+    assert len(kern) == len(QUERIES) * K
+
+
+def test_assign_ivf_matches_relational_argmin(spark):
+    """Row-level assignment parity: the kernel's cluster column equals
+    the relational rounded-dist argmin for EVERY corpus vector."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from origami_spark.operators.similarity import (
+        assign_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    cents = train_ivf_centroids(emb, n_clusters=16, iters=3)
+    cmat = np.asarray(cents, dtype=np.float64)
+    csq = (cmat * cmat).sum(axis=1)
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_ivf(e, cmat, csq, list(range(len(cents)))).collect()
+    }
+    cdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in c], float(csq[i]))
+         for i, c in enumerate(cents)],
+        "cluster int, centroid array<double>, c_sq double")
+    dot = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    aw = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    want = {
+        r["vec_id"]: r["cluster"]
+        for r in e.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "cluster",
+                F.round(F.col("c_sq") - 2.0 * dot, 6).alias("dist"))
+        .withColumn("ark", F.row_number().over(aw))
+        .filter(F.col("ark") == 1)
+        .collect()
+    }
+    assert got == want
