@@ -66,6 +66,82 @@ def test_token_budget_is_per_group_and_deterministic(spark):
     assert a.select("source").distinct().count() > 1
 
 
+def test_token_budget_decomposed_equals_serial_per_source(spark):
+    """The per-source budget is now the same decomposed prefix sum as
+    the global one (VERDICT r3 item 3): it must equal the naive
+    one-window-per-source form exactly, including on an adversarial
+    corpus that is 100% one source."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from origami_spark.operators.sampling import _bucket
+    from origami_spark.operators.text import tokens_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    one_src = docs.withColumn("source", F.lit("only"))
+    for frame, budget in ((docs, 500), (one_src, 2500)):
+        got = {(r["doc_id"], r["source"]): r["cum_tokens"]
+               for r in token_budget(frame, budget).collect()}
+        serial = frame.select(
+            "doc_id", "source",
+            F.size(tokens_col()).cast("bigint").alias("n_tokens"),
+            _bucket("doc_id", "s0").alias("_b"),
+        )
+        w = Window.partitionBy("source").orderBy("_b", "doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        want = {
+            (r["doc_id"], r["source"]): r["cum"]
+            for r in serial.withColumn("cum", F.sum("n_tokens").over(w))
+            .filter(F.col("cum") <= budget).collect()
+        }
+        assert got == want and 0 < len(got) < frame.count()
+
+
+def test_token_budget_one_source_spreads_over_groups(spark):
+    """Adversarial skew: with every doc in ONE source, the running sum
+    must not serialize on one window partition — the within-group
+    windows partition on (source, _g) and no hash group holds more
+    than 2/groups of the rows (VERDICT r3 item 3 'done' criterion)."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.operators.sampling import _SCALE, _bucket
+
+    n, groups = 2000, 64
+    rows = [(i, "only", "tok " * 5) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = token_budget(docs, 10**9, groups=groups)
+    # value sanity: everything kept under an unlimited budget
+    assert out.count() == n
+    # the physical partitioning key is (source, _g): measure the actual
+    # group occupancy the window tasks would see
+    occ = (
+        docs.select(
+            F.floor(_bucket("doc_id", "s0") * groups / _SCALE).alias("g"))
+        .groupBy("g").count().collect()
+    )
+    assert len(occ) == groups
+    assert max(r["count"] for r in occ) <= 2 * n / groups
+    # and the executed plan carries the decomposed (source, _g) window
+    # key for the per-doc running sum (a source-only hashpartitioning
+    # also exists, but only over the `groups`-row prefix aggregate)
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"hashpartitioning\(source#\d+(, _g#\d+)?", plan)
+    assert any(k.startswith(", _g") for k in keys), plan
+
+
+def test_token_budget_keeps_null_source_group(spark):
+    """A NULL source is a legitimate budget group (window semantics in
+    both engines group NULLs together) — the decomposition's prefix
+    join must not drop it (eqNullSafe)."""
+    rows = [(i, None, "a b c d e") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = token_budget(docs, 25).collect()
+    assert sorted(r["cum_tokens"] for r in out) == [5, 10, 15, 20, 25]
+    assert all(r["source"] is None for r in out)
+
+
 def test_token_budget_global_equals_serial_prefix_cut(spark):
     """The decomposed (group-offset + per-group window) form must equal
     the naive single-window global prefix cut exactly."""
