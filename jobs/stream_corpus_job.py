@@ -42,6 +42,11 @@ def main(argv=None):
     ap.add_argument("--max-files-per-trigger", type=int, default=64)
     ap.add_argument("--drain", action="store_true",
                     help="availableNow: process the backlog and exit")
+    ap.add_argument("--compact-to", default=None,
+                    help="after the query ends, fold the landed batch_id "
+                         "partitions keep-newest-per-url into this dir "
+                         "(closes the documented cross-batch re-crawl "
+                         "duplicate window)")
     ap.add_argument("--timeout", type=int, default=0,
                     help="stop after N seconds (0 = run forever)")
     args = ap.parse_args(argv)
@@ -92,9 +97,20 @@ def main(argv=None):
         report = {"rows": out.count(), "batches": len(done)}
     else:
         report = {"rows": 0, "batches": 0}
+    if args.compact_to and done:
+        from origami_spark.streaming.corpus import compact_corpus
+
+        compacted = compact_corpus(spark, args.output, args.compact_to)
+        report["compacted_rows"] = compacted.count()
     print(json.dumps(report))
     spark.stop()
 
 
 if __name__ == "__main__":
+    import sys
+
+    # local smoke runs as `python jobs/stream_corpus_job.py` with no
+    # --py-files: make the repo root importable (same as the other jobs;
+    # under spark-submit the zip on --py-files serves the executors)
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
     main()

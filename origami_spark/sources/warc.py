@@ -30,6 +30,37 @@ _CRLF2 = b"\r\n\r\n"
 _GZ_MAGIC = b"\x1f\x8b\x08"
 
 
+def _next_record_start(data: bytes, from_pos: int) -> int:
+    """Position of the next VALIDATED record start at or after
+    ``from_pos``, or -1.
+
+    A bare ``\\r\\nWARC/`` search can land inside the skipped record's
+    HTML payload (a page QUOTING WARC headers), resyncing mid-payload
+    and emitting garbage-framed records (ADVICE r3).  A candidate is
+    accepted only when it parses as a ``WARC/x.y`` version line followed
+    by a CRLF-terminated header block that carries a ``WARC-Type``
+    header — quoted fragments rarely reproduce the whole frame, and a
+    candidate that does is indistinguishable from a record anyway."""
+    import re
+
+    pos = from_pos
+    while True:
+        nxt = data.find(b"\r\nWARC/", pos)
+        if nxt < 0:
+            return -1
+        cand = nxt + 2
+        line_end = data.find(b"\r\n", cand)
+        head_end = data.find(_CRLF2, cand)
+        if (
+            line_end > 0
+            and re.fullmatch(rb"WARC/\d+\.\d+", data[cand:line_end])
+            and head_end > 0
+            and "warc-type" in _parse_headers(data[cand:head_end])
+        ):
+            return cand
+        pos = nxt + 2
+
+
 def _gunzip_members(data: bytes, stats: dict | None = None) -> bytes:
     """Decompress concatenated gzip members (per-record gzip WARCs).
 
@@ -111,12 +142,13 @@ def parse_warc_bytes(data: bytes, stats: dict | None = None) -> list:
             length = int(headers.get("content-length", ""))
         except ValueError:
             # bad framing for THIS record only: resync at the next
-            # record marker instead of abandoning the whole archive
+            # VALIDATED record start instead of abandoning the whole
+            # archive
             stats["skipped_records"] += 1
-            nxt = data.find(b"\r\nWARC/", head_end)
+            nxt = _next_record_start(data, head_end)
             if nxt < 0:
                 break
-            pos = nxt + 2
+            pos = nxt
             continue
         if head_end + 4 + length > n:
             stats["truncated"] += 1  # payload cut short; keep what's there

@@ -48,6 +48,18 @@ def stream_corpus(
     Output rows: ``url, text, warc_ts, n_tokens, quality`` partitioned
     by ``batch_id`` — the same export surface as the batch job's JSONL
     (minus sharding, which a periodic compaction owns).
+
+    Continuous-ingest contract (ADVICE r3): the keep-newest-per-url
+    guard below is per MICRO-BATCH only — a url re-crawled with
+    different bytes in a LATER micro-batch passes the digest dedup
+    (the state keys on content, deliberately: byte-identical re-serves
+    are the overwhelming duplicate class and their state is bounded by
+    the watermark) and lands again, so the raw landed output may carry
+    the same url under several ``batch_id`` partitions, each a distinct
+    crawl snapshot.  Consumers that need one row per url run
+    :func:`compact_corpus`, which folds the landed partitions
+    keep-newest — the same periodic-compaction slot that owns
+    paragraph/near-dup passes.
     """
     from ..operators.text import quality_score
 
@@ -108,3 +120,30 @@ def stream_corpus(
                                  watermark=watermark)
     return start_stream_sink(deduped, sink, checkpoint_dir,
                              trigger_seconds, available_now)
+
+
+def compact_corpus(spark: SparkSession, out_dir: str,
+                   dest_dir: str) -> DataFrame:
+    """Fold the streamed ``batch_id=N`` partitions into one row per url,
+    keeping the newest crawl (``warc_ts`` desc, later ``batch_id`` wins
+    a timestamp tie — the newest LANDING — then text for a total order).
+    Closes the cross-batch duplicate-url window documented in
+    :func:`stream_corpus`.
+
+    Per-url row counts are bounded by that url's re-crawl count, so the
+    window partitions are tiny by construction — no mega-partition
+    hazard (unlike host_cap, where one KEY can own the corpus).
+    Writes ``dest_dir`` (url, text, warc_ts, n_tokens, quality) and
+    returns the compacted frame."""
+    from pyspark.sql import Window
+
+    landed = spark.read.parquet(out_dir)
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc("batch_id"), "text")
+    compacted = (
+        landed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", "text", "warc_ts", "n_tokens", "quality")
+    )
+    compacted.write.mode("overwrite").parquet(dest_dir)
+    return spark.read.parquet(dest_dir)

@@ -226,6 +226,49 @@ def test_bucket_count_is_recorded_and_wins_on_resume(spark, tmp_path):
     assert _recorded_bucket_spec(wd, "s2_blocks") is None
 
 
+def test_lost_spec_reregisters_only_corroborated_count(spark, tmp_path):
+    """When BOTH the catalog entry and the recorded bucket spec are
+    gone but bucket-suffixed files survive, the caller's --buckets
+    argument must not be registered over files possibly hashed with a
+    different count (the silent-join-loss hazard, ADVICE r3): the count
+    is accepted only when the files' own bucket-id suffixes fully
+    corroborate it; otherwise the write downgrades to plain."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from origami_spark.plans.runner import (
+        _bucket_meta_path,
+        _prepare_bucketed_write,
+        _recorded_bucket_spec,
+        _stage_table_name,
+    )
+
+    wd = str(tmp_path / "wd")
+    name = "s_test"
+    tbl = _stage_table_name(wd, name)
+    df = spark.range(200).select(
+        F.concat(F.lit("https://h/"), F.col("id").cast("string")).alias("url"),
+        F.lit("t").alias("text"))
+    (df.write.bucketBy(4, "url").sortBy("url")
+        .option("path", os.path.join(wd, name)).saveAsTable(tbl))
+    # catastrophic amnesia: fresh driver AND the spec file is gone
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    assert not os.path.exists(_bucket_meta_path(wd, name))
+
+    # a count the mod-4 files cannot corroborate -> refused (plain)
+    assert _prepare_bucketed_write(spark, wd, name, df, "url", 8) is None
+    assert not spark.catalog.tableExists(tbl)
+    assert _recorded_bucket_spec(wd, name) is None
+
+    # the true count: every bucket id 0..3 present, none beyond ->
+    # re-registered and re-recorded
+    assert _prepare_bucketed_write(spark, wd, name, df, "url", 4) == 4
+    assert spark.catalog.tableExists(tbl)
+    assert _recorded_bucket_spec(wd, name)["buckets"] == 4
+    assert spark.table(tbl).count() == 200
+
+
 def test_bucketed_stage_stays_bucketed_when_flag_omitted(spark, tmp_path):
     """A buckets=N -> buckets=None -> buckets=N sequence in one session
     must never interleave plain part files under the catalog's bucket

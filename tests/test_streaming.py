@@ -228,6 +228,59 @@ def test_stream_corpus_end_to_end(spark, tmp_path):
     assert got.filter(F.col("url").endswith("?mirror")).count() == 0
 
 
+def test_stream_corpus_cross_batch_recrawl_then_compaction(spark, tmp_path):
+    """A url re-crawled with different bytes in a LATER micro-batch
+    legitimately lands again (the documented continuous-ingest
+    contract); compact_corpus then folds the landed partitions to one
+    newest row per url."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.streaming.corpus import compact_corpus, stream_corpus
+
+    land = str(tmp_path / "cb_land")
+    out = str(tmp_path / "cb_out")
+    ckpt = str(tmp_path / "cb_ckpt")
+    pages = pages_df(spark, 12, num_partitions=1).cache()
+    pages.write.mode("append").parquet(land)
+    q = stream_corpus(spark, land, out, ckpt, min_tokens=5,
+                      available_now=True)
+    q.awaitTermination(180)
+
+    # the re-crawl must carry timestamps NEWER than everything batch 1
+    # saw, or the dedup state's event-time watermark (1 day behind the
+    # max) drops it as late data — which is correct streaming behavior,
+    # just not what this test exercises
+    import datetime as dt
+
+    max_ts = pages.agg(F.max("warc_ts")).collect()[0][0]
+    recrawl = (
+        pages.limit(3)
+        .withColumn("html",
+                    F.concat(F.col("html").cast("string"),
+                             F.lit("<!-- v2 -->")).cast("binary"))
+        .withColumn("warc_ts",
+                    F.lit(max_ts + dt.timedelta(hours=1)))
+    ).cache()
+    recrawl.write.mode("append").parquet(land)
+    q2 = stream_corpus(spark, land, out, ckpt, min_tokens=5,
+                       available_now=True)
+    q2.awaitTermination(180)
+
+    landed = spark.read.parquet(out)
+    dup_urls = {r["url"] for r in
+                landed.groupBy("url").count().filter("count > 1").collect()}
+    recrawled = {r["url"] for r in recrawl.select("url").collect()}
+    # the contract: cross-batch re-crawls DO land twice...
+    assert dup_urls == recrawled, (dup_urls, recrawled)
+
+    compacted = compact_corpus(spark, out, str(tmp_path / "cb_compact"))
+    assert compacted.groupBy("url").count().filter("count > 1").count() == 0
+    newer = {r["url"]: r["warc_ts"] for r in recrawl.collect()}
+    for r in compacted.filter(F.col("url").isin(*newer.keys())).collect():
+        assert r["warc_ts"] == newer[r["url"]], r["url"]
+    assert compacted.count() == landed.select("url").distinct().count()
+
+
 def test_stream_corpus_same_url_different_bytes_keeps_newest(spark, tmp_path):
     """A url re-crawled with DIFFERENT html inside one trigger survives
     the digest dedup twice; the sink must emit exactly ONE row for it

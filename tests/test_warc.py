@@ -59,6 +59,28 @@ def test_bad_content_length_resyncs_and_counts():
     assert stats["truncated"] == 0
 
 
+def test_resync_ignores_quoted_warc_marker_in_payload():
+    """A skipped record whose HTML payload QUOTES WARC headers must not
+    cause a mid-payload resync: the quoted fragment here carries a
+    plausible Content-Length that would frame-jump PAST the real next
+    records if accepted.  The validated resync only accepts a candidate
+    with a version line + a WARC-Type header (ADVICE r3)."""
+    pages = generate_pages(42, 4)
+    head = synth_warc(pages[:2])
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://bad.example/\r\n"
+           b"Content-Length: NOT-A-NUMBER\r\n\r\n"
+           b"<html><body><pre>How WARC framing works:\r\n"
+           b"WARC/1.0\r\nContent-Length: 65536\r\n\r\n"
+           b"</pre>that was the example</body></html>\r\n\r\n")
+    tail = synth_warc(pages[2:])
+    stats = {}
+    got = parse_warc_bytes(head + bad + tail, stats)
+    assert [g["url"] for g in got] == [p["url"] for p in pages]
+    assert stats["skipped_records"] == 1
+    assert stats["truncated"] == 0
+
+
 def test_truncated_payload_counted():
     """An archive cut mid-payload keeps the partial record but reports
     the truncation."""
