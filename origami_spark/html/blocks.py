@@ -50,6 +50,17 @@ _TERMINAL = tuple(".!?:;…")
 # (textual rule), like <hr> — SplitDetector analog
 _RULE_RE = re.compile(r"[-=*_~#]{3,}")
 
+# density-valley split threshold (SplitDetector proper, reference
+# batch/detect/layout.py:915-1001): the reference splits an over-merged
+# region at a whitespace valley found by signal processing (periodogram
+# -> smoothed ink density -> find_peaks with a width threshold of ~2
+# line heights).  The web analog of a whitespace valley inside ONE
+# block element is a run of consecutive BLANK lines (<br><br><br>...)
+# between two text runs; the reference's "valley at least ~2 line
+# heights wide" becomes "at least 2 blank lines".  A 1-blank-line gap
+# (<br><br>) is an ordinary paragraph break and never splits.
+SPLIT_MIN_BLANK_LINES = 2
+
 
 @dataclass
 class Block:
@@ -154,12 +165,17 @@ def _gather_inline(page: Page, node: Node, g: _Gather, in_link: bool) -> None:
             _gather_inline(page, child, g, in_link or ctag == "a")
 
 
-def _assemble_lines(parts):
+def _assemble_lines(parts, keep_blanks: bool = False):
     """(text, span, is_link) parts -> list of (normalized_line, hull_s,
     hull_e, link_len); empty lines dropped.  Hull = min/max raw span of
     the line's contributing non-whitespace runs; link_len = normalized
     char count of the line's <a> content (per-line confidence evidence,
-    same normalization as the block-level link_len)."""
+    same normalization as the block-level link_len).
+
+    ``keep_blanks``: emit a ``("", None, None, 0)`` entry per blank line
+    instead of dropping it — the whitespace-valley evidence the
+    density-split in ``emit_text_groups`` consumes (blank runs between
+    text runs are invisible once dropped)."""
     lines = []
     buf, hs, he, lbuf = [], None, None, []
     for text, span, is_link in parts:
@@ -180,15 +196,17 @@ def _assemble_lines(parts):
         if norm:
             llen = len(normalize_text(" ".join(lparts))) if lparts else 0
             out.append((norm, s, e, min(llen, len(norm))))
+        elif keep_blanks:
+            out.append(("", None, None, 0))
     return out
 
 
-def _inline_text(page: Page, node: Node):
+def _inline_text(page: Page, node: Node, keep_blanks: bool = False):
     """-> (lines, text_len, link_len, gather) where lines is a list of
     (normalized_text, hull_start, hull_end)."""
     g = _Gather()
     _gather_inline(page, node, g, node.tag == "a")
-    lines = _assemble_lines(g.parts)
+    lines = _assemble_lines(g.parts, keep_blanks=keep_blanks)
     text_len = sum(len(ln) for (ln, _s, _e, _l) in lines)
     link_len = (
         len(normalize_text(" ".join(g.link_parts))) if g.link_parts else 0
@@ -262,27 +280,67 @@ def extract_page(data: bytes) -> list:
 
     def emit_text_groups(child, lines, text_len, link_len, parts, g):
         """Emit TEXT blocks from assembled lines, splitting at textual
-        rule lines (SplitDetector analog, ``layout.py:915-944``: a run
-        of separator glyphs is a whitespace-gutter in 1-D).  Rule lines
-        become T separators (barriers, like <hr>)."""
-        groups, cur = [], []
+        rule lines AND at density valleys (SplitDetector analog,
+        ``layout.py:915-1001``):
+
+        * a line of separator glyphs (``-----``) is an explicit
+          whitespace-gutter marker — it becomes a T separator (barrier,
+          like <hr>) and splits the element's text;
+        * a run of >= SPLIT_MIN_BLANK_LINES consecutive blank lines
+          BETWEEN two text runs is an implicit whitespace valley (two
+          articles glued inside one container) — the block splits there
+          and the gutter itself becomes a zero-text T separator whose
+          span is the raw gap between the neighbouring text hulls, so
+          downstream adjacency merges treat it as a barrier
+          (``check_obstacles`` analog) exactly like an explicit rule.
+          Leading/trailing blank runs never split (the reference's
+          border exclusion); a piece with no text simply isn't emitted
+          (the SplitFilter's empty-side case)."""
+        groups, cur, blanks = [], [], 0
         for ln in lines:
+            if ln[0] == "":
+                blanks += 1
+                continue
             if _RULE_RE.fullmatch(ln[0]):
                 groups.append(("sep", [ln]))
                 cur = []
+            elif cur and blanks >= SPLIT_MIN_BLANK_LINES:
+                groups.append(("gutter", blanks))
+                cur = [ln]
+                groups.append(("text", cur))
             else:
                 if not cur:
                     cur = []
                     groups.append(("text", cur))
                 cur.append(ln)
+            blanks = 0
         n_groups = sum(1 for k, _ in groups if k == "text")
-        for kind, gl in groups:
-            hull = (
+
+        def hull_of(gl):
+            return (
                 (min(s for (_t, s, _e, _l) in gl if s is not None),
                  max(e for (_t, _s, e, _l) in gl if e is not None))
                 if any(s is not None for (_t, s, _e, _l) in gl)
                 else None
             )
+
+        for i, (kind, gl) in enumerate(groups):
+            if kind == "gutter":
+                # by construction a gutter sits between two text groups;
+                # its span is the raw byte gap between their hulls
+                ph = hull_of(groups[i - 1][1])
+                nh = hull_of(groups[i + 1][1])
+                span = (
+                    (min(ph[1], nh[0]), max(ph[1], nh[0]))
+                    if ph and nh else (child.start, child.end)
+                )
+                # strength scales with valley height: 2 blank lines =
+                # 1.0 (the default separator), 8+ = 4.0 (capped)
+                emit(child, "SEPARATOR", "", 0, 0, 0,
+                     parts, span=span,
+                     strength=round(min(gl / 2.0, 4.0), 2))
+                continue
+            hull = hull_of(gl)
             if kind == "sep":
                 # rule-line strength scales with glyph run length:
                 # '-----' (5) = 1.0, a 20-glyph rule = 4.0 (capped)
@@ -345,7 +403,8 @@ def extract_page(data: bytes) -> list:
             elif tag in MEDIA_TAGS:
                 emit(child, "ILLUSTRATION", "", 0, 0, 0, parts)
             elif _is_block(tag):
-                lines, text_len, link_len, g = _inline_text(page, child)
+                lines, text_len, link_len, g = _inline_text(
+                    page, child, keep_blanks=True)
                 if lines:
                     emit_text_groups(child, lines, text_len, link_len,
                                      parts, g)
@@ -363,7 +422,8 @@ def extract_page(data: bytes) -> list:
     # payloads, fragments, sliced spans): gather it like any block
     root = page.nodes[0]
     if root.texts:
-        lines, text_len, link_len, g = _inline_text(page, root)
+        lines, text_len, link_len, g = _inline_text(
+            page, root, keep_blanks=True)
         if lines:
             emit_text_groups(root, lines, text_len, link_len, ["#root"], g)
             # keep document order: root text precedes element blocks

@@ -36,7 +36,7 @@ import random
 from ..html.render import render_table
 
 # bump when the generator's output changes: bench caches keyed by VERSION
-VERSION = 3
+VERSION = 4
 
 HOSTS = [f"site{i:02d}.example.org" for i in range(12)]
 LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]  # en-heavy
@@ -265,6 +265,22 @@ def generate_page(seed: int, doc_id: int) -> dict:
                 s2, _ = b.add(" ".join(ht2))
                 _, e2 = b.add(".")
                 b.add("</p>\n")
+                golden_blocks.append((" ".join(gt1) + ".", s1, e1, "TEXT"))
+                golden_blocks.append((" ".join(gt2) + ".", s2, e2, "TEXT"))
+            elif r < 0.71:  # glued articles (density-valley split):
+                # one <div> holding two articles separated by a run of
+                # >= 3 <br> (>= 2 blank lines) -> TWO golden blocks with
+                # exact text-hull spans; the gutter is an implicit T
+                # separator (html/blocks.py SPLIT_MIN_BLANK_LINES)
+                ht1, gt1 = _tokens(rng, rng.randint(4, 12))
+                ht2, gt2 = _tokens(rng, rng.randint(4, 12))
+                b.add("<div>")
+                s1, _ = b.add(" ".join(ht1))
+                _, e1 = b.add(".")
+                b.add("<br>" * rng.randint(3, 6))
+                s2, _ = b.add(" ".join(ht2))
+                _, e2 = b.add(".")
+                b.add("</div>\n")
                 golden_blocks.append((" ".join(gt1) + ".", s1, e1, "TEXT"))
                 golden_blocks.append((" ".join(gt2) + ".", s2, e2, "TEXT"))
             else:  # plain paragraph

@@ -63,3 +63,66 @@ def test_byte_spans_slice_source():
     data = b"<body>\n  <p>hello.</p>\n</body>"
     (b,) = extract_page(data)
     assert data[b.start : b.end] == b"<p>hello.</p>"
+
+
+def test_gutter_splits_glued_articles():
+    """Density-valley split (SplitDetector analog): a run of >= 2 blank
+    lines between two text runs inside one element splits it into two
+    TEXT blocks with exact text-hull spans, and the gutter itself
+    becomes a T separator spanning the raw gap."""
+    data = (b"<body><div>Article one ends here."
+            b"<br><br><br>Article two starts here.</div></body>")
+    blocks = extract_page(data)
+    assert [b.label for b in blocks] == ["TEXT", "SEPARATOR", "TEXT"]
+    a, sep, b = blocks
+    assert data[a.start:a.end] == b"Article one ends here."
+    assert data[b.start:b.end] == b"Article two starts here."
+    assert data[sep.start:sep.end] == b"<br><br><br>"
+    assert sep.strength == 1.0
+    # 6 blank lines -> stronger separator (capped at 4.0)
+    deep = extract_page(
+        b"<body><div>one." + b"<br>" * 7 + b"two.</div></body>")
+    assert [x.label for x in deep] == ["TEXT", "SEPARATOR", "TEXT"]
+    assert deep[1].strength == 3.0
+
+
+def test_single_blank_line_never_splits():
+    """One blank line (<br><br>) is an ordinary paragraph break: the
+    element stays ONE block and the blank line is dropped as before."""
+    (b,) = extract_page(b"<body><p>a.<br><br>b.</p></body>")
+    assert b.text == "a.\nb."
+    assert b.n_lines == 2
+
+
+def test_border_gutters_never_split():
+    """Leading/trailing blank runs produce no split and no separator
+    (the reference's border exclusion + empty SplitFilter side)."""
+    blocks = extract_page(
+        b"<body><div><br><br><br>only text.<br><br><br></div></body>")
+    assert [b.label for b in blocks] == ["TEXT"]
+    assert blocks[0].text == "only text."
+
+
+def test_gutter_separator_blocks_adjacency_merge():
+    """The gutter separator is a merge barrier: two single-line halves
+    of a <p> (prev not sentence-terminal, markup-only gap) would
+    otherwise re-merge via the IsBelow criterion — the split must
+    hold end-to-end."""
+    from origami_spark.extract_local import extract_document
+
+    r = extract_document(
+        b"<body><p>first half no terminal<br><br><br>second half</p></body>")
+    assert r["text"] == "first half no terminal\n\nsecond half\n"
+    assert len(r["spans"]) == 2
+
+
+def test_gutter_and_rule_lines_compose():
+    """A rule line and a gutter in one element produce three blocks and
+    two separators, in document order."""
+    data = (b"<body><div>part a.<br>-----<br>part b."
+            b"<br><br><br>part c.</div></body>")
+    blocks = extract_page(data)
+    assert [b.label for b in blocks] == [
+        "TEXT", "SEPARATOR", "TEXT", "SEPARATOR", "TEXT"]
+    assert [b.text for b in blocks if b.label == "TEXT"] == [
+        "part a.", "part b.", "part c."]
