@@ -17,6 +17,7 @@ layout stage — mirroring how origami's ``HeuristicFrameDetector``
 
 from __future__ import annotations
 
+import html as _htmllib
 import re
 from dataclasses import dataclass, field
 
@@ -24,6 +25,7 @@ from .render import render_table
 from .tokenizer import (
     BLOCK_TAGS,
     DROP_TAGS,
+    _WS_COLLAPSE_RE,
     Node,
     Page,
     build_tree,
@@ -90,6 +92,10 @@ class Block:
     # per line: (raw_start, raw_end, link_len) — byte hull + normalized
     # link-char count (ConfidenceSampler evidence, see operators/lines.py)
     line_spans: list | None = None
+    # opt-in (extract_page(char_maps=True)): per line, the per-char
+    # forward map normalized-pos -> raw byte offset (the dewarp
+    # Grid/Transformer analog at char granularity, core/dewarp.py:496-576)
+    char_maps: list | None = None
     # SEPARATOR only: estimated visual weight (the reference persists a
     # per-separator width estimate, batch/detect/contours.py:126-134,
     # and ordering boosts thick separators, order.py:96-106).  <hr> uses
@@ -165,49 +171,128 @@ def _gather_inline(page: Page, node: Node, g: _Gather, in_link: bool) -> None:
             _gather_inline(page, child, g, in_link or ctag == "a")
 
 
-def _assemble_lines(parts, keep_blanks: bool = False):
-    """(text, span, is_link) parts -> list of (normalized_line, hull_s,
-    hull_e, link_len); empty lines dropped.  Hull = min/max raw span of
-    the line's contributing non-whitespace runs; link_len = normalized
-    char count of the line's <a> content (per-line confidence evidence,
-    same normalization as the block-level link_len).
+# the WHATWG character-reference shape the stdlib's html.unescape
+# matches (html/__init__.py); segmenting with the SAME regex and
+# decoding each token with the PUBLIC html.unescape reproduces the
+# whole-string unescape byte-for-byte (asserted by fixture + fuzz
+# tests), while giving every decoded char a source offset
+_CHARREF_RE = re.compile(
+    r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[^\t\n\f <&#;]{1,32};?)")
 
-    ``keep_blanks``: emit a ``("", None, None, 0)`` entry per blank line
-    instead of dropping it — the whitespace-valley evidence the
-    density-split in ``emit_text_groups`` consumes (blank runs between
-    text runs are invisible once dropped)."""
+
+def _normalize_with_map(pieces):
+    """One line's (text, raw_span) pieces -> (normalized_text, offsets)
+    where offsets[i] is the raw BYTE offset the normalized char i
+    originates from (-1 when the source piece carries no span).
+
+    The char-granularity forward map of the reference's dewarp
+    ``Grid``/``Transformer`` (``core/dewarp.py:496-576``): origami maps
+    dewarped pixel coordinates back into the warped page; here a char
+    of *normalized* text maps back into the raw html bytes, so span
+    surgery on normalized text (e.g. ``remove_duplicate_spans`` output)
+    can be projected into the source document.  A multi-char expansion
+    (one entity -> several chars) maps every char to the entity's
+    ``&``; a collapsed whitespace run maps to its first source char.
+    Exactness contract: the returned text equals
+    ``normalize_text("".join(texts))`` bit-for-bit (fixture + fuzz
+    tested — both sides run the same charref segmentation and the same
+    ``\\s+`` collapse + strip)."""
+    raw_chars: list = []            # (char, byte_off)
+    for text, span in pieces:
+        if span is None:
+            raw_chars.extend((c, -1) for c in text)
+        else:
+            off = span[0]
+            for c in text:
+                raw_chars.append((c, off))
+                off += len(c.encode("utf-8"))
+    raw = "".join(c for c, _ in raw_chars)
+    dec: list = []
+    pos = 0
+    for m in _CHARREF_RE.finditer(raw):
+        dec.extend(raw_chars[pos:m.start()])
+        rep = _htmllib.unescape(m.group(0))
+        if rep == m.group(0):       # not a real entity: chars keep 1:1
+            dec.extend(raw_chars[m.start():m.end()])
+        else:
+            src = raw_chars[m.start()][1]
+            dec.extend((c, src) for c in rep)
+        pos = m.end()
+    dec.extend(raw_chars[pos:])
+    out: list = []
+    i, n = 0, len(dec)
+    while i < n:
+        if _WS_COLLAPSE_RE.match(dec[i][0]):
+            j = i
+            while j < n and _WS_COLLAPSE_RE.match(dec[j][0]):
+                j += 1
+            if out and j < n:       # interior run -> one space;
+                out.append((" ", dec[i][1]))
+            i = j                   # leading/trailing runs strip away
+        else:
+            out.append(dec[i])
+            i += 1
+    return "".join(c for c, _ in out), [o for _, o in out]
+
+
+def _assemble_lines(parts, keep_blanks: bool = False,
+                    char_maps: bool = False):
+    """(text, span, is_link) parts -> list of (normalized_line, hull_s,
+    hull_e, link_len, char_map); empty lines dropped.  Hull = min/max
+    raw span of the line's contributing non-whitespace runs; link_len =
+    normalized char count of the line's <a> content (per-line
+    confidence evidence, same normalization as the block-level
+    link_len).
+
+    ``keep_blanks``: emit a ``("", None, None, 0, None)`` entry per
+    blank line instead of dropping it — the whitespace-valley evidence
+    the density-split in ``emit_text_groups`` consumes (blank runs
+    between text runs are invisible once dropped).
+
+    ``char_maps``: populate the 5th slot with the per-char raw-offset
+    array from :func:`_normalize_with_map` (None otherwise — the
+    default path never pays for the map)."""
     lines = []
-    buf, hs, he, lbuf = [], None, None, []
+    pbuf, lbuf = [], []
     for text, span, is_link in parts:
         if text == _BR:
-            lines.append(("".join(buf), hs, he, lbuf))
-            buf, hs, he, lbuf = [], None, None, []
+            lines.append((pbuf, lbuf))
+            pbuf, lbuf = [], []
             continue
-        buf.append(text)
+        pbuf.append((text, span))
         if is_link:
             lbuf.append(text)
-        if span is not None:
-            hs = span[0] if hs is None else min(hs, span[0])
-            he = span[1] if he is None else max(he, span[1])
-    lines.append(("".join(buf), hs, he, lbuf))
+    lines.append((pbuf, lbuf))
     out = []
-    for raw, s, e, lparts in lines:
+    for pieces, lparts in lines:
+        raw = "".join(t for t, _ in pieces)
         norm = normalize_text(raw)
         if norm:
+            spans = [sp for _, sp in pieces if sp is not None]
+            hs = min(sp[0] for sp in spans) if spans else None
+            he = max(sp[1] for sp in spans) if spans else None
             llen = len(normalize_text(" ".join(lparts))) if lparts else 0
-            out.append((norm, s, e, min(llen, len(norm))))
+            cmap = None
+            if char_maps:
+                norm2, cmap = _normalize_with_map(pieces)
+                if norm2 != norm:   # contract breach — fail loudly
+                    raise ValueError(
+                        f"char-map normalization diverged: {norm2!r} != {norm!r}")
+            out.append((norm, hs, he, min(llen, len(norm)), cmap))
         elif keep_blanks:
-            out.append(("", None, None, 0))
+            out.append(("", None, None, 0, None))
     return out
 
 
-def _inline_text(page: Page, node: Node, keep_blanks: bool = False):
+def _inline_text(page: Page, node: Node, keep_blanks: bool = False,
+                 char_maps: bool = False):
     """-> (lines, text_len, link_len, gather) where lines is a list of
-    (normalized_text, hull_start, hull_end)."""
+    (normalized_text, hull_start, hull_end, link_len, char_map)."""
     g = _Gather()
     _gather_inline(page, node, g, node.tag == "a")
-    lines = _assemble_lines(g.parts, keep_blanks=keep_blanks)
-    text_len = sum(len(ln) for (ln, _s, _e, _l) in lines)
+    lines = _assemble_lines(g.parts, keep_blanks=keep_blanks,
+                            char_maps=char_maps)
+    text_len = sum(len(ln) for (ln, _s, _e, _l, _c) in lines)
     link_len = (
         len(normalize_text(" ".join(g.link_parts))) if g.link_parts else 0
     )
@@ -227,7 +312,7 @@ def _table_cells(page: Page, table: Node):
                     cell = page.nodes[gid]
                     if cell.tag in ("td", "th"):
                         lines, _, _, _g = _inline_text(page, cell)
-                        cells.append(" ".join(ln for (ln, _s, _e, _l) in lines))
+                        cells.append(" ".join(ln for (ln, _s, _e, _l, _c) in lines))
                         all_th = all_th and cell.tag == "th"
                 if cells:
                     rows.append(cells)
@@ -244,8 +329,12 @@ _GAP_COMMENT = re.compile(rb"<!--.*?-->", re.S)
 _GAP_TAG = re.compile(rb"<[^>]*>")
 
 
-def extract_page(data: bytes) -> list:
+def extract_page(data: bytes, char_maps: bool = False) -> list:
     """html bytes -> list[Block] in document order.
+
+    ``char_maps=True`` additionally populates ``Block.char_maps``: per
+    line, a per-normalized-char array of raw byte offsets (the
+    char-granularity offset map; costs ~2x parse time, so opt-in).
 
     Bytes are first charset-sniffed and transcoded to utf-8
     (tokenizer.to_utf8) — BOM > <meta charset> prescan > utf-8 — so
@@ -265,7 +354,8 @@ def extract_page(data: bytes) -> list:
              text_len: int, link_len: int, path_parts,
              span: tuple | None = None,
              line_spans: list | None = None,
-             strength: float = 0.0) -> None:
+             strength: float = 0.0,
+             char_maps: list | None = None) -> None:
         start, end = span if span else (node.start, node.end)
         blocks.append(Block(
             seq=len(blocks), node_id=node.node_id, parent_id=node.parent_id,
@@ -276,6 +366,7 @@ def extract_page(data: bytes) -> list:
             ends_clean=text.endswith(_TERMINAL) if text else True,
             line_spans=line_spans,
             strength=strength,
+            char_maps=char_maps,
         ))
 
     def emit_text_groups(child, lines, text_len, link_len, parts, g):
@@ -318,9 +409,9 @@ def extract_page(data: bytes) -> list:
 
         def hull_of(gl):
             return (
-                (min(s for (_t, s, _e, _l) in gl if s is not None),
-                 max(e for (_t, _s, e, _l) in gl if e is not None))
-                if any(s is not None for (_t, s, _e, _l) in gl)
+                (min(s for (_t, s, _e, _l, _c) in gl if s is not None),
+                 max(e for (_t, _s, e, _l, _c) in gl if e is not None))
+                if any(s is not None for (_t, s, _e, _l, _c) in gl)
                 else None
             )
 
@@ -348,7 +439,7 @@ def extract_page(data: bytes) -> list:
                      parts, span=hull or (child.start, child.end),
                      strength=round(min(len(gl[0][0]) / 5.0, 4.0), 2))
                 continue
-            texts = [t for (t, _s, _e, _l) in gl]
+            texts = [t for (t, _s, _e, _l, _c) in gl]
             tlen = sum(len(t) for t in texts)
             # whole-element span only when this is the single group of a
             # non-container element; otherwise the group's text hull
@@ -360,7 +451,11 @@ def extract_page(data: bytes) -> list:
             emit(child, "TEXT", "\n".join(texts), len(texts),
                  tlen, link_len if n_groups == 1 else 0, parts,
                  span=span,
-                 line_spans=[(s, e, l) for (_t, s, e, l) in gl])
+                 line_spans=[(s, e, l) for (_t, s, e, l, _c) in gl],
+                 char_maps=(
+                     [c for (_t, _s, _e, _l, c) in gl]
+                     if any(c is not None for (_t, _s, _e, _l, c) in gl)
+                     else None))
 
     def walk(node: Node, path_parts: list) -> None:
         for cid in node.children:
@@ -393,18 +488,23 @@ def extract_page(data: bytes) -> list:
                 for gid in child.children:
                     li = page.nodes[gid]
                     if li.tag == "li":
-                        li_lines, _, _, _g = _inline_text(page, li)
+                        li_lines, _, _, _g = _inline_text(
+                            page, li, char_maps=char_maps)
                         lines.extend(li_lines)
                 if lines:
                     emit(child, "TEXT",
-                         "\n".join(ln for (ln, _s, _e, _l) in lines), len(lines),
-                         sum(len(ln) for (ln, _s, _e, _l) in lines), 0, parts,
-                         line_spans=[(s, e, l) for (_t, s, e, l) in lines])
+                         "\n".join(ln for (ln, _s, _e, _l, _c) in lines), len(lines),
+                         sum(len(ln) for (ln, _s, _e, _l, _c) in lines), 0, parts,
+                         line_spans=[(s, e, l) for (_t, s, e, l, _c) in lines],
+                         char_maps=(
+                             [c for (_t, _s, _e, _l, c) in lines]
+                             if any(c is not None for (_t, _s, _e, _l, c) in lines)
+                             else None))
             elif tag in MEDIA_TAGS:
                 emit(child, "ILLUSTRATION", "", 0, 0, 0, parts)
             elif _is_block(tag):
                 lines, text_len, link_len, g = _inline_text(
-                    page, child, keep_blanks=True)
+                    page, child, keep_blanks=True, char_maps=char_maps)
                 if lines:
                     emit_text_groups(child, lines, text_len, link_len,
                                      parts, g)
@@ -423,7 +523,7 @@ def extract_page(data: bytes) -> list:
     root = page.nodes[0]
     if root.texts:
         lines, text_len, link_len, g = _inline_text(
-            page, root, keep_blanks=True)
+            page, root, keep_blanks=True, char_maps=char_maps)
         if lines:
             emit_text_groups(root, lines, text_len, link_len, ["#root"], g)
             # keep document order: root text precedes element blocks
@@ -453,7 +553,8 @@ def extract_page(data: bytes) -> list:
                 1 for (s_, _e, _l) in b.line_spans if s_ is not None)
         ):
             continue
-        for line, (s, e, l) in zip(b.text.split("\n"), b.line_spans):
+        cms = b.char_maps or [None] * len(b.line_spans)
+        for line, (s, e, l), cm in zip(b.text.split("\n"), b.line_spans, cms):
             if len(line) >= RESCUE_MIN_CHARS and l <= RESCUE_MAX_LINK_SHARE * len(line):
                 rehomed.append(Block(
                     seq=0, node_id=b.node_id, parent_id=b.parent_id,
@@ -462,6 +563,7 @@ def extract_page(data: bytes) -> list:
                     text_len=len(line), link_len=l, in_chrome=False,
                     ends_clean=line.endswith(_TERMINAL),
                     line_spans=[(s, e, l)],
+                    char_maps=[cm] if cm is not None else None,
                 ))
     if len(rehomed) != len(blocks):
         blocks = rehomed
