@@ -96,6 +96,11 @@ class Block:
     # forward map normalized-pos -> raw byte offset (the dewarp
     # Grid/Transformer analog at char granularity, core/dewarp.py:496-576)
     char_maps: list | None = None
+    # True for a line re-emitted out of chrome by the line-level
+    # re-homing below — the "regionless free line" the reference's
+    # RegionReadingOrder groups into MergedTextRegions at export time
+    # (batch/detect/compose.py:481-562; see operators/export_xml.py)
+    rehomed: bool = False
     # SEPARATOR only: estimated visual weight (the reference persists a
     # per-separator width estimate, batch/detect/contours.py:126-134,
     # and ordering boosts thick separators, order.py:96-106).  <hr> uses
@@ -564,6 +569,7 @@ def extract_page(data: bytes, char_maps: bool = False) -> list:
                     ends_clean=line.endswith(_TERMINAL),
                     line_spans=[(s, e, l)],
                     char_maps=[cm] if cm is not None else None,
+                    rehomed=True,
                 ))
     if len(rehomed) != len(blocks):
         blocks = rehomed

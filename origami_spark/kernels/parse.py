@@ -25,7 +25,8 @@ BLOCKS_SCHEMA = (
     "tag_path string, depth int, parent_id int, start bigint, end bigint, "
     "text string, n_lines int, text_len bigint, link_len bigint, "
     "in_chrome boolean, ends_clean boolean, ws_gap_next boolean, "
-    "gap_markup_only_next boolean, strength double, cells_json string, "
+    "gap_markup_only_next boolean, strength double, rehomed boolean, "
+    "cells_json string, "
     "line_spans array<struct<start:bigint,end:bigint,link_len:bigint>>"
 )
 
@@ -75,6 +76,7 @@ def _parse(batches, char_maps: bool):
                 out["ws_gap_next"].append(b.ws_gap_next)
                 out["gap_markup_only_next"].append(b.gap_markup_only_next)
                 out["strength"].append(b.strength)
+                out["rehomed"].append(b.rehomed)
                 out["cells_json"].append(
                     json.dumps({"rows": b.cells, "has_header": b.has_header})
                     if b.cells is not None else None

@@ -71,10 +71,89 @@ def to_xml(composed: DataFrame) -> DataFrame:
 # (pagexml/pagexml.py:12, pagexml/pagecontent.xsd); both are public.
 PAGE_NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
 
+_LNS_T = ("array<struct<line_id:bigint,lstart:bigint,"
+          "lend:bigint,ltext:string>>")
+
+
+def merge_free_line_regions(ranked: DataFrame) -> DataFrame:
+    """``RegionReadingOrder``/``MergedTextRegion`` analog (reference
+    ``batch/detect/compose.py:481-562``): the reference walks the
+    reading order and groups consecutive regionless free LINES into a
+    synthetic merged region.  The engine's free lines are the chrome
+    re-homed single-line blocks (``html/blocks.py`` re-homing,
+    ``rehomed=True``): a run of them that is adjacent in reading order,
+    shares the origin parent element and the label collapses into ONE
+    region whose ``TextLine`` children are the member lines (each line
+    keeps its own raw-byte coords — the member span IS its line hull).
+    Ranks are re-numbered so ReadingOrder indices stay contiguous.
+
+    Output schema: url, rank, path (first member's), label, start/end
+    (span union), text (member texts joined with newlines, the
+    MergedTextRegion transcription), merged_n, lns_pre (the synthetic
+    TextLine array for merged regions, else NULL).  Passthrough shape
+    (merged_n=1, lns_pre NULL) when the input has no ``rehomed``
+    column (pre-r4 staged tables)."""
+    from pyspark.sql import Window
+
+    if "rehomed" not in ranked.columns:
+        return ranked.select(
+            "url", "rank", "path", "label", "start", "end", "text",
+            F.lit(1).alias("merged_n"),
+            F.lit(None).cast(_LNS_T).alias("lns_pre"),
+        )
+    w = Window.partitionBy("url").orderBy("rank")
+    run = (
+        F.col("rehomed")
+        & F.lag("rehomed").over(w)
+        & (F.col("parent_id") == F.lag("parent_id").over(w))
+        & (F.col("label") == F.lag("label").over(w))
+        & (F.col("rank") == F.lag("rank").over(w) + 1)
+    )
+    g = ranked.withColumn(
+        "_mg",
+        F.sum(F.when(run, F.lit(0)).otherwise(F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    ms = F.array_sort(
+        F.collect_list(F.struct("rank", "path", "label", "start", "end",
+                                "text")))
+    first = F.element_at("ms", 1)
+    merged = (
+        g.groupBy("url", "_mg")
+        .agg(ms.alias("ms"))
+        .select(
+            "url",
+            first["rank"].alias("_rank0"),
+            first["path"].alias("path"),
+            first["label"].alias("label"),
+            F.array_min(F.transform("ms", lambda m: m["start"])).alias("start"),
+            F.array_max(F.transform("ms", lambda m: m["end"])).alias("end"),
+            F.array_join(
+                F.transform("ms", lambda m: m["text"]), "\n").alias("text"),
+            F.size("ms").alias("merged_n"),
+            F.when(
+                F.size("ms") > 1,
+                F.transform(
+                    "ms",
+                    lambda m, i: F.struct(
+                        (i + 1).cast("bigint").alias("line_id"),
+                        m["start"].alias("lstart"),
+                        m["end"].alias("lend"),
+                        m["text"].alias("ltext"),
+                    ),
+                ),
+            ).cast(_LNS_T).alias("lns_pre"),
+        )
+    )
+    return merged.withColumn(
+        "rank", F.row_number().over(Window.partitionBy("url").orderBy("_rank0"))
+    ).drop("_rank0")
+
 
 def to_page_xml(ranked: DataFrame, creator: str = "origami_spark",
                 created: str = "2024-01-01T00:00:00Z",
-                lines: DataFrame | None = None) -> DataFrame:
+                lines: DataFrame | None = None,
+                merge_free_lines: bool = True) -> DataFrame:
     """ranked blocks (url, rank, path, label, start, end, text) ->
     (url, xml) conforming to the PAGE-XML 2019-07-15 schema contract —
     the standard interchange the reference emits (pagexml/pagexml.py):
@@ -106,6 +185,18 @@ def to_page_xml(ranked: DataFrame, creator: str = "origami_spark",
     # columns go through _esc)
     creator = escape(creator)
     created = escape(created)
+    if merge_free_lines:
+        # reference semantics by default: consecutive free lines become
+        # one MergedTextRegion whose TextLine children are the members
+        # (see merge_free_line_regions); their synthetic lns_pre wins
+        # over the joined lines table below
+        ranked = merge_free_line_regions(ranked)
+    else:
+        ranked = ranked.select(
+            "url", "rank", "path", "label", "start", "end", "text",
+            F.lit(1).alias("merged_n"),
+            F.lit(None).cast(_LNS_T).alias("lns_pre"),
+        )
     if lines is not None:
         per_block = lines.groupBy(
             F.col("url").alias("l_url"),
@@ -127,17 +218,13 @@ def to_page_xml(ranked: DataFrame, creator: str = "origami_spark",
             "left",
         ).drop("l_url", "l_path")
     else:
-        blocks = ranked.withColumn(
-            "lns",
-            F.lit(None).cast(
-                "array<struct<line_id:bigint,lstart:bigint,"
-                "lend:bigint,ltext:string>>"),
-        )
+        blocks = ranked.withColumn("lns", F.lit(None).cast(_LNS_T))
     regions = blocks.groupBy("url").agg(
         F.array_sort(
             F.collect_list(
                 F.struct("rank", "path", "label", "start", "end", "text",
-                         "lns"))
+                         F.coalesce("lns_pre", "lns").alias("lns"),
+                         "merged_n"))
         ).alias("rs"),
         F.max("end").cast("string").alias("width"),
     )
@@ -176,8 +263,13 @@ def to_page_xml(ranked: DataFrame, creator: str = "origami_spark",
         F.transform("rs", lambda r: F.concat(
             F.lit('    <TextRegion id="r_'), r["rank"].cast("string"),
             F.lit('" type="paragraph" custom="'),
-            _esc(F.concat(F.lit("label:"), r["label"],
-                          F.lit("; path:"), r["path"])),
+            _esc(F.concat(
+                F.lit("label:"), r["label"],
+                F.lit("; path:"), r["path"],
+                F.when(r["merged_n"] > 1,
+                       F.concat(F.lit("; merged-lines:"),
+                                r["merged_n"].cast("string")))
+                .otherwise(F.lit("")))),
             F.lit('">\n      <Coords points="'),
             r["start"].cast("string"), F.lit(",0 "),
             r["end"].cast("string"), F.lit(",0 "),

@@ -118,7 +118,8 @@ def merge_adjacent(classified: DataFrame) -> DataFrame:
     members = F.array_sort(
         F.collect_list(
             F.struct("seq", "path", "label", "tag", "start", "end", "text",
-                     "n_lines", "text_len", "link_len", "line_spans")
+                     "n_lines", "text_len", "link_len", "line_spans",
+                     "rehomed", "parent_id")
         )
     )
     merged = (
@@ -136,6 +137,11 @@ def merge_adjacent(classified: DataFrame) -> DataFrame:
             F.aggregate("ms", F.lit(0).cast("bigint"), lambda acc, m: acc + m["text_len"]).alias("text_len"),
             F.aggregate("ms", F.lit(0).cast("bigint"), lambda acc, m: acc + m["link_len"]).alias("link_len"),
             F.slice(F.transform("ms", lambda m: m["path"]), 2, 100000).alias("merged_from"),
+            # free-line provenance for the PAGE-XML MergedTextRegion
+            # grouping (export_xml.py): a group is a free line iff its
+            # first member was re-homed out of chrome
+            F.element_at("ms", 1)["rehomed"].alias("rehomed"),
+            F.element_at("ms", 1)["parent_id"].alias("parent_id"),
             # merged fragments fuse into ONE logical line -> one hull
             # span (link evidence = sum of the single-line members');
             # single-member groups keep their per-line spans

@@ -153,3 +153,55 @@ def test_page_xml_textlines_nested(spark):
                 assert tl.find("pc:TextEquiv/pc:Unicode", ns).text
                 total_lines += 1
     assert total_lines > 20
+
+
+def test_page_xml_merged_free_line_regions(spark):
+    """MergedTextRegion analog (reference compose.py:481-562): two
+    consecutive chrome-re-homed free lines from the same origin element
+    export as ONE synthetic merged TextRegion whose TextLine children
+    are the member lines, with contiguous ReadingOrder indices; with
+    merge_free_lines=False they stay separate regions."""
+    import xml.etree.ElementTree as ET
+
+    from origami_spark.operators.export_xml import PAGE_NS, to_page_xml
+    from origami_spark.operators.layout import refine
+    from origami_spark.operators.order import rank_blocks
+    from origami_spark.pipeline import parse_stage
+
+    line_a = "alpha " * 16 + "ends here one."       # ~95 chars, link-free
+    line_b = "bravo " * 16 + "ends here two."
+    linky = " ".join(f'<a href="/x{i}">linklinklink</a>' for i in range(6))
+    html = (f"<html><body><nav><div>{line_a}<br>{line_b}<br>{linky}</div>"
+            f"</nav><main><p>Main content sentence.</p></main>"
+            f"</body></html>").encode()
+    pages = spark.createDataFrame([("https://x/merged", html)], "url string, html binary")
+    ranked = rank_blocks(refine(parse_stage(pages, partitions=1)))
+
+    ns = {"pc": PAGE_NS}
+    (row,) = to_page_xml(ranked).collect()
+    root = ET.fromstring(row["xml"])
+    regions = root.findall(".//pc:TextRegion", ns)
+    merged = [r for r in regions if "merged-lines:2" in r.get("custom", "")]
+    assert len(merged) == 1, [r.get("custom") for r in regions]
+    tls = merged[0].findall("pc:TextLine", ns)
+    assert len(tls) == 2
+    texts = [t.find("pc:TextEquiv/pc:Unicode", ns).text for t in tls]
+    assert texts == [line_a.strip(), line_b.strip()]
+    # region transcription = member lines joined with a line break
+    assert merged[0].find("pc:TextEquiv/pc:Unicode", ns).text == \
+        f"{line_a.strip()}\n{line_b.strip()}"
+    # ReadingOrder indices stay contiguous 0..n-1 after the rank repack
+    idx = sorted(int(e.get("index")) for e in
+                 root.findall(".//pc:RegionRefIndexed", ns))
+    assert idx == list(range(len(regions)))
+    # and every regionRef resolves
+    ids = {r.get("id") for r in regions}
+    refs = {e.get("regionRef") for e in
+            root.findall(".//pc:RegionRefIndexed", ns)}
+    assert refs == ids
+
+    (row_off,) = to_page_xml(ranked, merge_free_lines=False).collect()
+    off = ET.fromstring(row_off["xml"])
+    off_regions = off.findall(".//pc:TextRegion", ns)
+    assert len(off_regions) == len(regions) + 1
+    assert not [r for r in off_regions if "merged-lines" in r.get("custom", "")]

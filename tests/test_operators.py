@@ -17,7 +17,7 @@ def mkblocks(spark, rows):
         depth=2, parent_id=1, start=0, end=10, text="t.", n_lines=1,
         text_len=2, link_len=0, in_chrome=False, ends_clean=True,
         ws_gap_next=True, gap_markup_only_next=True, strength=0.0,
-        cells_json=None, line_spans=None,
+        rehomed=False, cells_json=None, line_spans=None,
     )
     full = []
     for i, r in enumerate(rows):
