@@ -222,7 +222,8 @@ def minhash_signatures_kernel(docs: DataFrame, n: int = 3,
 
 def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
                            bands: int = 4, use_kernel: bool = True,
-                           min_sig_agreement: float | None = None) -> DataFrame:
+                           min_sig_agreement: float | None = None,
+                           max_bucket: int | None = None) -> DataFrame:
     """LSH banding: docs sharing any band of minhashes become a candidate
     pair (shingle -> minhash -> band -> bucket equality join).
 
@@ -235,7 +236,19 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
     estimate (MMDS ch.3), so e.g. 0.5 keeps only pairs estimated >= 0.5
     similar.  Raw banding output (None) is a candidate set with false
     positives — one shared band out of `bands` — and must never be used
-    directly as a deletion list."""
+    directly as a deletion list.
+
+    ``max_bucket`` caps the quadratic blowup of a hot band bucket (a
+    boilerplate cluster of m near-identical docs otherwise yields
+    m(m-1)/2 pairs): buckets larger than the cap emit STAR pairs —
+    every member against the bucket's min doc_id — i.e. m-1 edges that
+    keep the duplicate GROUP connected, which is what the keep-one
+    dedup consumer needs.  A star edge can fail pairwise verification
+    where some other pairing would pass, so the cap is for the
+    connected-component consumer, not for exhaustive pair listing;
+    None (default) keeps exact all-pairs semantics.  Residual skew
+    below the cap is AQE's job — tests/test_skew.py plants a hot
+    bucket and asserts the adaptive skew-join split actually fires."""
     rows_per_band = k // bands
     sigs = _tracked_cache(
         (minhash_signatures_kernel if use_kernel
@@ -255,16 +268,32 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
             ],
         ).alias("bucket"),
     )
+    if max_bucket is not None:
+        stats = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bn"), F.min("doc_id").alias("_rep"))
+        with_stats = banded.join(stats, ["band", "bucket"])
+        banded_small = with_stats.filter(
+            F.col("_bn") <= max_bucket).drop("_bn", "_rep")
+        star = (
+            with_stats.filter((F.col("_bn") > max_bucket)
+                              & (F.col("doc_id") != F.col("_rep")))
+            .select(F.col("_rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"))
+        )
+    else:
+        banded_small, star = banded, None
     cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
+        banded_small.alias("a")
+        .join(banded_small.alias("b"), ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     if min_sig_agreement is None:
         return cand
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
