@@ -207,42 +207,116 @@ def run_bench(cores: int, extract_only: bool = False) -> dict:
     return result
 
 
+def _spark_leg(cores: int, docs: int) -> dict:
+    """One pinned extract-only child run; returns its extraction report.
+
+    Pinning rationale: without affinity the JVM's shuffle/IO threads of
+    a local[8] session spill onto the other 24 cores and corrupt the
+    N-vs-4N comparison."""
+    env = dict(os.environ, ORIGAMI_BENCH_DOCS=str(docs))
+    cp = subprocess.run(
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__,
+         "--cores", str(cores), "--extract-only"],
+        capture_output=True, text=True, timeout=3600, env=env,
+    )
+    line = cp.stdout.strip().splitlines()[-1]
+    return json.loads(line)["extraction"]
+
+
+def spark_scaling_pair(lo: int, hi: int, docs: int,
+                       reports: dict | None = None) -> dict:
+    """N vs 4N protocol: same input, two parallelism levels, fresh
+    process each (a JVM cannot change its master).  ``reports`` caches
+    legs across pairs (the 8-core leg serves both 2->8 and 8->32)."""
+    if reports is None:
+        reports = {}
+    for cores in (lo, hi):
+        if cores not in reports:
+            reports[cores] = _spark_leg(cores, docs)
+    thr_lo = reports[lo]["docs_per_sec"]
+    thr_hi = reports[hi]["docs_per_sec"]
+    return {
+        "efficiency": round(thr_hi / ((hi / lo) * thr_lo), 3),
+        f"throughput_{lo}": thr_lo,
+        f"throughput_{hi}": thr_hi,
+        # per-leg steal over the PINNED cpus (the child measures its
+        # own affinity set) — a stolen leg is visible, not silent
+        f"steal_{lo}": reports[lo].get("steal_share"),
+        f"steal_{hi}": reports[hi].get("steal_share"),
+        "digest_match": reports[lo]["digest"] == reports[hi]["digest"],
+    }
+
+
+def _hc_work(i: int) -> int:
+    """Host-ceiling worker: generate + extract one page, framework-free."""
+    from origami_spark.extract_local import extract_document
+    from origami_spark.sources.corpus import generate_page
+
+    return len(extract_document(generate_page(42, i)["html"])["text"])
+
+
+def host_ceiling_pair(lo: int, hi: int, n_docs: int) -> dict:
+    """Pure-Python multiprocessing extraction throughput at ``lo`` and
+    ``hi`` workers — the framework-free parallelism ceiling of this VM
+    (BASELINE.md: the host oversubscribes above ~16 busy vCPUs, so any
+    engine's 8->32 efficiency must be read against this number, not
+    against the ideal 1.0)."""
+    import multiprocessing as mp
+
+    out = {}
+    for workers in (lo, hi):
+        prev = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, set(range(workers)))
+        try:
+            with mp.get_context("fork").Pool(workers) as pool:
+                wall, _, steal = timed_with_steal(
+                    lambda: pool.map(_hc_work, range(n_docs), chunksize=256))
+        finally:
+            os.sched_setaffinity(0, prev)
+        out[f"throughput_{workers}"] = round(n_docs / wall, 1)
+        out[f"steal_{workers}"] = round(steal, 4)
+    out["efficiency"] = round(
+        out[f"throughput_{hi}"] / ((hi / lo) * out[f"throughput_{lo}"]), 3)
+    return out
+
+
+def scaling_report(docs: int) -> dict:
+    """Both N-vs-4N pairs (2->8: the range the VM can honestly deliver;
+    8->32: the cluster-shape claim read against the measured host
+    ceiling) — VERDICT r3 item 8: every round's bench carries both.
+
+    The high pair runs 3x the documents: a 32-core leg over `docs`
+    finishes in seconds, so fixed costs (JVM+session+warm-up residue)
+    dominate and the ratio understates the engine (the round-1 Amdahl
+    decomposition in BASELINE.md).  The host ceiling runs the same
+    worker counts over a framework-free generate+extract loop — its
+    RATIO is the comparison point; its absolute throughput measures a
+    different workload."""
+    legs: dict = {}
+    low = spark_scaling_pair(SCALING_N, SCALING_N * 4, docs, legs)
+    hi_docs = docs * 3
+    high = spark_scaling_pair(SCALING_N * 4, SCALING_N * 16, hi_docs, {})
+    return {
+        "docs": docs,
+        "docs_high_pair": hi_docs,
+        f"{SCALING_N}->{SCALING_N * 4}": low,
+        f"{SCALING_N * 4}->{SCALING_N * 16}": high,
+        f"host_ceiling_{SCALING_N * 4}->{SCALING_N * 16}": host_ceiling_pair(
+            SCALING_N * 4, SCALING_N * 16, docs),
+    }
+
+
 def main():
     args = sys.argv[1:]
     if "--scaling" in args:
-        # N vs 4N protocol: same input, two parallelism levels, fresh
-        # process each (a JVM cannot change its master)
-        reports = {}
-        os.environ["ORIGAMI_BENCH_DOCS"] = str(SCALING_DOCS)
-        pair = (SCALING_N, SCALING_N * 4)
-        for cores in pair:
-            # pin the process to `cores` CPUs: without affinity the JVM's
-            # shuffle/IO threads of a local[8] session spill onto the other
-            # 24 cores and corrupt the N-vs-4N comparison
-            cp = subprocess.run(
-                ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__,
-                 "--cores", str(cores), "--extract-only"],
-                capture_output=True, text=True, timeout=3600,
-            )
-            line = cp.stdout.strip().splitlines()[-1]
-            reports[cores] = json.loads(line)["extraction"]
-        lo, hi = pair
-        thr_lo = reports[lo]["docs_per_sec"]
-        thr_hi = reports[hi]["docs_per_sec"]
-        eff = thr_hi / (4 * thr_lo)
+        rep = scaling_report(SCALING_DOCS)
+        lo, hi = SCALING_N, SCALING_N * 4
         print(json.dumps({
-            "metric": f"extraction scaling {lo}->{hi} cores",
-            "value": round(eff, 3),
+            "metric": f"extraction scaling {lo}->{hi} and {hi}->{hi * 4} cores",
+            "value": rep[f"{lo}->{hi}"]["efficiency"],
             "unit": "efficiency",
             "sf": SF_DIR,
-            "docs": reports[lo]["docs"],
-            f"throughput_{lo}": thr_lo,
-            f"throughput_{hi}": thr_hi,
-            # per-leg steal over the PINNED cpus (the child measures its
-            # own affinity set) — a stolen leg is visible, not silent
-            f"steal_{lo}": reports[lo].get("steal_share"),
-            f"steal_{hi}": reports[hi].get("steal_share"),
-            "digest_match": reports[lo]["digest"] == reports[hi]["digest"],
+            **rep,
         }))
         return
 
@@ -267,6 +341,13 @@ def main():
     }
     if "extraction_relational" in r:
         report["extraction_relational"] = r["extraction_relational"]
+    if not extract_only and os.environ.get("ORIGAMI_BENCH_SCALING", "1") != "0":
+        # stamp the cluster-shape legs into every per-round bench
+        # (smaller doc count than --scaling: three extra pinned JVMs
+        # must not dominate the bench wall time; ~25x warm-up is still
+        # amortized at the 2-core leg)
+        report["scaling"] = scaling_report(
+            int(os.environ.get("ORIGAMI_BENCH_SCALING_DOCS", "60000")))
     print(json.dumps(report))
 
 
