@@ -1881,10 +1881,16 @@ def oracle_sql() -> dict[str, str]:
           FROM '{IVF_CENTROIDS_PATH}/*.parquet'),
         e AS (SELECT vec_id, embedding FROM embeddings),
         scored AS (
+          -- floor(x*1e6+0.5)/1e6, NOT round(x, 6): the engine's Arrow
+          -- argmin kernel, the Spark relational form, and this oracle
+          -- all compute the identical double expression bit-for-bit
+          -- (Spark F.round's BigDecimal HALF_UP diverges at half
+          -- boundaries; see similarity._round6)
           SELECT e.vec_id, e.embedding, cen.cluster,
-                 round(cen.c_sq - 2.0 * list_sum(
+                 floor((cen.c_sq - 2.0 * list_sum(
                    [CAST(e.embedding[i] AS DOUBLE) * cen.centroid[i]
-                    for i in range(1, 65)]), 6) AS dist
+                    for i in range(1, 65)])) * 1000000.0 + 0.5)
+                   / 1000000.0 AS dist
           FROM e CROSS JOIN cen),
         ranked AS (
           SELECT *, row_number() OVER

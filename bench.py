@@ -223,16 +223,14 @@ def _spark_leg(cores: int, docs: int) -> dict:
     return json.loads(line)["extraction"]
 
 
-def spark_scaling_pair(lo: int, hi: int, docs: int,
-                       reports: dict | None = None) -> dict:
+def spark_scaling_pair(lo: int, hi: int, docs: int) -> dict:
     """N vs 4N protocol: same input, two parallelism levels, fresh
-    process each (a JVM cannot change its master).  ``reports`` caches
-    legs across pairs (the 8-core leg serves both 2->8 and 8->32)."""
-    if reports is None:
-        reports = {}
+    process each (a JVM cannot change its master).  Legs are per
+    (cores, docs) — the two pairs in scaling_report use DIFFERENT doc
+    counts, so their 8-core legs are distinct measurements by design."""
+    reports = {}
     for cores in (lo, hi):
-        if cores not in reports:
-            reports[cores] = _spark_leg(cores, docs)
+        reports[cores] = _spark_leg(cores, docs)
     thr_lo = reports[lo]["docs_per_sec"]
     thr_hi = reports[hi]["docs_per_sec"]
     return {
@@ -292,10 +290,9 @@ def scaling_report(docs: int) -> dict:
     worker counts over a framework-free generate+extract loop — its
     RATIO is the comparison point; its absolute throughput measures a
     different workload."""
-    legs: dict = {}
-    low = spark_scaling_pair(SCALING_N, SCALING_N * 4, docs, legs)
+    low = spark_scaling_pair(SCALING_N, SCALING_N * 4, docs)
     hi_docs = docs * 3
-    high = spark_scaling_pair(SCALING_N * 4, SCALING_N * 16, hi_docs, {})
+    high = spark_scaling_pair(SCALING_N * 4, SCALING_N * 16, hi_docs)
     return {
         "docs": docs,
         "docs_high_pair": hi_docs,

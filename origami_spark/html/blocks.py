@@ -185,10 +185,42 @@ _CHARREF_RE = re.compile(
     r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[^\t\n\f <&#;]{1,32};?)")
 
 
-def _normalize_with_map(pieces):
+def _char_offsets_replace(raw_bytes: bytes, base: int) -> list:
+    """Byte offset (plus ``base``) of each char of
+    ``raw_bytes.decode('utf-8', 'replace')``, derived from the bytes
+    themselves with an incremental decoder.  Needed because re-encoding
+    the decoded text lies about byte positions once a U+FFFD (3 bytes
+    re-encoded) stands in for a 1- or 2-byte invalid sequence — every
+    offset after the bad byte would drift.  When feeding byte ``i``
+    emits chars, the last emitted char maps to ``i`` if something was
+    already pending (a replacement flushed by this byte), otherwise to
+    the first pending byte; earlier chars map to the pending start."""
+    import codecs
+
+    dec = codecs.getincrementaldecoder("utf-8")("replace")
+    offs, start = [], 0
+    for i in range(len(raw_bytes)):
+        out = dec.decode(raw_bytes[i:i + 1])
+        # the decoder may RETAIN byte i (and neighbours) as the start of
+        # a new pending sequence even while emitting (e.g. b"\xc2\xc2":
+        # the second byte flushes U+FFFD for the first and stays
+        # buffered) — getstate tells how many bytes are still pending
+        buffered = len(dec.getstate()[0])
+        if out:
+            offs.extend([base + start] * (len(out) - 1))
+            offs.append(base + (start if len(out) == 1 else i - buffered))
+            start = i + 1 - buffered
+    tail = dec.decode(b"", True)
+    if tail:
+        offs.extend([base + start] * len(tail))
+    return offs
+
+
+def _normalize_with_map(pieces, data: bytes):
     """One line's (text, raw_span) pieces -> (normalized_text, offsets)
     where offsets[i] is the raw BYTE offset the normalized char i
-    originates from (-1 when the source piece carries no span).
+    originates from (-1 when the source piece carries no span);
+    ``data`` is the raw document the spans index into.
 
     The char-granularity forward map of the reference's dewarp
     ``Grid``/``Transformer`` (``core/dewarp.py:496-576``): origami maps
@@ -206,11 +238,24 @@ def _normalize_with_map(pieces):
     for text, span in pieces:
         if span is None:
             raw_chars.extend((c, -1) for c in text)
-        else:
+            continue
+        rb = data[span[0]:span[1]]
+        try:
+            # valid utf-8: re-encoding each decoded char walks the
+            # source bytes exactly
+            rb.decode("utf-8")
             off = span[0]
             for c in text:
                 raw_chars.append((c, off))
                 off += len(c.encode("utf-8"))
+        except UnicodeDecodeError:
+            # replace-decoded slice: offsets must come from the BYTES
+            offs = _char_offsets_replace(rb, span[0])
+            if len(offs) != len(text):   # contract breach — fail loudly
+                raise ValueError(
+                    f"char-map offset count diverged: {len(offs)} != "
+                    f"{len(text)} for span {span}")
+            raw_chars.extend(zip(text, offs))
     raw = "".join(c for c, _ in raw_chars)
     dec: list = []
     pos = 0
@@ -241,7 +286,7 @@ def _normalize_with_map(pieces):
 
 
 def _assemble_lines(parts, keep_blanks: bool = False,
-                    char_maps: bool = False):
+                    char_maps: bool = False, data: bytes = b""):
     """(text, span, is_link) parts -> list of (normalized_line, hull_s,
     hull_e, link_len, char_map); empty lines dropped.  Hull = min/max
     raw span of the line's contributing non-whitespace runs; link_len =
@@ -279,7 +324,7 @@ def _assemble_lines(parts, keep_blanks: bool = False,
             llen = len(normalize_text(" ".join(lparts))) if lparts else 0
             cmap = None
             if char_maps:
-                norm2, cmap = _normalize_with_map(pieces)
+                norm2, cmap = _normalize_with_map(pieces, data)
                 if norm2 != norm:   # contract breach — fail loudly
                     raise ValueError(
                         f"char-map normalization diverged: {norm2!r} != {norm!r}")
@@ -296,7 +341,7 @@ def _inline_text(page: Page, node: Node, keep_blanks: bool = False,
     g = _Gather()
     _gather_inline(page, node, g, node.tag == "a")
     lines = _assemble_lines(g.parts, keep_blanks=keep_blanks,
-                            char_maps=char_maps)
+                            char_maps=char_maps, data=page.data)
     text_len = sum(len(ln) for (ln, _s, _e, _l, _c) in lines)
     link_len = (
         len(normalize_text(" ".join(g.link_parts))) if g.link_parts else 0

@@ -35,12 +35,14 @@ def host_of(url_col) -> Column:
     when the url does not parse).  An optional userinfo prefix
     (``user:pass@``) is skipped — otherwise ``https://x@big.com/`` would
     count as a distinct host, a trivially spoofable escape from
-    frequency capping (ADVICE r3).  The userinfo class excludes ``/?#``
-    so an ``@`` later in the path or query can never be mistaken for
-    one."""
+    frequency capping (ADVICE r3).  The userinfo match is GREEDY up to
+    the LAST ``@`` of the authority (WHATWG: the host starts after the
+    last ``@``), so ``https://a@@big.com/`` cannot mint a fresh host
+    either; the class excludes ``/?#`` so an ``@`` later in the path or
+    query can never be mistaken for userinfo."""
     c = F.col(url_col) if isinstance(url_col, str) else url_col
     return F.lower(F.regexp_extract(
-        c, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
+        c, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1))
 
 
 def host_stats(pages: DataFrame, url_col: str = "url",

@@ -89,6 +89,11 @@ def merge_adjacent(classified: DataFrame) -> DataFrame:
       <div><p>..</p></div>).  A separator between them occupies its own
       seq, so barriers hold by construction.
     """
+    # pre-r4 staged s2 tables predate the rehomed column (kernel schema
+    # addition): default it rather than crash the resume two stages
+    # before export_xml's own missing-column guard would apply
+    if "rehomed" not in classified.columns:
+        classified = classified.withColumn("rehomed", F.lit(False))
     w = _SEQ_WIN()
     prev = lambda c: F.lag(c).over(w)  # noqa: E731
     both_p_single = (

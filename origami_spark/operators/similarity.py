@@ -225,6 +225,18 @@ def _exact_rerank(cand: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _round6(col):
+    """Quantize a double to 6 decimals as ``floor(x*1e6 + 0.5)/1e6`` —
+    chosen over F.round because all three engines in play compute this
+    exact double expression bit-for-bit (Spark floor, numpy floor,
+    DuckDB floor), so half-boundary direction can never diverge between
+    the kernel, the relational form, and the DuckDB oracle.  F.round on
+    doubles goes through BigDecimal HALF_UP on the shortest decimal
+    repr, which numpy/DuckDB cannot reproduce at boundaries (verified:
+    round(0.0005045, 6) differs between Spark and numpy/DuckDB)."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
 def assign_ivf(emb: DataFrame, centroids, c_sq, clusters) -> DataFrame:
     """Serving-time cluster assignment as one Arrow matmul per batch
     over the broadcast centroid matrix — no Exchange, no Sort, no
@@ -233,12 +245,13 @@ def assign_ivf(emb: DataFrame, centroids, c_sq, clusters) -> DataFrame:
 
     Bit-compatible with the relational window-argmin the DuckDB oracle
     runs: the dot product accumulates left-to-right per dimension
-    (`_seq_dot`, the list_sum fold order), the distance is rounded
-    half-away-from-zero at 6 decimals, and numpy's first-minimum argmin
-    over centroid columns sorted by cluster id IS the lowest-cluster-id
-    tie-break.  ``centroids``: (k, dim) float64 ordered by cluster id;
-    ``c_sq``: (k,) squared norms; ``clusters``: the cluster ids in the
-    same order (argmin index -> id)."""
+    (`_seq_dot`, the list_sum fold order), the distance quantizes via
+    the shared ``floor(x*1e6+0.5)/1e6`` form (`_round6` — identical
+    double ops in numpy, Spark, and DuckDB), and numpy's first-minimum
+    argmin over centroid columns sorted by cluster id IS the
+    lowest-cluster-id tie-break.  ``centroids``: (k, dim) float64
+    ordered by cluster id; ``c_sq``: (k,) squared norms; ``clusters``:
+    the cluster ids in the same order (argmin index -> id)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -252,7 +265,7 @@ def assign_ivf(emb: DataFrame, centroids, c_sq, clusters) -> DataFrame:
             return pd.Series([], dtype="int32")
         x = np.asarray(col.tolist(), dtype=np.float64)      # (n, dim)
         d = sq - 2.0 * _seq_dot(x, mat)                     # (n, k)
-        d = np.copysign(np.floor(np.abs(d) * 1e6 + 0.5), d) / 1e6
+        d = np.floor(d * 1e6 + 0.5) / 1e6                   # == _round6
         return pd.Series(ids[d.argmin(axis=1)])
 
     return emb.withColumn("cluster", assign("embedding"))
@@ -314,7 +327,7 @@ def ivf_topk_served(emb: DataFrame, centroids_df: DataFrame, query_ids,
     )
     scored_q = q.crossJoin(F.broadcast(centroids_df)).select(
         F.col("vec_id").alias("query_id"), "cluster",
-        F.round(F.col("c_sq") - 2.0 * dot, 6).alias("dist"),
+        _round6(F.col("c_sq") - 2.0 * dot).alias("dist"),
     )
     aw = Window.partitionBy("query_id").orderBy("dist", "cluster")
     probes = (
@@ -347,7 +360,7 @@ def _ivf_topk_served_relational(emb: DataFrame, centroids_df: DataFrame,
     )
     scored = e.crossJoin(F.broadcast(centroids_df)).select(
         "vec_id", "embedding", "cluster",
-        F.round(F.col("c_sq") - 2.0 * dot, 6).alias("dist"),
+        _round6(F.col("c_sq") - 2.0 * dot).alias("dist"),
     )
     aw = Window.partitionBy("vec_id").orderBy("dist", "cluster")
     ranked = scored.withColumn("ark", F.row_number().over(aw))

@@ -63,20 +63,6 @@ def _dir_is_bucketed(path: str, files: list | None = None) -> bool:
     return bool(files) and all(_BUCKET_FILE_RE.search(f) for f in files)
 
 
-def _bucket_ids_of(files: list) -> set:
-    """Distinct bucket ids carried in bucket-suffixed data file names
-    (`..._NNNNN.c000...`) — the files' own testimony of the count they
-    were hashed with."""
-    import re
-
-    ids = set()
-    for f in files:
-        m = re.search(r"_(\d{5})\.", os.path.basename(f))
-        if m:
-            ids.add(int(m.group(1)))
-    return ids
-
-
 def _bucket_meta_path(work_dir: str, name: str) -> str:
     from .snapshots import SNAPSHOT_DIR
 
@@ -189,17 +175,17 @@ def _prepare_bucketed_write(spark: SparkSession, work_dir: str, name: str,
         return None  # mixed layout would lie to the planner
     if recorded is None:
         # catalog entry AND recorded spec both gone, but bucket-suffixed
-        # files survive: the only remaining witness of the count the
-        # files were hashed with is the files themselves.  Registering
-        # the CALLER's count here would be the same silent-join-loss
-        # hazard the tableExists branch guards against (ADVICE r3) —
-        # accept it only when the file evidence fully corroborates it
-        # (every bucket id 0..buckets-1 present, none beyond); anything
-        # weaker downgrades this run to plain appends, which the
-        # manifest reader handles correctly, just without the layout.
-        ids = _bucket_ids_of(files)
-        if ids != set(range(effective)):
-            return None
+        # files survive: registering the CALLER's count here would be
+        # the same silent-join-loss hazard the tableExists branch guards
+        # against (ADVICE r3).  The files' own bucket-id suffixes are
+        # only a LOWER bound on the count they were hashed with — a
+        # mod-16 table whose small key set happens to occupy ids 0..7
+        # is indistinguishable from a mod-8 table — so no argument is
+        # provable and the only safe move is to refuse: this and all
+        # later appends downgrade to plain parquet, which the manifest
+        # reader handles correctly (the bucket layout is lost, never
+        # the data; reset the stage to re-bucket).
+        return None
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in result.schema.fields)
     spark.sql(

@@ -226,13 +226,15 @@ def test_bucket_count_is_recorded_and_wins_on_resume(spark, tmp_path):
     assert _recorded_bucket_spec(wd, "s2_blocks") is None
 
 
-def test_lost_spec_reregisters_only_corroborated_count(spark, tmp_path):
+def test_lost_spec_refuses_reregistration(spark, tmp_path):
     """When BOTH the catalog entry and the recorded bucket spec are
-    gone but bucket-suffixed files survive, the caller's --buckets
-    argument must not be registered over files possibly hashed with a
-    different count (the silent-join-loss hazard, ADVICE r3): the count
-    is accepted only when the files' own bucket-id suffixes fully
-    corroborate it; otherwise the write downgrades to plain."""
+    gone but bucket-suffixed files survive, NO count may be registered
+    over them (the silent-join-loss hazard, ADVICE r3): the files'
+    bucket-id suffixes are only a lower bound on the count they were
+    hashed with (a mod-16 table whose keys occupy ids 0..7 looks like a
+    mod-8 table), so even the true count is refused and the write
+    downgrades to plain — correct reads via the manifest, layout lost,
+    reset to re-bucket."""
     import os
 
     import pyspark.sql.functions as F
@@ -256,17 +258,13 @@ def test_lost_spec_reregisters_only_corroborated_count(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     assert not os.path.exists(_bucket_meta_path(wd, name))
 
-    # a count the mod-4 files cannot corroborate -> refused (plain)
-    assert _prepare_bucketed_write(spark, wd, name, df, "url", 8) is None
-    assert not spark.catalog.tableExists(tbl)
-    assert _recorded_bucket_spec(wd, name) is None
-
-    # the true count: every bucket id 0..3 present, none beyond ->
-    # re-registered and re-recorded
-    assert _prepare_bucketed_write(spark, wd, name, df, "url", 4) == 4
-    assert spark.catalog.tableExists(tbl)
-    assert _recorded_bucket_spec(wd, name)["buckets"] == 4
-    assert spark.table(tbl).count() == 200
+    # neither a wrong count NOR the true one is provable from files —
+    # both refuse (downgrade to plain), nothing registered or recorded
+    for requested in (8, 4):
+        assert _prepare_bucketed_write(
+            spark, wd, name, df, "url", requested) is None, requested
+        assert not spark.catalog.tableExists(tbl)
+        assert _recorded_bucket_spec(wd, name) is None
 
 
 def test_bucketed_stage_stays_bucketed_when_flag_omitted(spark, tmp_path):

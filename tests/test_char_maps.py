@@ -97,7 +97,8 @@ _ENTITY_SOUP = st.text(
 def test_map_normalization_equals_normalize_text(raw):
     """The mapped normalization IS normalize_text — on arbitrary entity
     soup, including truncated/bogus references and whitespace runs."""
-    norm, offs = _normalize_with_map([(raw, (0, len(raw.encode("utf-8"))))])
+    data = raw.encode("utf-8")
+    norm, offs = _normalize_with_map([(raw, (0, len(data)))], data)
     assert norm == normalize_text(raw)
     assert len(offs) == len(norm)
 
@@ -107,15 +108,47 @@ def test_map_normalization_equals_normalize_text(raw):
 def test_map_normalization_multi_piece(pieces):
     """Multi-piece lines (inline elements): same equality, with spans
     assigned consecutively and span-less pieces interleaved."""
-    built, pos = [], 0
+    built, pos, data = [], 0, b""
     for text, has_span in pieces:
-        n = len(text.encode("utf-8"))
-        built.append((text, (pos, pos + n) if has_span else None))
-        pos += n
+        b = text.encode("utf-8")
+        built.append((text, (pos, pos + len(b)) if has_span else None))
+        pos += len(b)
+        data += b
     raw = "".join(t for t, _ in built)
-    norm, offs = _normalize_with_map(built)
+    norm, offs = _normalize_with_map(built, data)
     assert norm == normalize_text(raw)
     assert len(offs) == len(norm)
+
+
+def test_invalid_utf8_offsets_stay_byte_exact():
+    """A replacement char (3 bytes re-encoded) standing in for a 1-byte
+    invalid sequence must not shift every later offset (+2 drift bug,
+    round-4 review finding): offsets are derived from the raw BYTES, so
+    each mapped char's offset points at its own source byte."""
+    h = b"<html><body><p>ab\x80cd efgh</p></body></html>"
+    (b,) = [x for x in extract_page(h, char_maps=True) if x.label == "TEXT"]
+    line, cm, (s, e, _l) = b.text, b.char_maps[0], b.line_spans[0]
+    assert len(cm) == len(line)
+    assert all(s <= o < e for o in cm)
+    for ch in "abcdefgh":
+        assert h[cm[line.index(ch)]:cm[line.index(ch)] + 1] == ch.encode()
+    # the replacement char maps to the offending byte itself
+    assert h[cm[line.index("�")]] == 0x80
+
+
+@given(st.binary(max_size=48))
+@settings(max_examples=300, deadline=None)
+def test_invalid_bytes_fuzz_offsets_in_bounds(data):
+    """Arbitrary byte soup through the replace-decode path: the mapped
+    text equals normalize_text of the replace-decoded slice and every
+    known offset is monotone non-decreasing and in-bounds."""
+    text = data.decode("utf-8", "replace")
+    norm, offs = _normalize_with_map([(text, (0, len(data)))], data)
+    assert norm == normalize_text(text)
+    assert len(offs) == len(norm)
+    known = [o for o in offs if o >= 0]
+    assert known == sorted(known)
+    assert all(0 <= o < max(len(data), 1) for o in known)
 
 
 def test_goldens_unaffected_by_flag():
