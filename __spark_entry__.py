@@ -424,6 +424,21 @@ def dedup_minhash_lsh(spark, sf):
     return D.minhash_lsh_candidates(_t(spark, sf, "documents"), n=3, k=16, bands=4)
 
 
+def dedup_components(spark, sf):
+    """Near-dup CLUSTERS from candidate pairs: alternating large/small
+    star connected components (operators/components.py, Kiveris et al.
+    2014) over the minhash banding graph, every document labeled with
+    its cluster's min doc_id plus the cluster size.  The oracle is a
+    DuckDB recursive CTE propagating min labels over the same pairs."""
+    from origami_spark.operators.components import connected_components
+
+    docs = _t(spark, sf, "documents")
+    cand = D.minhash_lsh_candidates(docs, n=3, k=16, bands=4)
+    comp = connected_components(cand, nodes=docs.select("doc_id"))
+    size = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return comp.join(size, "component").select("doc_id", "component", "csize")
+
+
 def dedup_substring(spark, sf):
     # exact repeated-substring pairs (Lee et al. 2022 shape) via
     # alignment-free winnowing fingerprints; max_df bounds the hot-key
@@ -883,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_components": dedup_components,
         "dedup_simhash": dedup_simhash,
         "dedup_substring": dedup_substring,
         "dedup_span_removal": dedup_span_removal,
@@ -1454,6 +1470,44 @@ def oracle_sql() -> dict[str, str]:
             FROM buckets a JOIN buckets b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id""",
+        # near-dup clusters: the minhash banding pairs (CTEs identical
+        # to dedup_minhash_lsh) fed through a recursive min-label
+        # propagation — label L spreads along an edge into node v only
+        # while L < v (a label >= v can never be v's component min, and
+        # the true min m < every other member, so its path is never
+        # pruned); min(label) per node == the alternating-star result
+        "dedup_components": f"""
+            WITH RECURSIVE {_shingle_cte(3)},
+            mh AS (
+              SELECT doc_id, i,
+                     min({_H60.format(x="CAST(i AS VARCHAR) || '|' || shingle")}) AS mh
+              FROM shingles, LATERAL unnest(range(0, 16)) AS r(i)
+              GROUP BY doc_id, i),
+            buckets AS (
+              SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                     string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+              FROM mh GROUP BY doc_id, band),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            e AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+            reach(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, r.label
+              FROM reach r JOIN e ON e.u = r.node
+              WHERE r.label < e.v),
+            comp AS (
+              SELECT node AS doc_id, min(label) AS component
+              FROM reach GROUP BY node)
+            SELECT doc_id, component,
+                   count(*) OVER (PARTITION BY component) AS csize
+            FROM comp""",
         # winnowing fingerprints (shared CTE below): window-min hash ->
         # distinct fingerprint grams, df<=5 cutoff, equality join
         # (mirrors substring_dup_pairs)

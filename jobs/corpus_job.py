@@ -63,6 +63,7 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
 
     from origami_spark.operators import dedup as D
     from origami_spark.operators import text as T
+    from origami_spark.operators.components import keep_one_per_component
     from origami_spark.pipeline import extract_fused
     from origami_spark.sinks import export_jsonl
 
@@ -116,20 +117,20 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
     if near_dup:
         # MinHash near-dup pruning over a 60-bit url-hash id (Arrow
         # kernel signatures).  Candidates are VERIFIED (estimated
-        # jaccard >= 0.5 via signature agreement) before the greedy
-        # keep-min drop — raw banding candidates carry false positives
-        # and would delete unrelated documents
+        # jaccard >= 0.5 via signature agreement) before any drop —
+        # raw banding candidates carry false positives and would
+        # delete unrelated documents.  The drop itself is cluster
+        # keep-one (connected components, operators/components.py):
+        # with chained near-dups a~b~c, exactly one survivor per
+        # CLUSTER remains, where the former greedy any-pair rule
+        # could keep two transitive near-dups of each other
         ids = uniq.select(
             T.portable_hash60(F.col("doc_id")).alias("nid"), "doc_id", "text")
         cand = D.minhash_lsh_candidates(
             ids.select(F.col("nid").alias("doc_id"), "text"),
             min_sig_agreement=0.5)
-        drop = cand.select(F.col("doc_b").alias("nid")).distinct()
-        uniq = (
-            ids.join(drop, "nid", "left_anti")
-            .select("doc_id", "text")
-            .cache()
-        )
+        kept_ids = keep_one_per_component(ids, cand, id_col="nid")
+        uniq = kept_ids.select("doc_id", "text").cache()
         cached.append(uniq)
         counts["after_near_dup"] = uniq.count()
 
