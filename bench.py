@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_repetition",
     "dedup_paragraphs",
+    "dedup_components",
     "host_stats",
 ]
 
