@@ -424,6 +424,20 @@ def dedup_minhash_lsh(spark, sf):
     return D.minhash_lsh_candidates(_t(spark, sf, "documents"), n=3, k=16, bands=4)
 
 
+def dedup_incremental(spark, sf):
+    """Incremental near-dup against a persisted signature index
+    (operators/dedup.py signature_index/incremental_candidates): the
+    corpus (doc_id % 4 != 0) is indexed once; the arriving batch
+    (doc_id % 4 == 0) emits only pairs touching the batch — corpus
+    pairs amortized away.  Banding identical to dedup_minhash_lsh, so
+    the oracle reuses its CTEs with the split as join predicates."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    idx = D.signature_index(corpus)
+    return D.incremental_candidates(batch, idx)
+
+
 def dedup_components(spark, sf):
     """Near-dup CLUSTERS from candidate pairs: alternating large/small
     star connected components (operators/components.py, Kiveris et al.
@@ -898,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_incremental": dedup_incremental,
         "dedup_components": dedup_components,
         "dedup_simhash": dedup_simhash,
         "dedup_substring": dedup_substring,
@@ -1469,6 +1484,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM buckets a JOIN buckets b
               ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id""",
+        # incremental near-dup: the same banding CTEs as
+        # dedup_minhash_lsh, with the corpus/batch split expressed as
+        # join predicates — 'corpus' pairs an indexed doc with a batch
+        # doc (either id may be smaller), 'batch' pairs two batch docs
+        "dedup_incremental": f"""
+            WITH {_shingle_cte(3)},
+            mh AS (
+              SELECT doc_id, i,
+                     min({_H60.format(x="CAST(i AS VARCHAR) || '|' || shingle")}) AS mh
+              FROM shingles, LATERAL unnest(range(0, 16)) AS r(i)
+              GROUP BY doc_id, i),
+            buckets AS (
+              SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                     string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+              FROM mh GROUP BY doc_id, band)
+            SELECT DISTINCT c.doc_id AS doc_a, b.doc_id AS doc_b,
+                   'corpus' AS kind
+            FROM buckets c JOIN buckets b
+              ON c.band = b.band AND c.bucket = b.bucket
+             AND c.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+             AND c.doc_id <> b.doc_id
+            UNION ALL
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   'batch' AS kind
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id % 4 = 0 AND b.doc_id % 4 = 0
              AND a.doc_id < b.doc_id""",
         # near-dup clusters: the minhash banding pairs (CTEs identical
         # to dedup_minhash_lsh) fed through a recursive min-label

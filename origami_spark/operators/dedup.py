@@ -220,6 +220,30 @@ def minhash_signatures_kernel(docs: DataFrame, n: int = 3,
     )
 
 
+def _banded(sigs: DataFrame, k: int, bands: int,
+            keep_sig: bool = False) -> DataFrame:
+    """(doc_id, sig) -> one row per (doc_id, band) with the band's
+    minhash slice serialized as the LSH bucket key; ``keep_sig``
+    carries the full signature along (the index/verification shape)."""
+    rows_per_band = k // bands
+    cols = ["doc_id", "band",
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("sig", F.col("band") * rows_per_band + j + 1)
+                    .cast("string")
+                    for j in range(rows_per_band)
+                ],
+            ).alias("bucket")]
+    if keep_sig:
+        cols.append(F.col("sig"))
+    return sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).select(*cols)
+
+
 def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
                            bands: int = 4, use_kernel: bool = True,
                            min_sig_agreement: float | None = None,
@@ -249,25 +273,10 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
     None (default) keeps exact all-pairs semantics.  Residual skew
     below the cap is AQE's job — tests/test_skew.py plants a hot
     bucket and asserts the adaptive skew-join split actually fires."""
-    rows_per_band = k // bands
     sigs = _tracked_cache(
         (minhash_signatures_kernel if use_kernel
          else minhash_signatures)(docs, n, k))
-    banded = sigs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        "sig",
-    ).select(
-        "doc_id",
-        "band",
-        F.concat_ws(
-            ",",
-            *[
-                F.element_at("sig", F.col("band") * rows_per_band + j + 1).cast("string")
-                for j in range(rows_per_band)
-            ],
-        ).alias("bucket"),
-    )
+    banded = _banded(sigs, k, bands)
     if max_bucket is not None:
         stats = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_bn"), F.min("doc_id").alias("_rep"))
@@ -308,6 +317,108 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
         .filter(F.col("sig_agreement") >= min_sig_agreement)
         .select("doc_a", "doc_b", "sig_agreement")
     )
+
+
+def signature_index(docs: DataFrame, n: int = 3, k: int = 16,
+                    bands: int = 4, use_kernel: bool = True) -> DataFrame:
+    """The PERSISTABLE near-dup index: one row per (doc, band) with the
+    LSH bucket key and the full signature — ``(doc_id, band, bucket,
+    sig)``.  At 100 TB a new crawl batch must not recompute the whole
+    corpus's signatures: write this once (per corpus snapshot), then
+    dedup each arriving batch with ``incremental_candidates`` /
+    ``incremental_keep``, appending the survivors' index rows.  Stored
+    as a table bucketed on (band, bucket), the incremental join reads
+    the corpus side with NO exchange — only the new batch shuffles
+    (asserted in tests/test_dedup_incremental.py)."""
+    sigs = (minhash_signatures_kernel if use_kernel
+            else minhash_signatures)(docs, n, k)
+    return _banded(sigs, k, bands, keep_sig=True)
+
+
+def incremental_candidates(new_docs: DataFrame, index: DataFrame,
+                           n: int = 3, k: int = 16, bands: int = 4,
+                           use_kernel: bool = True,
+                           min_sig_agreement: float | None = None
+                           ) -> DataFrame:
+    """Near-dup candidates TOUCHING a new batch only, against a
+    prebuilt ``signature_index``: ``(doc_a, doc_b, kind)`` where
+    ``kind='corpus'`` pairs an indexed doc (doc_a) with a new doc
+    (doc_b), and ``kind='batch'`` pairs two new docs (doc_a < doc_b).
+    Banding is per-doc deterministic, so the union of both kinds equals
+    the pairs a full-corpus ``minhash_lsh_candidates`` run would emit
+    restricted to pairs touching the batch (asserted in tests) — the
+    corpus×corpus quadrant is exactly the work the index amortizes
+    away.  ``min_sig_agreement`` verifies pairs from the carried
+    signatures (same estimator as minhash_lsh_candidates), appending a
+    ``sig_agreement`` column.  A re-crawled doc_id (present in both the
+    index and the batch) pairs with itself only if contents still
+    collide — callers wanting keep-newest semantics should digest-dedup
+    first (streaming/corpus.py does)."""
+    new_idx = _tracked_cache(signature_index(
+        new_docs, n, k, bands, use_kernel=use_kernel))
+    cross = (
+        index.alias("c").join(new_idx.alias("b"), ["band", "bucket"])
+        .filter(F.col("c.doc_id") != F.col("b.doc_id"))
+        .select(F.col("c.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("c.sig").alias("sa"), F.col("b.sig").alias("sb"))
+        .withColumn("kind", F.lit("corpus"))
+    )
+    within = (
+        new_idx.alias("a").join(new_idx.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sa"), F.col("b.sig").alias("sb"))
+        .withColumn("kind", F.lit("batch"))
+    )
+    cand = cross.unionByName(within).dropDuplicates(
+        ["doc_a", "doc_b", "kind"])
+    if min_sig_agreement is None:
+        return cand.select("doc_a", "doc_b", "kind")
+    agree = (
+        F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y),
+                        lambda m: m)).cast("double") / k
+    )
+    return (
+        cand.withColumn("sig_agreement", F.round(agree, 4))
+        .filter(F.col("sig_agreement") >= min_sig_agreement)
+        .select("doc_a", "doc_b", "kind", "sig_agreement")
+    )
+
+
+def incremental_keep(new_docs: DataFrame, index: DataFrame,
+                     id_col: str = "doc_id", n: int = 3, k: int = 16,
+                     bands: int = 4, use_kernel: bool = True,
+                     min_sig_agreement: float | None = 0.5) -> DataFrame:
+    """The incremental dedup DECISION: batch docs surviving against the
+    corpus index and each other.  A new doc near any indexed doc drops
+    (the corpus copy wins — keep-first-in-time); the remainder resolve
+    within-batch clusters to one survivor via connected components.
+    Within-batch pairs whose endpoint already dropped against the
+    corpus are excluded from the clustering, so a doc near ONLY a
+    corpus-dropped doc still survives (it has no surviving near-dup).
+    Defaults verify candidates (sig agreement >= 0.5); pass
+    ``min_sig_agreement=None`` only when the index was built from
+    already-verified duplicates."""
+    from .components import keep_one_per_component
+
+    cand = _tracked_cache(incremental_candidates(
+        new_docs, index, n, k, bands, use_kernel=use_kernel,
+        min_sig_agreement=min_sig_agreement))
+    corpus_hit = (
+        cand.filter(F.col("kind") == "corpus")
+        .select(F.col("doc_b").alias(id_col)).distinct()
+    )
+    rest = new_docs.join(corpus_hit, id_col, "left_anti")
+    alive = rest.select(F.col(id_col))
+    pairs = (
+        cand.filter(F.col("kind") == "batch")
+        .join(alive.withColumnRenamed(id_col, "doc_a"), "doc_a", "semi")
+        .join(alive.withColumnRenamed(id_col, "doc_b"), "doc_b", "semi")
+        .select("doc_a", "doc_b")
+    )
+    return keep_one_per_component(rest, pairs, id_col=id_col)
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
