@@ -47,6 +47,11 @@ def main(argv=None):
                          "partitions keep-newest-per-url into this dir "
                          "(closes the documented cross-batch re-crawl "
                          "duplicate window)")
+    ap.add_argument("--near-dup-index", default=None,
+                    help="signature-index dir for continuous cross-batch "
+                         "near-dup: each micro-batch dedups against the "
+                         "accumulated index and appends its survivors' "
+                         "signatures (dedup.signature_index rows)")
     ap.add_argument("--timeout", type=int, default=0,
                     help="stop after N seconds (0 = run forever)")
     args = ap.parse_args(argv)
@@ -74,6 +79,7 @@ def main(argv=None):
         trigger_seconds=args.trigger,
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=args.drain,
+        near_dup_index_dir=args.near_dup_index,
     )
     # --timeout bounds BOTH modes (a huge backlog drain included):
     # wait up to N seconds, then stop whatever is in flight

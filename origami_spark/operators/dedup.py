@@ -338,7 +338,8 @@ def signature_index(docs: DataFrame, n: int = 3, k: int = 16,
 def incremental_candidates(new_docs: DataFrame, index: DataFrame,
                            n: int = 3, k: int = 16, bands: int = 4,
                            use_kernel: bool = True,
-                           min_sig_agreement: float | None = None
+                           min_sig_agreement: float | None = None,
+                           new_index: DataFrame | None = None
                            ) -> DataFrame:
     """Near-dup candidates TOUCHING a new batch only, against a
     prebuilt ``signature_index``: ``(doc_a, doc_b, kind)`` where
@@ -353,9 +354,13 @@ def incremental_candidates(new_docs: DataFrame, index: DataFrame,
     ``sig_agreement`` column.  A re-crawled doc_id (present in both the
     index and the batch) pairs with itself only if contents still
     collide — callers wanting keep-newest semantics should digest-dedup
-    first (streaming/corpus.py does)."""
-    new_idx = _tracked_cache(signature_index(
-        new_docs, n, k, bands, use_kernel=use_kernel))
+    first (streaming/corpus.py does).  ``new_index`` supplies the
+    batch's own ``signature_index`` rows when the caller already
+    computed them (the streaming sink signs each batch once for both
+    the dedup and the index append)."""
+    new_idx = _tracked_cache(
+        new_index if new_index is not None
+        else signature_index(new_docs, n, k, bands, use_kernel=use_kernel))
     cross = (
         index.alias("c").join(new_idx.alias("b"), ["band", "bucket"])
         .filter(F.col("c.doc_id") != F.col("b.doc_id"))
@@ -390,7 +395,8 @@ def incremental_candidates(new_docs: DataFrame, index: DataFrame,
 def incremental_keep(new_docs: DataFrame, index: DataFrame,
                      id_col: str = "doc_id", n: int = 3, k: int = 16,
                      bands: int = 4, use_kernel: bool = True,
-                     min_sig_agreement: float | None = 0.5) -> DataFrame:
+                     min_sig_agreement: float | None = 0.5,
+                     new_index: DataFrame | None = None) -> DataFrame:
     """The incremental dedup DECISION: batch docs surviving against the
     corpus index and each other.  A new doc near any indexed doc drops
     (the corpus copy wins — keep-first-in-time); the remainder resolve
@@ -405,7 +411,7 @@ def incremental_keep(new_docs: DataFrame, index: DataFrame,
 
     cand = _tracked_cache(incremental_candidates(
         new_docs, index, n, k, bands, use_kernel=use_kernel,
-        min_sig_agreement=min_sig_agreement))
+        min_sig_agreement=min_sig_agreement, new_index=new_index))
     corpus_hit = (
         cand.filter(F.col("kind") == "corpus")
         .select(F.col("doc_b").alias(id_col)).distinct()

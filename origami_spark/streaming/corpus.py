@@ -12,10 +12,14 @@ Per-document stages (extraction, gating) are stateless maps, so they
 compose into the stream unchanged — the SAME operators the batch job
 and the driver queries verify, not reimplementations.  Dedup carries
 the only state: one (digest, ts) pair per distinct doc inside the
-watermark horizon (ingest.stream_exact_dedup).  Corpus-WIDE stages
-(paragraph dedup, near-dup banding) are batch jobs by nature — run
-them as periodic compactions over the landed output, exactly like the
-reference's staged artifact model.
+watermark horizon (ingest.stream_exact_dedup).  NEAR-dup is continuous
+too when ``near_dup_index_dir`` is set: each micro-batch runs
+``dedup.incremental_keep`` against a persisted signature index and
+appends its survivors' signatures — the corpus quadrant never
+recomputes, so per-batch cost stays proportional to the batch.
+Remaining corpus-WIDE stages (paragraph dedup) are batch jobs by
+nature — run them as periodic compactions over the landed output,
+exactly like the reference's staged artifact model.
 
 Sink idempotence: every micro-batch overwrites its own ``batch_id=N``
 subdirectory, so replays after a crash land in place instead of
@@ -42,6 +46,8 @@ def stream_corpus(
     trigger_seconds: int = 10,
     max_files_per_trigger: int = 64,
     available_now: bool = False,
+    near_dup_index_dir: str | None = None,
+    min_sig_agreement: float = 0.5,
 ):
     """Start the continuous corpus query; returns the handle.
 
@@ -60,6 +66,17 @@ def stream_corpus(
     :func:`compact_corpus`, which folds the landed partitions
     keep-newest — the same periodic-compaction slot that owns
     paragraph/near-dup passes.
+
+    ``near_dup_index_dir``: continuous CROSS-batch near-dup.  Each
+    micro-batch is signed once (Arrow minhash kernel over a 60-bit
+    url-hash id), deduped against the signature index accumulated from
+    every earlier batch's survivors (corpus copy wins; within-batch
+    clusters keep one via connected components), and the surviving
+    rows' signatures land under ``batch_id=N`` in the index dir — the
+    same overwrite-own-partition idempotence as the sink, so a crash
+    replay re-lands batch N's index rows in place.  A replayed doc
+    never drops against its own earlier index row (the candidate
+    filter excludes identical ids).
     """
     from ..operators.text import quality_score
 
@@ -103,10 +120,17 @@ def stream_corpus(
                         & (F.col("n_tokens") >= min_tokens))
                 .select("url", "text", "warc_ts", "n_tokens", "quality")
             )
+            if near_dup_index_dir is not None:
+                gated = _near_dup_against_index(
+                    spark, gated, near_dup_index_dir, batch_id,
+                    min_sig_agreement)
             gated.write.mode("overwrite").parquet(
                 f"{out_dir}/batch_id={batch_id}")
         finally:
             extracted.unpersist()
+            from ..operators.dedup import release_caches
+
+            release_caches()
 
     # the dedup must run INSIDE the streaming plan (it is the stateful
     # part); extraction/gating run per micro-batch in the sink so the
@@ -120,6 +144,48 @@ def stream_corpus(
                                  watermark=watermark)
     return start_stream_sink(deduped, sink, checkpoint_dir,
                              trigger_seconds, available_now)
+
+
+_INDEX_SCHEMA = "doc_id bigint, band int, bucket string, sig array<bigint>"
+
+
+def _near_dup_against_index(spark: SparkSession, gated: DataFrame,
+                            index_dir: str, batch_id: int,
+                            min_sig_agreement: float) -> DataFrame:
+    """One micro-batch of continuous near-dup: keep gated rows that
+    survive ``incremental_keep`` against the accumulated signature
+    index, then land the survivors' signature rows under this batch's
+    own ``batch_id=N`` partition (idempotent on replay).  The batch is
+    signed exactly once — the same rows feed the dedup and the index
+    append.  Returns the surviving gated rows."""
+    from ..operators.dedup import incremental_keep, signature_index
+    from ..operators.text import portable_hash60
+
+    ids = gated.select(
+        portable_hash60(F.col("url")).alias("doc_id"), "url", "text")
+    new_idx = signature_index(ids.select("doc_id", "text"))
+    from pyspark.errors import AnalysisException
+
+    try:
+        corpus_idx = spark.read.schema(_INDEX_SCHEMA).parquet(index_dir) \
+            .select("doc_id", "band", "bucket", "sig")
+        # read BEFORE overwriting our own partition below; a replayed
+        # batch's earlier rows are excluded by the identical-id filter
+    except AnalysisException:   # first batch: no index dir yet
+        corpus_idx = spark.createDataFrame([], _INDEX_SCHEMA)
+    surv = incremental_keep(ids, corpus_idx, id_col="doc_id",
+                            min_sig_agreement=min_sig_agreement,
+                            new_index=new_idx).cache()
+    try:
+        (new_idx.join(surv.select("doc_id"), "doc_id")
+         .write.mode("overwrite")
+         .parquet(f"{index_dir}/batch_id={batch_id}"))
+        return gated.join(surv.select("url"), "url", "semi") \
+            .localCheckpoint(eager=True)
+        # eager: materialize the kept rows while surv's cache is live —
+        # the caller writes AFTER release_caches() would drop it
+    finally:
+        surv.unpersist()
 
 
 def compact_corpus(spark: SparkSession, out_dir: str,

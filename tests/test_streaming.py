@@ -313,3 +313,76 @@ def test_stream_corpus_same_url_different_bytes_keeps_newest(spark, tmp_path):
     newer = {r["url"]: r["warc_ts"] for r in recrawl.collect()}
     for r in got.filter(F.col("url").isin(*newer.keys())).collect():
         assert r["warc_ts"] == newer[r["url"]], r["url"]
+
+
+def test_stream_corpus_continuous_near_dup_index(spark, tmp_path):
+    """Cross-batch NEAR-dup with the persisted signature index: a later
+    batch re-serving pages whose html differs only by a comment (new
+    digest -> passes exact dedup; identical extracted text -> signature
+    agreement 1.0) must not land again; genuinely new pages must.
+    Within one batch, two comment-variants of the same new page keep
+    exactly one.  The index accumulates one batch_id partition per
+    drain, holding survivors only."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.streaming.corpus import stream_corpus
+
+    land = str(tmp_path / "nd_land")
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+    idx = str(tmp_path / "nd_index")
+
+    pages = pages_df(spark, 15, num_partitions=1).cache()
+    first = pages.limit(10).cache()
+    first.write.mode("append").parquet(land)
+    q = stream_corpus(spark, land, out, ckpt, min_tokens=5,
+                      available_now=True, near_dup_index_dir=idx)
+    q.awaitTermination(180)
+    landed1 = spark.read.parquet(out)
+    n1 = landed1.count()
+    assert n1 > 0
+    idx1 = spark.read.parquet(idx)
+    # one signature-index row set per surviving doc (bands x docs)
+    assert idx1.select("doc_id").distinct().count() == n1
+
+    # batch 2: 3 near-dup re-serves (comment-tweaked html, new urls,
+    # newer ts), 2 genuinely new pages, and 2 comment-variants of a
+    # third new page
+    import datetime as dt
+
+    max_ts = pages.agg(F.max("warc_ts")).collect()[0][0]
+    bump = F.lit(max_ts + dt.timedelta(hours=1))
+    tweak = lambda d, tag: (  # noqa: E731
+        d.withColumn("html", F.concat(F.col("html").cast("string"),
+                                      F.lit(f"<!-- {tag} -->"))
+         .cast("binary"))
+        .withColumn("url", F.concat("url", F.lit(f"?{tag}")))
+        .withColumn("warc_ts", bump))
+    first_urls = {r["url"] for r in first.select("url").collect()}
+    fresh = pages.filter(~F.col("url").isin(*first_urls)).cache()
+    assert fresh.count() == 5
+    reserves = tweak(first.limit(3), "v2")
+    new_two = fresh.limit(2).withColumn("warc_ts", bump)
+    third = fresh.subtract(fresh.limit(2)).limit(1)
+    variants = tweak(third, "a").unionByName(tweak(third, "b"))
+    for df in (reserves, new_two, variants):
+        df.write.mode("append").parquet(land)
+
+    q2 = stream_corpus(spark, land, out, ckpt, min_tokens=5,
+                       available_now=True, near_dup_index_dir=idx)
+    q2.awaitTermination(180)
+
+    landed = spark.read.parquet(out).cache()
+    # none of the re-serves landed: their text is identical to an
+    # indexed doc (agreement 1.0)
+    assert landed.filter(F.col("url").endswith("?v2")).count() == 0
+    # both genuinely new pages landed
+    new_urls = {r["url"] for r in new_two.select("url").collect()}
+    assert landed.filter(F.col("url").isin(*new_urls)).count() == 2
+    # the two variants of the third page resolved to ONE survivor
+    assert landed.filter(F.col("url").endswith("?a")
+                         | F.col("url").endswith("?b")).count() == 1
+    # index grew by exactly the batch-2 survivors, in their own partition
+    idx2 = spark.read.parquet(idx)
+    assert idx2.select("doc_id").distinct().count() == landed.count()
+    assert idx2.select(F.input_file_name()).distinct().count() >= 2
