@@ -443,7 +443,10 @@ def dedup_components(spark, sf):
     star connected components (operators/components.py, Kiveris et al.
     2014) over the minhash banding graph, every document labeled with
     its cluster's min doc_id plus the cluster size.  The oracle is a
-    DuckDB recursive CTE propagating min labels over the same pairs."""
+    DuckDB recursive CTE propagating min labels over the same pairs.
+    NB building this frame EXECUTES the clustering loop (per-round
+    eager checkpoints + convergence probes) — the same eager-builder
+    shape as ann_ivf_topk's trainer; plan-only consumers pay the run."""
     from origami_spark.operators.components import connected_components
 
     docs = _t(spark, sf, "documents")

@@ -126,9 +126,13 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
         # could keep two transitive near-dups of each other
         ids = uniq.select(
             T.portable_hash60(F.col("doc_id")).alias("nid"), "doc_id", "text")
+        # max_bucket: the connected-component consumer only needs the
+        # duplicate GROUP connected, so hot buckets emit m-1 star pairs
+        # instead of m(m-1)/2 (the cap is exactly for this consumer —
+        # see minhash_lsh_candidates' docstring)
         cand = D.minhash_lsh_candidates(
             ids.select(F.col("nid").alias("doc_id"), "text"),
-            min_sig_agreement=0.5)
+            min_sig_agreement=0.5, max_bucket=128)
         kept_ids = keep_one_per_component(ids, cand, id_col="nid")
         uniq = kept_ids.select("doc_id", "text").cache()
         cached.append(uniq)

@@ -307,16 +307,25 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
         return cand
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("sig_agreement", _sig_agreement(k))
+        .filter(F.col("sig_agreement") >= min_sig_agreement)
+        .select("doc_a", "doc_b", "sig_agreement")
+    )
+
+
+def _sig_agreement(k: int) -> F.Column:
+    """Fraction of agreeing minhash components between the ``sa`` and
+    ``sb`` signature columns, rounded BEFORE any threshold filter (the
+    oracle-portability rule) — an unbiased Jaccard estimate (MMDS
+    ch.3).  One shared expression so the full-corpus and incremental
+    verification paths can never drift apart."""
     agree = (
         F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y),
                         lambda m: m)).cast("double") / k
     )
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("sig_agreement", F.round(agree, 4))
-        .filter(F.col("sig_agreement") >= min_sig_agreement)
-        .select("doc_a", "doc_b", "sig_agreement")
-    )
+    return F.round(agree, 4)
 
 
 def signature_index(docs: DataFrame, n: int = 3, k: int = 16,
@@ -339,8 +348,8 @@ def incremental_candidates(new_docs: DataFrame, index: DataFrame,
                            n: int = 3, k: int = 16, bands: int = 4,
                            use_kernel: bool = True,
                            min_sig_agreement: float | None = None,
-                           new_index: DataFrame | None = None
-                           ) -> DataFrame:
+                           new_index: DataFrame | None = None,
+                           max_bucket: int | None = None) -> DataFrame:
     """Near-dup candidates TOUCHING a new batch only, against a
     prebuilt ``signature_index``: ``(doc_a, doc_b, kind)`` where
     ``kind='corpus'`` pairs an indexed doc (doc_a) with a new doc
@@ -357,10 +366,52 @@ def incremental_candidates(new_docs: DataFrame, index: DataFrame,
     first (streaming/corpus.py does).  ``new_index`` supplies the
     batch's own ``signature_index`` rows when the caller already
     computed them (the streaming sink signs each batch once for both
-    the dedup and the index append)."""
+    the dedup and the index append).
+
+    ``max_bucket`` bounds hot (band, bucket) keys — the long-running-
+    stream hazard where a templated page family accumulates O(stream
+    lifetime) index rows in one bucket and each new colliding doc pays
+    for all of them.  Index buckets larger than the cap join through
+    their min-doc_id representative row only; batch buckets larger
+    than the cap emit STAR pairs (member vs the bucket's min batch
+    doc).  As with ``minhash_lsh_candidates(max_bucket=...)``, capping
+    preserves the connectivity the keep/connected-component consumer
+    needs but can miss a verification-passing pairing that a capped-
+    away member would have supplied — it is not for exhaustive pair
+    listing."""
     new_idx = _tracked_cache(
         new_index if new_index is not None
         else signature_index(new_docs, n, k, bands, use_kernel=use_kernel))
+    within_small, star = new_idx, None
+    if max_bucket is not None:
+        istats = index.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_in"), F.min("doc_id").alias("_irep"))
+        index = (
+            index.join(istats, ["band", "bucket"])
+            .filter((F.col("_in") <= max_bucket)
+                    | (F.col("doc_id") == F.col("_irep")))
+            .drop("_in", "_irep")
+        )
+        bstats = new_idx.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bn"), F.min("doc_id").alias("_rep"))
+        with_stats = new_idx.join(bstats, ["band", "bucket"])
+        within_small = with_stats.filter(
+            F.col("_bn") <= max_bucket).drop("_bn", "_rep")
+        reps = (
+            with_stats.filter((F.col("_bn") > max_bucket)
+                              & (F.col("doc_id") == F.col("_rep")))
+            .select("band", "bucket", F.col("doc_id").alias("_rid"),
+                    F.col("sig").alias("_rsig"))
+        )
+        members = with_stats.filter(
+            (F.col("_bn") > max_bucket) & (F.col("doc_id") != F.col("_rep")))
+        star = (
+            members.join(reps, ["band", "bucket"])
+            .select(F.col("_rid").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("_rsig").alias("sa"), F.col("sig").alias("sb"))
+            .withColumn("kind", F.lit("batch"))
+        )
     cross = (
         index.alias("c").join(new_idx.alias("b"), ["band", "bucket"])
         .filter(F.col("c.doc_id") != F.col("b.doc_id"))
@@ -370,23 +421,22 @@ def incremental_candidates(new_docs: DataFrame, index: DataFrame,
         .withColumn("kind", F.lit("corpus"))
     )
     within = (
-        new_idx.alias("a").join(new_idx.alias("b"), ["band", "bucket"])
+        within_small.alias("a").join(within_small.alias("b"),
+                                     ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 F.col("a.sig").alias("sa"), F.col("b.sig").alias("sb"))
         .withColumn("kind", F.lit("batch"))
     )
-    cand = cross.unionByName(within).dropDuplicates(
-        ["doc_a", "doc_b", "kind"])
+    cand = cross.unionByName(within)
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["doc_a", "doc_b", "kind"])
     if min_sig_agreement is None:
         return cand.select("doc_a", "doc_b", "kind")
-    agree = (
-        F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y),
-                        lambda m: m)).cast("double") / k
-    )
     return (
-        cand.withColumn("sig_agreement", F.round(agree, 4))
+        cand.withColumn("sig_agreement", _sig_agreement(k))
         .filter(F.col("sig_agreement") >= min_sig_agreement)
         .select("doc_a", "doc_b", "kind", "sig_agreement")
     )
@@ -396,35 +446,45 @@ def incremental_keep(new_docs: DataFrame, index: DataFrame,
                      id_col: str = "doc_id", n: int = 3, k: int = 16,
                      bands: int = 4, use_kernel: bool = True,
                      min_sig_agreement: float | None = 0.5,
-                     new_index: DataFrame | None = None) -> DataFrame:
+                     new_index: DataFrame | None = None,
+                     max_bucket: int | None = None) -> DataFrame:
     """The incremental dedup DECISION: batch docs surviving against the
-    corpus index and each other.  A new doc near any indexed doc drops
-    (the corpus copy wins — keep-first-in-time); the remainder resolve
-    within-batch clusters to one survivor via connected components.
-    Within-batch pairs whose endpoint already dropped against the
-    corpus are excluded from the clustering, so a doc near ONLY a
-    corpus-dropped doc still survives (it has no surviving near-dup).
-    Defaults verify candidates (sig agreement >= 0.5); pass
+    corpus index and each other, under the SAME transitive cluster
+    rule the batch pipeline uses (components.keep_one_per_component):
+    connected components over ALL candidate pairs — corpus and batch
+    edges together.  A component containing any indexed doc keeps its
+    corpus copy, so every batch member drops (including one whose only
+    link to the corpus runs THROUGH another dropped batch doc — chain
+    corpus~A, A~B drops both A and B, matching 'a chain is ONE
+    cluster'); a corpus-free component keeps exactly its min-id batch
+    doc.  Defaults verify candidates (sig agreement >= 0.5); pass
     ``min_sig_agreement=None`` only when the index was built from
     already-verified duplicates."""
-    from .components import keep_one_per_component
+    from .components import connected_components
 
     cand = _tracked_cache(incremental_candidates(
         new_docs, index, n, k, bands, use_kernel=use_kernel,
-        min_sig_agreement=min_sig_agreement, new_index=new_index))
-    corpus_hit = (
+        min_sig_agreement=min_sig_agreement, new_index=new_index,
+        max_bucket=max_bucket))
+    comp = _tracked_cache(
+        connected_components(cand.select("doc_a", "doc_b")))
+    corpus_nodes = (
         cand.filter(F.col("kind") == "corpus")
-        .select(F.col("doc_b").alias(id_col)).distinct()
+        .select(F.col("doc_a").alias("doc_id")).distinct()
     )
-    rest = new_docs.join(corpus_hit, id_col, "left_anti")
-    alive = rest.select(F.col(id_col))
-    pairs = (
-        cand.filter(F.col("kind") == "batch")
-        .join(alive.withColumnRenamed(id_col, "doc_a"), "doc_a", "semi")
-        .join(alive.withColumnRenamed(id_col, "doc_b"), "doc_b", "semi")
-        .select("doc_a", "doc_b")
+    tainted = (
+        comp.join(corpus_nodes, "doc_id", "semi")
+        .select("component").distinct()
     )
-    return keep_one_per_component(rest, pairs, id_col=id_col)
+    drop = (
+        comp.join(tainted, "component", "semi").select("doc_id")
+        .unionByName(
+            comp.join(tainted, "component", "left_anti")
+            .filter(F.col("doc_id") != F.col("component"))
+            .select("doc_id"))
+        .withColumnRenamed("doc_id", id_col)
+    )
+    return new_docs.join(drop, id_col, "left_anti")
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:

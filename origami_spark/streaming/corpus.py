@@ -48,6 +48,7 @@ def stream_corpus(
     available_now: bool = False,
     near_dup_index_dir: str | None = None,
     min_sig_agreement: float = 0.5,
+    near_dup_max_bucket: int | None = 128,
 ):
     """Start the continuous corpus query; returns the handle.
 
@@ -123,7 +124,7 @@ def stream_corpus(
             if near_dup_index_dir is not None:
                 gated = _near_dup_against_index(
                     spark, gated, near_dup_index_dir, batch_id,
-                    min_sig_agreement)
+                    min_sig_agreement, near_dup_max_bucket)
             gated.write.mode("overwrite").parquet(
                 f"{out_dir}/batch_id={batch_id}")
         finally:
@@ -151,7 +152,8 @@ _INDEX_SCHEMA = "doc_id bigint, band int, bucket string, sig array<bigint>"
 
 def _near_dup_against_index(spark: SparkSession, gated: DataFrame,
                             index_dir: str, batch_id: int,
-                            min_sig_agreement: float) -> DataFrame:
+                            min_sig_agreement: float,
+                            max_bucket: int | None = 128) -> DataFrame:
     """One micro-batch of continuous near-dup: keep gated rows that
     survive ``incremental_keep`` against the accumulated signature
     index, then land the survivors' signature rows under this batch's
@@ -175,7 +177,13 @@ def _near_dup_against_index(spark: SparkSession, gated: DataFrame,
         corpus_idx = spark.createDataFrame([], _INDEX_SCHEMA)
     surv = incremental_keep(ids, corpus_idx, id_col="doc_id",
                             min_sig_agreement=min_sig_agreement,
-                            new_index=new_idx).cache()
+                            new_index=new_idx,
+                            max_bucket=max_bucket).cache()
+    # max_bucket (default 128) bounds the long-running-stream hazard:
+    # a templated page family below the agreement bar would otherwise
+    # grow one (band, bucket) without limit and each new colliding doc
+    # would pay O(index bucket) — capped buckets join through their
+    # representative, keeping per-batch cost proportional to the batch
     try:
         (new_idx.join(surv.select("doc_id"), "doc_id")
          .write.mode("overwrite")

@@ -89,11 +89,13 @@ def test_incremental_keep_corpus_wins_and_batch_keeps_min(spark):
     assert kept == [11, 13]
 
 
-def test_within_pair_with_corpus_dropped_endpoint_excluded(spark):
-    """X drops against the corpus; Y is near ONLY X (pinned fixture: Y
-    band-collides with X on band 1 while the fake corpus index carries
-    X's band-0 row alone) — the X~Y pair must not drag Y down, Y has no
-    surviving near-dup."""
+def test_chain_through_corpus_dropped_doc_is_one_cluster(spark):
+    """The transitive rule: X drops against the corpus; Y is near ONLY
+    X (pinned fixture: Y band-collides with X on band 1 while the fake
+    corpus index carries X's band-0 row alone).  The chain corpus~X,
+    X~Y is ONE cluster whose survivor is the corpus copy — Y must drop
+    too, exactly as keep_one_per_component would decide over the same
+    observed pairs."""
     batch = _docs(spark, [(0, _X), (1, _X.replace("dog", "wolf"))])
     x_rows = signature_index(batch).filter(
         (F.col("doc_id") == 0) & (F.col("band") == 0))
@@ -104,7 +106,54 @@ def test_within_pair_with_corpus_dropped_endpoint_excluded(spark):
     kept = sorted(r["doc_id"] for r in
                   incremental_keep(batch, fake_idx,
                                    min_sig_agreement=None).collect())
-    assert kept == [1]
+    assert kept == []
+
+
+def test_corpus_free_chain_keeps_min(spark):
+    """A within-batch chain with no corpus contact keeps exactly its
+    min-id member."""
+    batch = _docs(spark, [
+        (5, _X),
+        (6, _X),
+        (7, _X.replace("mat", "rug")),   # collides with _X on bands 2,3
+    ])
+    empty_idx = signature_index(_docs(spark, [])).limit(0)
+    kept = sorted(r["doc_id"] for r in
+                  incremental_keep(batch, empty_idx).collect())
+    assert kept == [5]
+
+
+def test_max_bucket_caps_hot_index_and_batch_buckets(spark):
+    """Hot-bucket bound for the long-running-stream hazard: an index
+    bucket past the cap joins through its min-id representative only
+    (candidate volume per batch doc bounded by the cap), a hot batch
+    bucket emits star pairs — and the keep decision is unchanged."""
+    corpus = _docs(spark, [(i, _X) for i in range(50, 58)])
+    batch = _docs(spark, [(0, _X), (1, _X), (2, _X),
+                          (9, "entirely unrelated words about glass "
+                              "blowing furnaces and their upkeep")])
+    idx = signature_index(corpus)
+    capped = incremental_candidates(batch, idx, max_bucket=3,
+                                    min_sig_agreement=None)
+    rows = capped.collect()
+    cross = {(r["doc_a"], r["doc_b"]) for r in rows if r["kind"] == "corpus"}
+    # all 8 index copies share every bucket -> only the representative
+    # (min id 50) reaches the join
+    assert cross == {(50, 0), (50, 1), (50, 2)}
+    # batch bucket of 3 is within the cap -> ordinary pairs
+    within = {(r["doc_a"], r["doc_b"]) for r in rows if r["kind"] == "batch"}
+    assert within == {(0, 1), (0, 2), (1, 2)}
+    # tighter cap -> star pairs only (min batch doc as hub)
+    starred = incremental_candidates(batch, idx, max_bucket=2,
+                                     min_sig_agreement=None)
+    within2 = {(r["doc_a"], r["doc_b"])
+               for r in starred.collect() if r["kind"] == "batch"}
+    assert within2 == {(0, 1), (0, 2)}
+    # decision identical with and without the cap
+    for mb in (None, 3, 2):
+        kept = sorted(r["doc_id"] for r in
+                      incremental_keep(batch, idx, max_bucket=mb).collect())
+        assert kept == [9], mb
 
 
 def test_verification_appends_agreement_and_filters(spark):
