@@ -520,6 +520,7 @@ def ann_lsh_topk(spark, sf):
 _STAGE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".oracle_stage")
 IVF_CENTROIDS_PATH = os.path.join(_STAGE_DIR, "ivf_centroids.parquet")
+SEMDEDUP_CENTROIDS_PATH = os.path.join(_STAGE_DIR, "semdedup_centroids.parquet")
 
 
 def _staged(path: str) -> str:
@@ -549,6 +550,31 @@ def ann_ivf_topk(spark, sf):
     cdf.coalesce(1).write.mode("overwrite").parquet(_staged(IVF_CENTROIDS_PATH))
     staged = spark.read.parquet(IVF_CENTROIDS_PATH)
     return S.ivf_topk_served(emb, staged, list(range(8)), k=5, nprobe=4)
+
+
+def dedup_semantic(spark, sf):
+    """SemDeDup (operators/similarity.semantic_dedup_pairs): k-means
+    partition the embeddings (trainer = the same iterative driver loop
+    as ann_ivf_topk; centroids staged for the oracle), exact cosine
+    restricted to within-cluster pairs.  The oracle reruns the
+    bit-compatible relational assignment (window argmin over the
+    _round6 distance) and the same rounded-cosine filter.  Builds
+    eagerly — the ann_ivf_topk trainer precedent."""
+    emb = _t(spark, sf, "embeddings")
+    cents = S.train_ivf_centroids(emb, n_clusters=16, iters=5)
+    rows = [
+        (int(i), [float(v) for v in c], float(sum(float(v) * float(v) for v in c)))
+        for i, c in enumerate(cents)
+    ]
+    cdf = spark.createDataFrame(
+        rows, "cluster int, centroid array<double>, c_sq double")
+    cdf.coalesce(1).write.mode("overwrite").parquet(
+        _staged(SEMDEDUP_CENTROIDS_PATH))
+    staged = spark.read.parquet(SEMDEDUP_CENTROIDS_PATH)
+    # the testdata corpus has no true near-dup embeddings (max pairwise
+    # cosine ~0.5), so the evidence-bearing threshold sits at the
+    # moderate-similarity band like dedup_embedding's 0.4
+    return S.semantic_dedup_pairs(emb, staged, threshold=0.35)
 
 
 def text_token_stats(spark, sf):
@@ -929,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": host_stats,
         "host_cap": host_cap,
         "dedup_embedding": dedup_embedding,
+        "dedup_semantic": dedup_semantic,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -2018,4 +2045,32 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
           FROM sc)
         SELECT query_id, vec_id, cosine, rk FROM r2 WHERE rk <= 5"""
+    # SemDeDup over the staged k-means partition (dedup_semantic stages
+    # its own centroid table before returning): the same bit-compatible
+    # floor-quantized argmin assignment, then exact rounded cosine over
+    # within-cluster pairs only
+    sql["dedup_semantic"] = f"""
+        WITH cen AS (
+          SELECT cluster, centroid, c_sq
+          FROM '{SEMDEDUP_CENTROIDS_PATH}/*.parquet'),
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        scored AS (
+          SELECT e.vec_id, e.embedding, cen.cluster,
+                 floor((cen.c_sq - 2.0 * list_sum(
+                   [CAST(e.embedding[i] AS DOUBLE) * cen.centroid[i]
+                    for i in range(1, 65)])) * 1000000.0 + 0.5)
+                   / 1000000.0 AS dist
+          FROM e CROSS JOIN cen),
+        assigned AS (
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT *, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY dist, cluster) AS ark
+            FROM scored) WHERE ark = 1)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster AS cluster,
+               round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                     AS DOUBLE), 4) AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                    AS DOUBLE), 4) >= 0.35"""
     return sql

@@ -379,6 +379,53 @@ def _ivf_topk_served_relational(emb: DataFrame, centroids_df: DataFrame,
     return _exact_rerank(cand, k)
 
 
+def semantic_dedup_pairs(emb: DataFrame, centroids_df: DataFrame,
+                         threshold: float = 0.95) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): exact
+    cosine near-dup search restricted to WITHIN-CLUSTER pairs of a
+    k-means partitioning, the published recipe for embedding dedup at
+    web scale: the pair search shrinks from O(n^2) to O(sum c_i^2),
+    controlled by k (pick k ~ n / target-cluster-size so clusters stay
+    small).  ``centroids_df``: the staged (cluster, centroid, c_sq)
+    table from ``train_ivf_centroids`` — assignment runs through the
+    broadcast Arrow argmin (:func:`assign_ivf`, zero Exchange before
+    the cluster column, bit-compatible with the relational/DuckDB
+    window-argmin); the within-cluster self-join shuffles once on the
+    cluster id.  Returns (vec_a, vec_b, cluster, cosine), cosine
+    rounded BEFORE the threshold filter (oracle portability).
+
+    Recall note: a near-dup pair straddling a cluster boundary is
+    missed BY DESIGN — SemDeDup's documented tradeoff; use
+    ``dedup.embedding_near_dups_lsh`` when boundary-free recall
+    matters.  Consume pairs with ``components.keep_one_per_component``
+    (src='vec_a', dst='vec_b') for the keep-one decision."""
+    import numpy as np
+
+    rows = sorted(
+        centroids_df.select("cluster", "centroid", "c_sq").collect(),
+        key=lambda r: r["cluster"],
+    )
+    cmat = np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
+    csq = np.asarray([r["c_sq"] for r in rows], dtype=np.float64)
+    cids = [int(r["cluster"]) for r in rows]
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    assigned = assign_ivf(e, cmat, csq, cids)
+    a = assigned.select(F.col("cluster"), F.col("vec_id").alias("vec_a"),
+                        F.col("embedding").alias("ea"))
+    b = assigned.select(F.col("cluster"), F.col("vec_id").alias("vec_b"),
+                        F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "cluster",
+                F.round(_cosine("ea", "eb"), 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(emb: DataFrame, query_ids, k: int = 5, n_clusters: int = 16,
              nprobe: int = 4, iters: int = 5, dim: int = 64) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer; each query scans

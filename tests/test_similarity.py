@@ -180,3 +180,69 @@ def test_assign_ivf_matches_relational_argmin(spark):
         .collect()
     }
     assert got == want
+
+
+def test_semantic_dedup_pairs_matches_bruteforce_within_cluster(spark):
+    """SemDeDup pairs == the numpy brute force restricted to the same
+    cluster assignment: identical pair set, cosines equal to 4dp, every
+    emitted pair a subset of the corpus-wide exact near-dup relation."""
+    import numpy as np
+
+    from origami_spark.operators.similarity import (
+        assign_ivf,
+        semantic_dedup_pairs,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    cents = train_ivf_centroids(emb, n_clusters=8, iters=3)
+    rows = [
+        (int(i), [float(v) for v in c],
+         float(sum(float(v) * float(v) for v in c)))
+        for i, c in enumerate(cents)
+    ]
+    cdf = spark.createDataFrame(
+        rows, "cluster int, centroid array<double>, c_sq double")
+    got = {(r["vec_a"], r["vec_b"]): (r["cluster"], r["cosine"])
+           for r in semantic_dedup_pairs(emb, cdf, threshold=0.3).collect()}
+    assert got, "threshold must be evidence-bearing on this corpus"
+
+    # brute force over the SAME assignment (the engine's own kernel --
+    # this test checks the pair search, not the assignment, which
+    # test_ivf_served_kernel_equals_relational already gates)
+    e = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS embedding")
+    mat = np.asarray([list(c) for c in cents], dtype=np.float64)
+    csq = (mat * mat).sum(axis=1)
+    assigned = assign_ivf(e, mat, csq, list(range(8))).collect()
+    by_id = {r["vec_id"]: (r["cluster"], np.asarray(r["embedding"]))
+             for r in assigned}
+    want = {}
+    ids = sorted(by_id)
+    for i, a in enumerate(ids):
+        ca, va = by_id[a]
+        for b in ids[i + 1:]:
+            cb, vb = by_id[b]
+            if ca != cb:
+                continue
+            cos = round(float(va @ vb)
+                        / (float(np.linalg.norm(va))
+                           * float(np.linalg.norm(vb))), 4)
+            if cos >= 0.3:
+                want[(a, b)] = (ca, cos)
+    assert set(got) == set(want)
+    for k2 in got:
+        assert got[k2][0] == want[k2][0]
+        assert abs(got[k2][1] - want[k2][1]) < 2e-4  # 4dp rounding seam
+
+    # keep-one composes: one survivor per cosine-cluster component
+    from origami_spark.operators.components import keep_one_per_component
+
+    pairs = semantic_dedup_pairs(emb, cdf, threshold=0.3)
+    kept = keep_one_per_component(
+        emb.select("vec_id"), pairs, id_col="vec_id",
+        src="vec_a", dst="vec_b")
+    dropped = emb.count() - kept.count()
+    assert dropped > 0
+    comp_members = {v for ab in got for v in ab}
+    assert dropped <= len(comp_members)
