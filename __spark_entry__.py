@@ -791,6 +791,30 @@ def sample_token_budget_global(spark, sf):
     return token_budget_global(docs, 3000)
 
 
+def sample_shuffle(spark, sf):
+    """Deterministic global training-order shuffle
+    (operators/sampling.shuffle_order): rank in (hash60(seed|id), id)
+    order via the decomposed 256-group prefix — no single-partition
+    window; the oracle is the SERIAL row_number, proving decomposed ==
+    serial."""
+    from origami_spark.operators.sampling import shuffle_order
+
+    return shuffle_order(_t(spark, sf, "documents"))
+
+
+def sample_interleave(spark, sf):
+    """Deterministic weighted source interleave
+    (operators/sampling.interleave_sources): within-source shuffle
+    positions (decomposed windows) + emit_key = src_pos / weight — the
+    mixture-sampling order made exact; sources outside the weight map
+    are excluded."""
+    from origami_spark.operators.sampling import interleave_sources
+
+    return interleave_sources(
+        _t(spark, sf, "documents"),
+        {"src0": 2.0, "src1": 1.0, "src2": 0.5})
+
+
 def dedup_contamination(spark, sf):
     """Benchmark decontamination check (operators/dedup.py): every 50th
     document plays the evaluation set; 8-gram collisions flag
@@ -952,6 +976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "sample_token_budget": sample_token_budget,
         "sample_token_budget_global": sample_token_budget_global,
+        "sample_shuffle": sample_shuffle,
+        "sample_interleave": sample_interleave,
         "host_stats": host_stats,
         "host_cap": host_cap,
         "dedup_embedding": dedup_embedding,
@@ -1857,6 +1883,36 @@ def oracle_sql() -> dict[str, str]:
               FROM tg JOIN pre USING (g))
             SELECT doc_id, n_tokens, cum_tokens
             FROM c WHERE cum_tokens <= 3000""",
+        # the decomposed-rank ops against their SERIAL formulations:
+        # decomposed == serial is exactly the claim under test
+        "sample_shuffle": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5('s0' || '|'
+                          || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM documents WHERE doc_id IS NOT NULL)
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+                     AS shuffle_pos
+            FROM t""",
+        "sample_interleave": """
+            WITH w(source, wt) AS (
+              VALUES ('src0', 2.0), ('src1', 1.0), ('src2', 0.5)),
+            t AS (
+              SELECT doc_id, source,
+                     CAST(('0x' || substring(md5('s0' || '|'
+                          || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+                     wt
+              FROM documents JOIN w USING (source)
+              WHERE doc_id IS NOT NULL),
+            r AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (PARTITION BY source
+                          ORDER BY h, doc_id) AS BIGINT) AS src_pos,
+                     wt
+              FROM t)
+            SELECT doc_id, source, src_pos, src_pos / wt AS emit_key
+            FROM r""",
         "dedup_contamination": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
             g AS (

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from .text import portable_hash60, tokens_col
 
 __all__ = ["hash_sample", "stratified_sample", "token_budget",
-           "token_budget_global"]
+           "token_budget_global", "shuffle_order", "interleave_sources"]
 
 _SCALE = 1_000_000
 
@@ -204,4 +204,99 @@ def token_budget_global(docs: DataFrame, budget_tokens: int,
     return (
         cum.filter(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, "n_tokens", "cum_tokens")
+    )
+
+
+def _hash_order(id_col: str, seed: str) -> F.Column:
+    """The full 60-bit deterministic order key (same hash family as
+    :func:`_bucket`, unreduced — mod 1e6 would collide constantly at
+    corpus scale and make ordering id-dominated)."""
+    return portable_hash60(
+        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+
+
+def shuffle_order(docs: DataFrame, seed: str = "s0",
+                  id_col: str = "doc_id", groups: int = 256) -> DataFrame:
+    """Deterministic GLOBAL shuffle position per document — the
+    reproducible training-order primitive (epoch ordering must be
+    replayable across runs, partitionings, and engines; ``rand()`` is
+    none of those).  ``shuffle_pos`` is the 1-based rank in the
+    (hash60(seed|id), id) order, computed WITHOUT a single-partition
+    window via the same decomposition as :func:`token_budget_global`:
+    256 contiguous hash ranges, a 256-row count aggregate for exclusive
+    prefix offsets, parallel within-range row_numbers.  Writers wanting
+    physical order: ``repartitionByRange('shuffle_pos')`` +
+    ``sortWithinPartitions`` — a distributed total order, no serial
+    sort.  Rows with NULL ids drop (no deterministic position exists).
+    Returns (``id_col``, shuffle_pos bigint)."""
+    from .dedup import _tracked_cache
+
+    t = docs.select(id_col, _hash_order(id_col, seed).alias("_h")) \
+        .filter(F.col("_h").isNotNull()) \
+        .withColumn("_g",
+                    F.floor(F.col("_h") / ((1 << 60) // groups))
+                    .cast("int"))
+    t = _tracked_cache(t)
+    gs = t.groupBy("_g").agg(F.count(F.lit(1)).alias("gn"))
+    wp = (
+        Window.orderBy("_g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = gs.withColumn(
+        "prefix", (F.sum("gn").over(wp) - F.col("gn")).cast("bigint")
+    ).select("_g", "prefix")
+    wg = Window.partitionBy("_g").orderBy("_h", id_col)
+    return (
+        t.join(F.broadcast(pre), "_g")
+        .withColumn("shuffle_pos",
+                    (F.col("prefix") + F.row_number().over(wg))
+                    .cast("bigint"))
+        .select(id_col, "shuffle_pos")
+    )
+
+
+def interleave_sources(docs: DataFrame, weights: dict, by: str = "source",
+                       seed: str = "s0", id_col: str = "doc_id",
+                       groups: int = 256) -> DataFrame:
+    """Deterministic weighted source interleave — the mixture-order
+    primitive: each source's docs get a within-source shuffle position
+    ``src_pos`` (decomposed per (source, hash-range) exactly like the
+    fixed :func:`token_budget`, so one mega-source never serializes a
+    window), and an emission key ``emit_key = src_pos / weight``;
+    sorting the output by (emit_key, source, id) yields a stream where
+    every prefix carries the sources in weight proportion — the
+    "sample source s with probability ∝ w_s" training order, made
+    deterministic.  Sources ABSENT from ``weights`` are excluded (a
+    mixture spec enumerates its members).  The division stays exact
+    IEEE in both engines (bigint / double literal), so the oracle
+    reproduces emit_key bit-identically.  Returns (``id_col``, ``by``,
+    src_pos bigint, emit_key double)."""
+    from .dedup import _tracked_cache
+
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    t = docs.select(
+        id_col, by,
+        _hash_order(id_col, seed).alias("_h"),
+        wmap[F.col(by)].cast("double").alias("_w"),
+    ).filter(F.col("_h").isNotNull() & F.col("_w").isNotNull()) \
+        .withColumn("_g",
+                    F.floor(F.col("_h") / ((1 << 60) // groups))
+                    .cast("int"))
+    t = _tracked_cache(t)
+    gs = t.groupBy(by, "_g").agg(F.count(F.lit(1)).alias("gn"))
+    wp = (
+        Window.partitionBy(by).orderBy("_g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = gs.withColumn(
+        "prefix", (F.sum("gn").over(wp) - F.col("gn")).cast("bigint")
+    ).select(by, "_g", "prefix")
+    wg = Window.partitionBy(by, "_g").orderBy("_h", id_col)
+    return (
+        t.join(F.broadcast(pre), [by, "_g"])
+        .withColumn("src_pos",
+                    (F.col("prefix") + F.row_number().over(wg))
+                    .cast("bigint"))
+        .withColumn("emit_key", F.col("src_pos") / F.col("_w"))
+        .select(id_col, by, "src_pos", "emit_key")
     )

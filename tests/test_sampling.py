@@ -201,3 +201,76 @@ def test_token_budgets_exclude_null_ids(spark):
     glob = token_budget_global(docs, 25).collect()
     assert sorted(r["cum_tokens"] for r in glob) == [5, 10, 15, 20, 25]
     assert all(r["doc_id"] is not None for r in glob)
+
+
+def test_shuffle_order_decomposed_equals_serial(spark):
+    """shuffle_order == the serial single-window rank over the same
+    (hash, id) order; deterministic across partitionings; positions a
+    dense 1..n permutation."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from origami_spark.operators.sampling import _hash_order, shuffle_order
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {r["doc_id"]: r["shuffle_pos"]
+           for r in shuffle_order(docs).collect()}
+    serial = {
+        r["doc_id"]: r["pos"]
+        for r in docs.select(
+            "doc_id", _hash_order("doc_id", "s0").alias("_h"))
+        .withColumn("pos", F.row_number().over(
+            Window.orderBy("_h", "doc_id")).cast("bigint"))
+        .collect()
+    }
+    assert got == serial
+    assert sorted(got.values()) == list(range(1, len(got) + 1))
+    again = {r["doc_id"]: r["shuffle_pos"]
+             for r in shuffle_order(docs.repartition(13)).collect()}
+    assert again == got
+
+
+def test_shuffle_order_no_single_partition_window(spark):
+    """The rank windows partition on the hash-range group — the
+    executed plan must not contain an empty-key (global) window
+    exchange over the doc rows."""
+    from origami_spark.operators.sampling import shuffle_order
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = shuffle_order(docs)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE toString echoes the initial plan after the final one —
+    # assert over the final section only
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "hashpartitioning(_g" in plan, plan
+    # the only SinglePartition exchange allowed is the `groups`-row
+    # prefix aggregate; the doc-row window must never use it
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_interleave_sources_weighted_prefixes(spark):
+    """Sorting by emit_key yields weight-proportional source shares in
+    every aligned prefix; unlisted sources are excluded; positions are
+    dense per source."""
+    from origami_spark.operators.sampling import interleave_sources
+
+    rows = [(i, f"s{i % 4}", "x") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    w = {"s0": 3.0, "s1": 1.0}
+    out = interleave_sources(docs, w).collect()
+    assert {r["source"] for r in out} == {"s0", "s1"}
+    per = {s: sorted(r["src_pos"] for r in out if r["source"] == s)
+           for s in ("s0", "s1")}
+    assert per["s0"] == list(range(1, 101))
+    assert per["s1"] == list(range(1, 101))
+    # emit order: after the first 4k emissions (aligned prefix), s0 has
+    # emitted 3x s1's count (exactly: s0 pos p emits at p/3, s1 at p)
+    ordered = sorted(out, key=lambda r: (r["emit_key"], r["source"],
+                                         r["doc_id"]))
+    head = ordered[:40]
+    assert sum(1 for r in head if r["source"] == "s0") == 30
+    assert sum(1 for r in head if r["source"] == "s1") == 10
+    # exact key law
+    for r in out:
+        assert r["emit_key"] == r["src_pos"] / w[r["source"]]
