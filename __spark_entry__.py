@@ -540,6 +540,16 @@ def ann_ivf_topk(spark, sf):
     same staged centroids (parity: tests/test_similarity.py).  Recall
     vs the exact scan is asserted in tests/test_similarity.py."""
     emb = _t(spark, sf, "embeddings")
+    staged = _stage_centroids(spark, emb, IVF_CENTROIDS_PATH)
+    return S.ivf_topk_served(emb, staged, list(range(8)), k=5, nprobe=4)
+
+
+def _stage_centroids(spark, emb, path):
+    """Train the 16-cluster/5-iter k-means quantizer and stage
+    (cluster, centroid, c_sq) to ``path`` for the DuckDB oracle; shared
+    by ann_ivf_topk and dedup_semantic (each stages its own file — the
+    gate's per-query contract: a query's oracle reads only what that
+    query staged)."""
     cents = S.train_ivf_centroids(emb, n_clusters=16, iters=5)
     rows = [
         (int(i), [float(v) for v in c], float(sum(float(v) * float(v) for v in c)))
@@ -547,9 +557,8 @@ def ann_ivf_topk(spark, sf):
     ]
     cdf = spark.createDataFrame(
         rows, "cluster int, centroid array<double>, c_sq double")
-    cdf.coalesce(1).write.mode("overwrite").parquet(_staged(IVF_CENTROIDS_PATH))
-    staged = spark.read.parquet(IVF_CENTROIDS_PATH)
-    return S.ivf_topk_served(emb, staged, list(range(8)), k=5, nprobe=4)
+    cdf.coalesce(1).write.mode("overwrite").parquet(_staged(path))
+    return spark.read.parquet(path)
 
 
 def dedup_semantic(spark, sf):
@@ -561,16 +570,7 @@ def dedup_semantic(spark, sf):
     _round6 distance) and the same rounded-cosine filter.  Builds
     eagerly — the ann_ivf_topk trainer precedent."""
     emb = _t(spark, sf, "embeddings")
-    cents = S.train_ivf_centroids(emb, n_clusters=16, iters=5)
-    rows = [
-        (int(i), [float(v) for v in c], float(sum(float(v) * float(v) for v in c)))
-        for i, c in enumerate(cents)
-    ]
-    cdf = spark.createDataFrame(
-        rows, "cluster int, centroid array<double>, c_sq double")
-    cdf.coalesce(1).write.mode("overwrite").parquet(
-        _staged(SEMDEDUP_CENTROIDS_PATH))
-    staged = spark.read.parquet(SEMDEDUP_CENTROIDS_PATH)
+    staged = _stage_centroids(spark, emb, SEMDEDUP_CENTROIDS_PATH)
     # the testdata corpus has no true near-dup embeddings (max pairwise
     # cosine ~0.5), so the evidence-bearing threshold sits at the
     # moderate-similarity band like dedup_embedding's 0.4

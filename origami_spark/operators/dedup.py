@@ -378,7 +378,13 @@ def incremental_candidates(new_docs: DataFrame, index: DataFrame,
     preserves the connectivity the keep/connected-component consumer
     needs but can miss a verification-passing pairing that a capped-
     away member would have supplied — it is not for exhaustive pair
-    listing."""
+    listing, and under ``min_sig_agreement`` the pinned min-id
+    representative may chronically fail verification that capped-away
+    members would pass.  Prefer capping the index at APPEND time
+    (bounded, diverse members, verification sees all of them — what
+    the streaming sink does) and leave this OFF for pre-capped
+    indexes; note also that computing the index-side bucket stats here
+    costs a pass over the index per call."""
     new_idx = _tracked_cache(
         new_index if new_index is not None
         else signature_index(new_docs, n, k, bands, use_kernel=use_kernel))
@@ -459,27 +465,36 @@ def incremental_keep(new_docs: DataFrame, index: DataFrame,
     cluster'); a corpus-free component keeps exactly its min-id batch
     doc.  Defaults verify candidates (sig agreement >= 0.5); pass
     ``min_sig_agreement=None`` only when the index was built from
-    already-verified duplicates."""
+    already-verified duplicates.
+
+    Corpus nodes enter the component graph REMAPPED to a disjoint id
+    space (-(id)-1; ids must be non-negative, which the 60-bit hash
+    space guarantees): a re-crawled url shares its doc_id with its own
+    OLD index rows, and without the remap the batch doc would inherit
+    every component edge the old content's signatures created — new,
+    unrelated content under a re-crawled url would drop because the
+    STALE copy near-dups something.  With the remap, the old copy's
+    edges taint only the remapped corpus node; the batch doc's fate
+    follows its own signatures alone (same-url keep-newest remains
+    compaction's job, per the streaming contract)."""
     from .components import connected_components
 
     cand = _tracked_cache(incremental_candidates(
         new_docs, index, n, k, bands, use_kernel=use_kernel,
         min_sig_agreement=min_sig_agreement, new_index=new_index,
         max_bucket=max_bucket))
-    comp = _tracked_cache(
-        connected_components(cand.select("doc_a", "doc_b")))
-    corpus_nodes = (
-        cand.filter(F.col("kind") == "corpus")
-        .select(F.col("doc_a").alias("doc_id")).distinct()
+    edges = cand.select(
+        F.when(F.col("kind") == "corpus", -F.col("doc_a") - 1)
+        .otherwise(F.col("doc_a")).alias("doc_a"),
+        "doc_b",
     )
-    tainted = (
-        comp.join(corpus_nodes, "doc_id", "semi")
-        .select("component").distinct()
-    )
+    comp = _tracked_cache(connected_components(edges))
+    tainted = comp.filter(F.col("doc_id") < 0).select("component").distinct()
+    batch_nodes = comp.filter(F.col("doc_id") >= 0)
     drop = (
-        comp.join(tainted, "component", "semi").select("doc_id")
+        batch_nodes.join(tainted, "component", "semi").select("doc_id")
         .unionByName(
-            comp.join(tainted, "component", "left_anti")
+            batch_nodes.join(tainted, "component", "left_anti")
             .filter(F.col("doc_id") != F.col("component"))
             .select("doc_id"))
         .withColumnRenamed("doc_id", id_col)

@@ -271,6 +271,23 @@ def assign_ivf(emb: DataFrame, centroids, c_sq, clusters) -> DataFrame:
     return emb.withColumn("cluster", assign("embedding"))
 
 
+def _load_centroids(centroids_df: DataFrame):
+    """(cluster, centroid, c_sq) rows -> the kernel-side (cmat, csq,
+    cids) triple, sorted by cluster id.  One loader so the bit-compat
+    contract (float64 dtype, cluster-id order = the argmin tie-break)
+    can never drift between the serving and dedup paths."""
+    import numpy as np
+
+    rows = sorted(
+        centroids_df.select("cluster", "centroid", "c_sq").collect(),
+        key=lambda r: r["cluster"],
+    )
+    cmat = np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
+    csq = np.asarray([r["c_sq"] for r in rows], dtype=np.float64)
+    cids = [int(r["cluster"]) for r in rows]
+    return cmat, csq, cids
+
+
 def ivf_topk_served(emb: DataFrame, centroids_df: DataFrame, query_ids,
                     k: int = 5, nprobe: int = 4,
                     engine: str = "kernel") -> DataFrame:
@@ -300,15 +317,7 @@ def ivf_topk_served(emb: DataFrame, centroids_df: DataFrame, query_ids,
     if engine == "relational":
         return _ivf_topk_served_relational(emb, centroids_df, query_ids,
                                            k, nprobe)
-    import numpy as np
-
-    rows = sorted(
-        centroids_df.select("cluster", "centroid", "c_sq").collect(),
-        key=lambda r: r["cluster"],
-    )
-    cmat = np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
-    csq = np.asarray([r["c_sq"] for r in rows], dtype=np.float64)
-    cids = [int(r["cluster"]) for r in rows]
+    cmat, csq, cids = _load_centroids(centroids_df)
 
     e = emb.select(
         "vec_id",
@@ -399,15 +408,7 @@ def semantic_dedup_pairs(emb: DataFrame, centroids_df: DataFrame,
     ``dedup.embedding_near_dups_lsh`` when boundary-free recall
     matters.  Consume pairs with ``components.keep_one_per_component``
     (src='vec_a', dst='vec_b') for the keep-one decision."""
-    import numpy as np
-
-    rows = sorted(
-        centroids_df.select("cluster", "centroid", "c_sq").collect(),
-        key=lambda r: r["cluster"],
-    )
-    cmat = np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
-    csq = np.asarray([r["c_sq"] for r in rows], dtype=np.float64)
-    cids = [int(r["cluster"]) for r in rows]
+    cmat, csq, cids = _load_centroids(centroids_df)
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),

@@ -159,7 +159,21 @@ def _near_dup_against_index(spark: SparkSession, gated: DataFrame,
     index, then land the survivors' signature rows under this batch's
     own ``batch_id=N`` partition (idempotent on replay).  The batch is
     signed exactly once — the same rows feed the dedup and the index
-    append.  Returns the surviving gated rows."""
+    append.  Returns the surviving gated rows.
+
+    Hot-bucket bound: the cap is enforced at APPEND time — a survivor's
+    index row for a (band, bucket) that already holds ``max_bucket``
+    rows is NOT appended (its OTHER band rows still are, so the doc
+    stays discoverable through its remaining bands).  Append-time
+    capping keeps up to ``max_bucket`` DIVERSE members per bucket that
+    verification runs against in full — unlike read-time capping, which
+    funnels a hot bucket through one representative whose agreement may
+    fail where another member would pass — and costs only a broadcast
+    semi-join + a small aggregate per batch instead of a full-index
+    stats shuffle.  Read-time capping is therefore OFF here
+    (incremental_keep gets max_bucket=None; the index can never exceed
+    the cap).  Within-batch pair volume is bounded by the trigger size
+    (maxFilesPerTrigger)."""
     from ..operators.dedup import incremental_keep, signature_index
     from ..operators.text import portable_hash60
 
@@ -178,16 +192,23 @@ def _near_dup_against_index(spark: SparkSession, gated: DataFrame,
     surv = incremental_keep(ids, corpus_idx, id_col="doc_id",
                             min_sig_agreement=min_sig_agreement,
                             new_index=new_idx,
-                            max_bucket=max_bucket).cache()
-    # max_bucket (default 128) bounds the long-running-stream hazard:
-    # a templated page family below the agreement bar would otherwise
-    # grow one (band, bucket) without limit and each new colliding doc
-    # would pay O(index bucket) — capped buckets join through their
-    # representative, keeping per-batch cost proportional to the batch
+                            max_bucket=None).cache()
     try:
-        (new_idx.join(surv.select("doc_id"), "doc_id")
-         .write.mode("overwrite")
-         .parquet(f"{index_dir}/batch_id={batch_id}"))
+        surv_idx = new_idx.join(surv.select("doc_id"), "doc_id")
+        if max_bucket is not None:
+            touched = new_idx.select("band", "bucket").distinct()
+            full = (
+                corpus_idx.join(F.broadcast(touched),
+                                ["band", "bucket"], "semi")
+                .groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") >= max_bucket)
+                .select("band", "bucket")
+            )
+            surv_idx = surv_idx.join(F.broadcast(full),
+                                     ["band", "bucket"], "left_anti")
+        surv_idx.write.mode("overwrite").parquet(
+            f"{index_dir}/batch_id={batch_id}")
         return gated.join(surv.select("url"), "url", "semi") \
             .localCheckpoint(eager=True)
         # eager: materialize the kept rows while surv's cache is live —

@@ -216,3 +216,22 @@ def test_bucketed_index_joins_without_corpus_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_recrawled_id_not_conflated_with_its_old_index_rows(spark):
+    """Round-4 review regression: a re-crawled url shares its doc_id
+    with its OLD index rows.  The old content's edges must taint only
+    the corpus node — new, unrelated content under the same id must
+    survive (same-url keep-newest is compaction's job).  Repro shape:
+    corpus={7: X}; batch={7: unrelated, 9: X}.  Old-7 near-dups
+    batch-9; batch-7's new content collides with nothing — it must be
+    kept, 9 must drop."""
+    corpus = _docs(spark, [(7, _X)])
+    batch = _docs(spark, [
+        (7, "completely different content about underwater basket "
+            "weaving championships and their storied history"),
+        (9, _X),
+    ])
+    kept = sorted(r["doc_id"] for r in
+                  incremental_keep(batch, signature_index(corpus)).collect())
+    assert kept == [7]

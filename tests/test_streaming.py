@@ -386,3 +386,41 @@ def test_stream_corpus_continuous_near_dup_index(spark, tmp_path):
     idx2 = spark.read.parquet(idx)
     assert idx2.select("doc_id").distinct().count() == landed.count()
     assert idx2.select(F.input_file_name()).distinct().count() >= 2
+
+
+def test_stream_index_append_capping(spark, tmp_path):
+    """The hot-bucket cap is enforced at index-APPEND time: a
+    survivor's row for a (band, bucket) already holding max_bucket rows
+    is skipped, while its other band rows land — the doc stays
+    discoverable through its remaining bands and the index bucket never
+    exceeds the cap."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.operators.dedup import signature_index
+    from origami_spark.operators.text import portable_hash60
+    from origami_spark.streaming.corpus import _near_dup_against_index
+
+    text = ("the quick brown fox jumps over the lazy dog while the rain "
+            "in spain falls mainly on the plain and the cat sat on the mat")
+    gated = spark.createDataFrame([("u1", text)], "url string, text string")
+    ids = gated.select(portable_hash60(F.col("url")).alias("doc_id"), "text")
+    own_b0 = signature_index(ids).filter(F.col("band") == 0)
+    # seed the index: TWO rows occupying the doc's own band-0 bucket,
+    # with garbage signatures (agreement 0 -> the doc survives dedup)
+    zeros = F.expr("array_repeat(CAST(0 AS BIGINT), 16)")
+    fake = (
+        own_b0.select(F.lit(900).alias("doc_id"), "band", "bucket",
+                      zeros.alias("sig"))
+        .unionByName(own_b0.select(F.lit(901).alias("doc_id"), "band",
+                                   "bucket", zeros.alias("sig")))
+    )
+    idx_dir = str(tmp_path / "cap_idx")
+    fake.write.parquet(f"{idx_dir}/batch_id=0")
+
+    out = _near_dup_against_index(spark, gated, idx_dir, 1, 0.5,
+                                  max_bucket=2)
+    assert out.count() == 1   # agreement 0 vs the seeded sigs: kept
+    appended = spark.read.parquet(f"{idx_dir}/batch_id=1")
+    # band 0's bucket was full (2 >= cap): skipped; bands 1-3 landed
+    assert appended.filter(F.col("band") == 0).count() == 0
+    assert sorted(r["band"] for r in appended.collect()) == [1, 2, 3]
