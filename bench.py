@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "dedup_paragraphs",
     "dedup_components",
+    "dedup_incremental",
     "host_stats",
 ]
 

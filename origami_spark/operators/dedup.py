@@ -349,7 +349,8 @@ def incremental_candidates(new_docs: DataFrame, index: DataFrame,
                            use_kernel: bool = True,
                            min_sig_agreement: float | None = None,
                            new_index: DataFrame | None = None,
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None = None,
+                           cap_index: bool = True) -> DataFrame:
     """Near-dup candidates TOUCHING a new batch only, against a
     prebuilt ``signature_index``: ``(doc_a, doc_b, kind)`` where
     ``kind='corpus'`` pairs an indexed doc (doc_a) with a new doc
@@ -384,12 +385,15 @@ def incremental_candidates(new_docs: DataFrame, index: DataFrame,
     (bounded, diverse members, verification sees all of them — what
     the streaming sink does) and leave this OFF for pre-capped
     indexes; note also that computing the index-side bucket stats here
-    costs a pass over the index per call."""
+    costs a pass over the index per call.  ``cap_index=False`` applies
+    ``max_bucket`` to the BATCH side only (the star capping) — the
+    shape for a pre-capped index, where read-time index capping would
+    be wasted stats work (the streaming sink's configuration)."""
     new_idx = _tracked_cache(
         new_index if new_index is not None
         else signature_index(new_docs, n, k, bands, use_kernel=use_kernel))
     within_small, star = new_idx, None
-    if max_bucket is not None:
+    if max_bucket is not None and cap_index:
         istats = index.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_in"), F.min("doc_id").alias("_irep"))
         index = (
@@ -398,6 +402,7 @@ def incremental_candidates(new_docs: DataFrame, index: DataFrame,
                     | (F.col("doc_id") == F.col("_irep")))
             .drop("_in", "_irep")
         )
+    if max_bucket is not None:
         bstats = new_idx.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_bn"), F.min("doc_id").alias("_rep"))
         with_stats = new_idx.join(bstats, ["band", "bucket"])
@@ -453,7 +458,8 @@ def incremental_keep(new_docs: DataFrame, index: DataFrame,
                      bands: int = 4, use_kernel: bool = True,
                      min_sig_agreement: float | None = 0.5,
                      new_index: DataFrame | None = None,
-                     max_bucket: int | None = None) -> DataFrame:
+                     max_bucket: int | None = None,
+                     cap_index: bool = True) -> DataFrame:
     """The incremental dedup DECISION: batch docs surviving against the
     corpus index and each other, under the SAME transitive cluster
     rule the batch pipeline uses (components.keep_one_per_component):
@@ -482,11 +488,23 @@ def incremental_keep(new_docs: DataFrame, index: DataFrame,
     cand = _tracked_cache(incremental_candidates(
         new_docs, index, n, k, bands, use_kernel=use_kernel,
         min_sig_agreement=min_sig_agreement, new_index=new_index,
-        max_bucket=max_bucket))
+        max_bucket=max_bucket, cap_index=cap_index))
+
+    def _nonneg(c):
+        # loud guard: a negative batch id would be indistinguishable
+        # from a remapped corpus node and silently corrupt the keep
+        # decision — fail instead (evaluated per edge row, no extra job)
+        return F.when(
+            c < 0,
+            F.raise_error(F.lit(
+                "incremental_keep requires non-negative doc ids "
+                "(the 60-bit hash space)")).cast("bigint"),
+        ).otherwise(c)
+
     edges = cand.select(
         F.when(F.col("kind") == "corpus", -F.col("doc_a") - 1)
-        .otherwise(F.col("doc_a")).alias("doc_a"),
-        "doc_b",
+        .otherwise(_nonneg(F.col("doc_a"))).alias("doc_a"),
+        _nonneg(F.col("doc_b")).alias("doc_b"),
     )
     comp = _tracked_cache(connected_components(edges))
     tainted = comp.filter(F.col("doc_id") < 0).select("component").distinct()

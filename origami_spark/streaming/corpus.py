@@ -161,19 +161,29 @@ def _near_dup_against_index(spark: SparkSession, gated: DataFrame,
     signed exactly once — the same rows feed the dedup and the index
     append.  Returns the surviving gated rows.
 
+    Replay safety: the corpus index is read EXCLUDING this batch's own
+    ``batch_id=N`` partition and eagerly materialized
+    (``localCheckpoint``) before anything is written.  Both halves
+    matter — a replayed batch's earlier index rows would otherwise (a)
+    pair with the batch's OTHER docs as corpus nodes and drop the very
+    survivor the first run kept, and (b) be deleted by the overwrite
+    mid-job while the lazy corpus_idx scan still lists their files
+    (FileNotFoundException).  With the exclusion, a replay sees exactly
+    the corpus state the first run saw, so the decision — and the
+    rewritten partition — are identical.
+
     Hot-bucket bound: the cap is enforced at APPEND time — a survivor's
-    index row for a (band, bucket) that already holds ``max_bucket``
-    rows is NOT appended (its OTHER band rows still are, so the doc
-    stays discoverable through its remaining bands).  Append-time
-    capping keeps up to ``max_bucket`` DIVERSE members per bucket that
-    verification runs against in full — unlike read-time capping, which
-    funnels a hot bucket through one representative whose agreement may
-    fail where another member would pass — and costs only a broadcast
-    semi-join + a small aggregate per batch instead of a full-index
-    stats shuffle.  Read-time capping is therefore OFF here
-    (incremental_keep gets max_bucket=None; the index can never exceed
-    the cap).  Within-batch pair volume is bounded by the trigger size
-    (maxFilesPerTrigger)."""
+    index row lands only while its (band, bucket) holds fewer than
+    ``max_bucket`` rows COUNTING both the existing corpus rows and the
+    lower-doc_id rows appended by this same batch (its OTHER band rows
+    still land, so the doc stays discoverable through remaining bands).
+    Append-time capping keeps up to ``max_bucket`` DIVERSE members per
+    bucket that verification runs against in full — unlike read-time
+    index capping, which funnels a hot bucket through one
+    representative whose agreement may fail where another member would
+    pass — so index-side read capping is OFF (cap_index=False); the
+    batch side keeps its star capping so a hot bucket arriving within
+    ONE micro-batch emits O(m) star pairs, not m(m-1)/2."""
     from ..operators.dedup import incremental_keep, signature_index
     from ..operators.text import portable_hash60
 
@@ -183,30 +193,39 @@ def _near_dup_against_index(spark: SparkSession, gated: DataFrame,
     from pyspark.errors import AnalysisException
 
     try:
-        corpus_idx = spark.read.schema(_INDEX_SCHEMA).parquet(index_dir) \
+        corpus_idx = (
+            spark.read.schema(_INDEX_SCHEMA).parquet(index_dir)
+            .filter(F.col("batch_id") != batch_id)
             .select("doc_id", "band", "bucket", "sig")
-        # read BEFORE overwriting our own partition below; a replayed
-        # batch's earlier rows are excluded by the identical-id filter
+            .localCheckpoint(eager=True)
+        )
     except AnalysisException:   # first batch: no index dir yet
         corpus_idx = spark.createDataFrame([], _INDEX_SCHEMA)
     surv = incremental_keep(ids, corpus_idx, id_col="doc_id",
                             min_sig_agreement=min_sig_agreement,
                             new_index=new_idx,
-                            max_bucket=None).cache()
+                            max_bucket=max_bucket,
+                            cap_index=False).cache()
     try:
         surv_idx = new_idx.join(surv.select("doc_id"), "doc_id")
         if max_bucket is not None:
+            from pyspark.sql import Window
+
             touched = new_idx.select("band", "bucket").distinct()
-            full = (
+            cur = (
                 corpus_idx.join(F.broadcast(touched),
                                 ["band", "bucket"], "semi")
                 .groupBy("band", "bucket")
                 .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") >= max_bucket)
-                .select("band", "bucket")
             )
-            surv_idx = surv_idx.join(F.broadcast(full),
-                                     ["band", "bucket"], "left_anti")
+            bw = Window.partitionBy("band", "bucket").orderBy("doc_id")
+            surv_idx = (
+                surv_idx.join(F.broadcast(cur), ["band", "bucket"], "left")
+                .withColumn("_r", F.row_number().over(bw))
+                .filter(F.coalesce(F.col("_n"), F.lit(0)) + F.col("_r")
+                        <= max_bucket)
+                .drop("_n", "_r")
+            )
         surv_idx.write.mode("overwrite").parquet(
             f"{index_dir}/batch_id={batch_id}")
         return gated.join(surv.select("url"), "url", "semi") \

@@ -235,3 +235,13 @@ def test_recrawled_id_not_conflated_with_its_old_index_rows(spark):
     kept = sorted(r["doc_id"] for r in
                   incremental_keep(batch, signature_index(corpus)).collect())
     assert kept == [7]
+
+
+def test_negative_ids_raise_loudly(spark):
+    """The corpus-node remap reserves the negative id space; a negative
+    BATCH id would silently corrupt the keep decision, so it must raise
+    instead (round-4 review finding)."""
+    batch = _docs(spark, [(-3, _X), (5, _X)])
+    empty_idx = signature_index(_docs(spark, [])).limit(0)
+    with pytest.raises(Exception, match="non-negative"):
+        incremental_keep(batch, empty_idx).collect()

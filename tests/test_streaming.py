@@ -424,3 +424,39 @@ def test_stream_index_append_capping(spark, tmp_path):
     # band 0's bucket was full (2 >= cap): skipped; bands 1-3 landed
     assert appended.filter(F.col("band") == 0).count() == 0
     assert sorted(r["band"] for r in appended.collect()) == [1, 2, 3]
+
+
+def test_stream_near_dup_replay_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch AFTER its index append landed (crash
+    before checkpoint commit) must reproduce the first run exactly: the
+    replayed batch's own index rows are excluded from the corpus read
+    (else the kept survivor would near-dup its own earlier rows and
+    vanish) and the read is materialized before the overwrite (else the
+    lazy scan hits the deleted files)."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.streaming.corpus import _near_dup_against_index
+
+    text = ("some reasonably long page text about the history of "
+            "mechanical clocks and their escapements through the ages")
+    gated = spark.createDataFrame(
+        [("u_a", text), ("u_b", text),
+         ("u_c", "a completely different page concerning tidal pools")],
+        "url string, text string")
+    idx_dir = str(tmp_path / "replay_idx")
+
+    first = sorted(r["url"] for r in _near_dup_against_index(
+        spark, gated, idx_dir, 5, 0.5, 128).collect())
+    idx_first = sorted(
+        (r["doc_id"], r["band"]) for r in
+        spark.read.parquet(idx_dir).collect())
+    # one of the twins dropped, the unrelated doc kept
+    assert len(first) == 2 and "u_c" in first
+
+    replay = sorted(r["url"] for r in _near_dup_against_index(
+        spark, gated, idx_dir, 5, 0.5, 128).collect())
+    idx_replay = sorted(
+        (r["doc_id"], r["band"]) for r in
+        spark.read.parquet(idx_dir).collect())
+    assert replay == first
+    assert idx_replay == idx_first
