@@ -521,6 +521,7 @@ _STAGE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".oracle_stage")
 IVF_CENTROIDS_PATH = os.path.join(_STAGE_DIR, "ivf_centroids.parquet")
 SEMDEDUP_CENTROIDS_PATH = os.path.join(_STAGE_DIR, "semdedup_centroids.parquet")
+LM_TABLE_PATH = os.path.join(_STAGE_DIR, "trigram_lm.parquet")
 
 
 def _staged(path: str) -> str:
@@ -575,6 +576,22 @@ def dedup_semantic(spark, sf):
     # cosine ~0.5), so the evidence-bearing threshold sits at the
     # moderate-similarity band like dedup_embedding's 0.4
     return S.semantic_dedup_pairs(emb, staged, threshold=0.35)
+
+
+def text_lm_quality(spark, sf):
+    """ccnet-style LM quality scoring (operators/lm.py, Wenzek et al.
+    2020): an order-2 char Markov model estimated from the corpus,
+    log-probs quantized to integers (partition-order-independent sums).
+    The model table — the only float-log surface — is staged to parquet
+    and the DuckDB oracle re-reads it, redoing the trigram explode,
+    broadcast join, and integer aggregation."""
+    from origami_spark.operators.lm import char_trigram_lm, lm_score
+
+    docs = _t(spark, sf, "documents")
+    lm = char_trigram_lm(docs)
+    lm.coalesce(1).write.mode("overwrite").parquet(_staged(LM_TABLE_PATH))
+    staged = spark.read.parquet(LM_TABLE_PATH)
+    return lm_score(docs, staged)
 
 
 def text_token_stats(spark, sf):
@@ -987,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "text_token_stats": text_token_stats,
+        "text_lm_quality": text_lm_quality,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
@@ -2101,6 +2119,27 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
           FROM sc)
         SELECT query_id, vec_id, cosine, rk FROM r2 WHERE rk <= 5"""
+    # ccnet-style LM scoring over the staged quantized-logprob table
+    # (text_lm_quality stages it before returning): DuckDB redoes the
+    # trigram explode, the model join, and the INTEGER sum — associative
+    # by construction, so no float-accumulation portability gap exists
+    sql["text_lm_quality"] = f"""
+        WITH lm AS (SELECT tg, qlp FROM '{LM_TABLE_PATH}/*.parquet'),
+        t AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN length(text) >= 3 THEN
+                   list_transform(range(1, length(text) - 1),
+                                  i -> substr(text, i, 3))
+                 ELSE CAST([] AS VARCHAR[]) END) AS tg
+          FROM documents),
+        s AS (
+          SELECT doc_id, count(*) AS n_trigrams,
+                 CAST(sum(coalesce(qlp, {24 * 4096})) AS BIGINT) AS sum_qlp
+          FROM t LEFT JOIN lm USING (tg)
+          GROUP BY doc_id)
+        SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams, sum_qlp,
+               sum_qlp / (n_trigrams * 4096.0) AS bits_per_char
+        FROM s"""
     # SemDeDup over the staged k-means partition (dedup_semantic stages
     # its own centroid table before returning): the same bit-compatible
     # floor-quantized argmin assignment, then exact rounded cosine over

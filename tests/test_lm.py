@@ -1,0 +1,91 @@
+"""Corpus char-trigram LM: exactness vs a Python reference, the
+integer-sum determinism contract, and the quality signal itself."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from origami_spark.operators.lm import char_trigram_lm, lm_score
+
+Q = 4096
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _ref_lm(texts):
+    tri, bi = {}, {}
+    for t in texts:
+        for i in range(len(t) - 2):
+            g = t[i:i + 3]
+            tri[g] = tri.get(g, 0) + 1
+    for g, c in tri.items():
+        bi[g[:2]] = bi.get(g[:2], 0) + c
+    v = len(tri)
+    return {
+        g: math.floor(-math.log2((c + 1) / (bi[g[:2]] + v)) * Q + 0.5)
+        for g, c in tri.items()
+    }
+
+
+def test_lm_matches_python_reference(spark):
+    texts = ["abcabcabd", "the cat sat", "zz"]
+    docs = _docs(spark, list(enumerate(texts)))
+    got = {r["tg"]: r["qlp"] for r in char_trigram_lm(docs).collect()}
+    assert got == _ref_lm(texts)
+
+
+def test_lm_score_exact_and_deterministic(spark):
+    texts = ["abcabcabd", "the cat sat", "abc the"]
+    docs = _docs(spark, list(enumerate(texts)))
+    lm = char_trigram_lm(docs)
+    ref = _ref_lm(texts)
+
+    def score(t):
+        gs = [t[i:i + 3] for i in range(len(t) - 2)]
+        s = sum(ref[g] for g in gs)
+        return len(gs), s, s / (len(gs) * float(Q))
+
+    got = {r["doc_id"]: (r["n_trigrams"], r["sum_qlp"], r["bits_per_char"])
+           for r in lm_score(docs, lm).collect()}
+    assert got == {i: score(t) for i, t in enumerate(texts)}
+    # integer sums: identical under any partitioning
+    again = {r["doc_id"]: (r["n_trigrams"], r["sum_qlp"], r["bits_per_char"])
+             for r in lm_score(docs.repartition(7), lm).collect()}
+    assert again == got
+
+
+def test_short_docs_excluded_and_oov_penalized(spark):
+    lm_docs = _docs(spark, [(0, "abcdefg")])
+    lm = char_trigram_lm(lm_docs)
+    batch = _docs(spark, [(1, "ab"), (2, "abc"), (3, "xyz")])
+    got = {r["doc_id"]: r for r in lm_score(batch, lm).collect()}
+    assert 1 not in got                      # < 3 chars: no evidence
+    assert got[3]["sum_qlp"] == 24 * Q       # fully out-of-vocabulary
+    assert got[2]["sum_qlp"] < got[3]["sum_qlp"]
+
+
+def test_bits_per_char_separates_natural_from_gibberish(spark):
+    """The ccnet signal: text drawn from the corpus distribution
+    scores LOWER cross-entropy than character soup."""
+    base = [(i, f"the quick brown fox number {i} jumps over the lazy "
+                f"dog and then the cat sat on the mat again")
+            for i in range(30)]
+    lm = char_trigram_lm(_docs(spark, base))
+    probe = _docs(spark, [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "qzxj vwpk fhgr mlnt bzdc qqqq xkcd zzzz wxyz"),
+    ])
+    got = {r["doc_id"]: r["bits_per_char"]
+           for r in lm_score(probe, lm).collect()}
+    assert got[100] < got[101] / 2
+
+
+def test_lm_plan_is_broadcast_join_no_python(spark):
+    docs = _docs(spark, [(i, f"document {i} text body") for i in range(50)])
+    out = lm_score(docs, char_trigram_lm(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
