@@ -9,8 +9,9 @@
 
 Chains every stage of the training-data story on one DAG: WARC (or
 parquet pages, or the synthetic generator) -> fused extraction ->
-token/quality gate -> exact dedup (keep-first per content digest) ->
-optional MinHash near-dup pruning -> size-targeted JSONL shards.
+token/quality gate -> optional corpus-LM gate -> exact dedup
+(keep-first per content digest) -> optional MinHash near-dup pruning
+-> size-targeted JSONL shards.
 Prints one JSON summary line with per-stage survivor counts.
 
 NB in local/driver-only mode pass ``--driver-memory`` on spark-submit
@@ -28,7 +29,8 @@ import sys
 def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
                  near_dup: bool = False, dedup_spans: bool = False,
                  dedup_paragraphs: bool = False, host_cap: int = 0,
-                 shard_mb: int = 256) -> dict:
+                 shard_mb: int = 256,
+                 lm_max_bits: float = 0.0) -> dict:
     """The corpus-build DAG; returns per-stage counts.
 
     Cache cleanup is guaranteed (finally): a failure mid-build in a
@@ -41,7 +43,7 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
     try:
         return _build_corpus(spark, pages, out_dir, min_tokens, near_dup,
                              dedup_spans, dedup_paragraphs, host_cap,
-                             shard_mb, cached)
+                             shard_mb, lm_max_bits, cached)
     finally:
         # best-effort: a dead session makes unpersist itself raise —
         # that must neither mask the build's root-cause exception nor
@@ -58,7 +60,8 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
 
 
 def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
-                  dedup_paragraphs, host_cap, shard_mb, cached) -> dict:
+                  dedup_paragraphs, host_cap, shard_mb, lm_max_bits,
+                  cached) -> dict:
     from pyspark.sql import functions as F
 
     from origami_spark.operators import dedup as D
@@ -89,9 +92,25 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
 
     # every cached frame goes into the caller-owned `cached` list for
     # the guaranteed finally-release (NB: `kept`/`uniq` are rebound by
-    # the optional stages below — track handles, not names, or the
-    # shadowed cache leaks in a long-lived driver)
+    # the optional stages below — track handles BEFORE any rebind, or
+    # the shadowed cache leaks in a long-lived driver)
     cached += [extracted, kept]
+
+    if lm_max_bits:
+        # ccnet LM gate (operators/lm.py): an order-2 char model is
+        # estimated from the quality survivors THEMSELVES and docs the
+        # corpus-own model finds too surprising drop (bits/char above
+        # the threshold — gibberish, wrong-register, binary-ish text).
+        # Self-estimation is the bootstrap form; pass a curated corpus'
+        # staged lm table for the calibrated form.
+        from origami_spark.operators.lm import char_trigram_lm, lm_score
+
+        lm = char_trigram_lm(kept)
+        scored = lm_score(kept, lm).filter(
+            F.col("bits_per_char") <= lm_max_bits).select("doc_id")
+        kept = kept.join(scored, "doc_id").cache()
+        cached.append(kept)
+        counts["after_lm_gate"] = kept.count()
 
     if host_cap:
         # single-domain dominance control (C4/ccnet recipe): keep at
@@ -218,6 +237,10 @@ def main(argv=None):
                          "(keep first occurrence)")
     ap.add_argument("--host-cap", type=int, default=0,
                     help="keep at most N pages per url host (0 = off)")
+    ap.add_argument("--lm-max-bits", type=float, default=0.0,
+                    help="ccnet LM gate: drop docs whose corpus-model "
+                         "cross-entropy exceeds this many bits/char "
+                         "(0 = off)")
     ap.add_argument("--shard-mb", type=int, default=256)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
@@ -252,7 +275,8 @@ def main(argv=None):
                           dedup_spans=args.dedup_spans,
                           dedup_paragraphs=args.dedup_paragraphs,
                           host_cap=args.host_cap,
-                          shard_mb=args.shard_mb)
+                          shard_mb=args.shard_mb,
+                          lm_max_bits=args.lm_max_bits)
     print(json.dumps(counts))
     spark.stop()
 

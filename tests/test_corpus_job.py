@@ -243,3 +243,39 @@ def test_stream_corpus_job_cli_empty_landing_reports_zero(spark, tmp_path):
         type(spark).stop = orig_stop
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report == {"rows": 0, "batches": 0}
+
+
+def test_corpus_build_lm_gate_drops_gibberish(spark, tmp_path):
+    """--lm-max-bits: a planted character-soup page passes the
+    heuristic token gate but the corpus-own LM finds it surprising and
+    the gate drops it; natural pages survive."""
+    import hashlib
+
+    from origami_spark.sources.corpus import pages_df
+
+    pages = pages_df(spark, 40)
+    # NON-repeating gibberish (hex digests): repetition would make soup
+    # self-predictable to the corpus-own model; measured on this corpus
+    # the natural max is ~5.1 bits/char and the soup ~9.3
+    soup = " ".join(hashlib.md5(str(i).encode()).hexdigest()[:8]
+                    for i in range(40))
+    gib = spark.createDataFrame(
+        [("https://soup.example.com/x", soup)], "url string, text string")
+    # wrap as pages rows (html = the text in a p tag; extractor passes
+    # it through)
+    gib_pages = gib.selectExpr(
+        "url",
+        "timestamp'2024-01-01' as warc_ts",
+        "cast(concat('<html><body><p>', text, '</p></body></html>') "
+        "as binary) as html",
+        "text", "'en' as lang",
+        "null as spans_json").select(pages.columns)
+    src = pages.unionByName(gib_pages)
+
+    out = str(tmp_path / "lm_corpus")
+    counts = build_corpus(spark, src, out, min_tokens=5, lm_max_bits=7.0)
+    assert counts["after_lm_gate"] == counts["after_quality"] - 1
+    import pyspark.sql.functions as F
+
+    landed = spark.read.json(out)
+    assert landed.filter(F.col("url").contains("soup.example")).count() == 0
