@@ -2124,7 +2124,13 @@ def oracle_sql() -> dict[str, str]:
     # trigram explode, the model join, and the INTEGER sum — associative
     # by construction, so no float-accumulation portability gap exists
     sql["text_lm_quality"] = f"""
-        WITH lm AS (SELECT tg, qlp FROM '{LM_TABLE_PATH}/*.parquet'),
+        WITH lm AS (SELECT tg, qlp, q FROM '{LM_TABLE_PATH}/*.parquet'),
+        c AS (
+          -- the staged table carries its own constants: OOV = one bit
+          -- beyond the least likely seen trigram, q = the quantization
+          SELECT CAST(max(qlp) + max(q) AS BIGINT) AS oov,
+                 CAST(max(q) AS BIGINT) AS q
+          FROM lm),
         t AS (
           SELECT doc_id,
                  unnest(CASE WHEN length(text) >= 3 THEN
@@ -2133,13 +2139,16 @@ def oracle_sql() -> dict[str, str]:
                  ELSE CAST([] AS VARCHAR[]) END) AS tg
           FROM documents),
         s AS (
-          SELECT doc_id, count(*) AS n_trigrams,
-                 CAST(sum(coalesce(qlp, {24 * 4096})) AS BIGINT) AS sum_qlp
+          SELECT doc_id, count(*) AS n_trigrams, count(qlp) AS n_in,
+                 CAST(coalesce(sum(qlp), 0) AS BIGINT) AS s_in
           FROM t LEFT JOIN lm USING (tg)
           GROUP BY doc_id)
-        SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams, sum_qlp,
-               sum_qlp / (n_trigrams * 4096.0) AS bits_per_char
-        FROM s"""
+        SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+               CAST(s_in + (n_trigrams - n_in) * c.oov AS BIGINT)
+                 AS sum_qlp,
+               CAST(s_in + (n_trigrams - n_in) * c.oov AS BIGINT)
+                 / (n_trigrams * CAST(c.q AS DOUBLE)) AS bits_per_char
+        FROM s CROSS JOIN c"""
     # SemDeDup over the staged k-means partition (dedup_semantic stages
     # its own centroid table before returning): the same bit-compatible
     # floor-quantized argmin assignment, then exact rounded cosine over

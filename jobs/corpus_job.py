@@ -96,22 +96,6 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
     # the shadowed cache leaks in a long-lived driver)
     cached += [extracted, kept]
 
-    if lm_max_bits:
-        # ccnet LM gate (operators/lm.py): an order-2 char model is
-        # estimated from the quality survivors THEMSELVES and docs the
-        # corpus-own model finds too surprising drop (bits/char above
-        # the threshold — gibberish, wrong-register, binary-ish text).
-        # Self-estimation is the bootstrap form; pass a curated corpus'
-        # staged lm table for the calibrated form.
-        from origami_spark.operators.lm import char_trigram_lm, lm_score
-
-        lm = char_trigram_lm(kept)
-        scored = lm_score(kept, lm).filter(
-            F.col("bits_per_char") <= lm_max_bits).select("doc_id")
-        kept = kept.join(scored, "doc_id").cache()
-        cached.append(kept)
-        counts["after_lm_gate"] = kept.count()
-
     if host_cap:
         # single-domain dominance control (C4/ccnet recipe): keep at
         # most host_cap pages per url host, deterministic url order
@@ -132,6 +116,27 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
     uniq = kept.join(keepers, "doc_id").cache()
     cached.append(uniq)
     counts["after_exact_dedup"] = uniq.count()
+
+    if lm_max_bits:
+        # ccnet LM gate (operators/lm.py): an order-2 char model is
+        # estimated from the DEDUPED survivors (ccnet scores perplexity
+        # after dedup — estimating before would let duplicated
+        # boilerplate dominate the model and score itself "likely")
+        # and docs the corpus-own model finds too surprising drop
+        # (bits/char above the threshold — gibberish, wrong register,
+        # binary-ish text).  The drop is left-anti on the OVER-threshold
+        # set: a doc too short to score (< 3 chars, no lm_score row)
+        # carries no model opinion and passes through.  Self-estimation
+        # is the bootstrap form; pass a curated corpus' staged lm table
+        # for the calibrated form.
+        from origami_spark.operators.lm import char_trigram_lm, lm_score
+
+        lm = char_trigram_lm(uniq)
+        too_surprising = lm_score(uniq, lm).filter(
+            F.col("bits_per_char") > lm_max_bits).select("doc_id")
+        uniq = uniq.join(too_surprising, "doc_id", "left_anti").cache()
+        cached.append(uniq)
+        counts["after_lm_gate"] = uniq.count()
 
     if near_dup:
         # MinHash near-dup pruning over a 60-bit url-hash id (Arrow

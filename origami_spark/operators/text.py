@@ -44,17 +44,23 @@ def portable_hash60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def shingles_expr(toks_col: str, n: int):
-    """Word n-gram shingle array (empty when fewer than n tokens).
+def gram_positions(length_col, n: int):
+    """1-based start positions of the n-grams of a sequence of the
+    given length — ``[1 .. length-n+1]``, EMPTY below length n.
 
-    NB: guard the sequence bounds — Spark's sequence(1, 0) is a
-    *descending* [1, 0], not empty."""
-    seq = F.when(
-        F.size(toks_col) >= n,
-        F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+    NB: the guard is load-bearing — Spark's sequence(1, 0) is a
+    *descending* [1, 0], not empty; shared by the word-shingle and
+    char-trigram paths so the gotcha is worked around exactly once."""
+    return F.when(
+        length_col >= n,
+        F.sequence(F.lit(1), length_col - (n - 1)),
     ).otherwise(F.array().cast("array<int>"))
+
+
+def shingles_expr(toks_col: str, n: int):
+    """Word n-gram shingle array (empty when fewer than n tokens)."""
     return F.transform(
-        seq,
+        gram_positions(F.size(toks_col), n),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks_col, (i + j).cast("int")) for j in range(n)]
         ),

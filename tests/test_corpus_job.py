@@ -274,7 +274,8 @@ def test_corpus_build_lm_gate_drops_gibberish(spark, tmp_path):
 
     out = str(tmp_path / "lm_corpus")
     counts = build_corpus(spark, src, out, min_tokens=5, lm_max_bits=7.0)
-    assert counts["after_lm_gate"] == counts["after_quality"] - 1
+    # the gate runs AFTER exact dedup (model estimated on deduped text)
+    assert counts["after_lm_gate"] == counts["after_exact_dedup"] - 1
     import pyspark.sql.functions as F
 
     landed = spark.read.json(out)

@@ -32,8 +32,9 @@ def _ref_lm(texts):
 def test_lm_matches_python_reference(spark):
     texts = ["abcabcabd", "the cat sat", "zz"]
     docs = _docs(spark, list(enumerate(texts)))
-    got = {r["tg"]: r["qlp"] for r in char_trigram_lm(docs).collect()}
-    assert got == _ref_lm(texts)
+    rows = char_trigram_lm(docs).collect()
+    assert {r["tg"]: r["qlp"] for r in rows} == _ref_lm(texts)
+    assert {r["q"] for r in rows} == {Q}   # quantization travels along
 
 
 def test_lm_score_exact_and_deterministic(spark):
@@ -62,8 +63,12 @@ def test_short_docs_excluded_and_oov_penalized(spark):
     batch = _docs(spark, [(1, "ab"), (2, "abc"), (3, "xyz")])
     got = {r["doc_id"]: r for r in lm_score(batch, lm).collect()}
     assert 1 not in got                      # < 3 chars: no evidence
-    assert got[3]["sum_qlp"] == 24 * Q       # fully out-of-vocabulary
+    # OOV = one bit beyond the least likely SEEN trigram — always the
+    # most surprising outcome, never invertible by the smoothing floor
+    max_qlp = max(_ref_lm(["abcdefg"]).values())
+    assert got[3]["sum_qlp"] == max_qlp + Q  # fully out-of-vocabulary
     assert got[2]["sum_qlp"] < got[3]["sum_qlp"]
+    assert max(r["qlp"] for r in lm.collect()) < got[3]["sum_qlp"]
 
 
 def test_bits_per_char_separates_natural_from_gibberish(spark):
