@@ -594,6 +594,23 @@ def text_lm_quality(spark, sf):
     return lm_score(docs, staged)
 
 
+def text_lm_buckets(spark, sf):
+    """ccnet's head/middle/tail strata (operators/lm.lm_buckets): rank
+    every scored document by (bits_per_char, doc_id) and cut into 3
+    equal-count buckets.  The engine rank is the decomposed 256-bins-
+    per-bit prefix (no single-partition window); the oracle is the
+    SERIAL row_number over the identical staged-model scores —
+    decomposed == serial is exactly the claim under test."""
+    from origami_spark.operators.lm import (char_trigram_lm, lm_buckets,
+                                            lm_score)
+
+    docs = _t(spark, sf, "documents")
+    lm = char_trigram_lm(docs)
+    lm.coalesce(1).write.mode("overwrite").parquet(_staged(LM_TABLE_PATH))
+    staged = spark.read.parquet(LM_TABLE_PATH)
+    return lm_buckets(lm_score(docs, staged), buckets=3)
+
+
 def text_token_stats(spark, sf):
     return T.token_stats(_t(spark, sf, "documents"))
 
@@ -1005,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "text_token_stats": text_token_stats,
         "text_lm_quality": text_lm_quality,
+        "text_lm_buckets": text_lm_buckets,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
@@ -2149,6 +2167,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(s_in + (n_trigrams - n_in) * c.oov AS BIGINT)
                  / (n_trigrams * CAST(c.q AS DOUBLE)) AS bits_per_char
         FROM s CROSS JOIN c"""
+    # lm_buckets against the SERIAL rank: DuckDB recomputes the staged-
+    # model scores (same integer sums as text_lm_quality), then one
+    # global row_number over (bits_per_char, doc_id) — proving the
+    # 256-bins-per-bit decomposed rank equals the serial formulation
+    sql["text_lm_buckets"] = f"""
+        WITH lm AS (SELECT tg, qlp, q FROM '{LM_TABLE_PATH}/*.parquet'),
+        c AS (
+          SELECT CAST(max(qlp) + max(q) AS BIGINT) AS oov,
+                 CAST(max(q) AS BIGINT) AS q
+          FROM lm),
+        t AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN length(text) >= 3 THEN
+                   list_transform(range(1, length(text) - 1),
+                                  i -> substr(text, i, 3))
+                 ELSE CAST([] AS VARCHAR[]) END) AS tg
+          FROM documents),
+        s AS (
+          SELECT doc_id, count(*) AS n_trigrams, count(qlp) AS n_in,
+                 CAST(coalesce(sum(qlp), 0) AS BIGINT) AS s_in
+          FROM t LEFT JOIN lm USING (tg)
+          GROUP BY doc_id),
+        sc AS (
+          SELECT doc_id,
+                 CAST(s_in + (n_trigrams - n_in) * c.oov AS BIGINT)
+                   / (n_trigrams * CAST(c.q AS DOUBLE)) AS bits_per_char
+          FROM s CROSS JOIN c),
+        r AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY bits_per_char, doc_id)
+                      AS BIGINT) AS lm_rank,
+                 count(*) OVER () AS n
+          FROM sc)
+        SELECT doc_id, lm_rank,
+               CAST(floor((lm_rank - 1) * 3 / n) + 1 AS INT) AS lm_bucket
+        FROM r"""
     # SemDeDup over the staged k-means partition (dedup_semantic stages
     # its own centroid table before returning): the same bit-compatible
     # floor-quantized argmin assignment, then exact rounded cosine over

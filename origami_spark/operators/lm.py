@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from .text import gram_positions
 
-__all__ = ["char_trigram_lm", "lm_score"]
+__all__ = ["char_trigram_lm", "lm_score", "lm_buckets"]
 
 _Q = 4096
 
@@ -138,5 +138,57 @@ def lm_score(docs: DataFrame, lm: DataFrame, text_col: str = "text",
              .cast("bigint")
              / (F.col("n_trigrams") * F.col("_q").cast("double")))
             .alias("bits_per_char"),
+        )
+    )
+
+
+def lm_buckets(scored: DataFrame, buckets: int = 3,
+               id_col: str = "doc_id",
+               bins_per_bit: int = 256) -> DataFrame:
+    """ccnet's head/middle/tail split: rank documents by
+    (bits_per_char, id) and cut into ``buckets`` equal-count groups —
+    bucket 1 = the head (text the model likes best), the training-mix
+    strata ccnet publishes.  Returns (``id_col``, lm_rank bigint,
+    lm_bucket int).
+
+    The global rank is decomposed WITHOUT a single-partition window
+    (the shuffle_order recipe, adapted to a VALUE key): bits_per_char
+    falls into fixed bins of 1/``bins_per_bit`` bits — deterministic,
+    engine-free, and each bin is a contiguous key range — a small
+    per-bin count aggregate yields exclusive prefix offsets, and
+    within-bin ranks run in parallel windows.  Bucket =
+    floor((rank-1) * buckets / n) + 1, exact integer-derived math in
+    every engine (the serial row_number formulation is the DuckDB
+    oracle)."""
+    from pyspark.sql import Window
+
+    from .dedup import _tracked_cache
+
+    b = _tracked_cache(scored.select(
+        id_col, "bits_per_char",
+        F.floor(F.col("bits_per_char") * bins_per_bit).cast("int")
+        .alias("_g"),
+    ))
+    gs = b.groupBy("_g").agg(F.count(F.lit(1)).alias("gn"))
+    wp = (
+        Window.orderBy("_g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = gs.withColumn(
+        "prefix", (F.sum("gn").over(wp) - F.col("gn")).cast("bigint")
+    ).select("_g", "prefix")
+    n = gs.agg(F.sum("gn").cast("bigint").alias("_n"))
+    wg = Window.partitionBy("_g").orderBy("bits_per_char", id_col)
+    return (
+        b.join(F.broadcast(pre), "_g")
+        .withColumn("lm_rank",
+                    (F.col("prefix") + F.row_number().over(wg))
+                    .cast("bigint"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "lm_rank",
+            (F.floor((F.col("lm_rank") - 1) * buckets / F.col("_n")) + 1)
+            .cast("int").alias("lm_bucket"),
         )
     )

@@ -5,7 +5,7 @@ import math
 
 import pyspark.sql.functions as F
 
-from origami_spark.operators.lm import char_trigram_lm, lm_score
+from origami_spark.operators.lm import char_trigram_lm, lm_buckets, lm_score
 
 Q = 4096
 
@@ -94,3 +94,83 @@ def test_lm_plan_is_broadcast_join_no_python(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, bits_per_char double")
+
+
+def _ref_buckets(rows, buckets=3):
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    n = len(order)
+    return {
+        d: (rk + 1, (rk * buckets) // n + 1)
+        for rk, (d, _) in enumerate(order)
+    }
+
+
+def test_lm_buckets_matches_serial_reference(spark):
+    """Decomposed 256-bins-per-bit rank == serial sort rank, ties on
+    bits_per_char broken by doc_id, equal-count thirds."""
+    rows = [(i, [2.5, 0.75, 2.5, 9.0, 0.25, 4.125][i % 6] + (i // 6) * 0.01)
+            for i in range(24)]
+    got = {r["doc_id"]: (r["lm_rank"], r["lm_bucket"])
+           for r in lm_buckets(_scored(spark, rows)).collect()}
+    assert got == _ref_buckets(rows)
+    # exact ties everywhere: one bin, id breaks the order
+    ties = [(i, 1.5) for i in range(9)]
+    got = {r["doc_id"]: (r["lm_rank"], r["lm_bucket"])
+           for r in lm_buckets(_scored(spark, ties)).collect()}
+    assert got == {i: (i + 1, i // 3 + 1) for i in range(9)}
+
+
+def test_lm_buckets_partitioning_invariant(spark):
+    rows = [(i, float((i * 37) % 11) / 3.0) for i in range(40)]
+    base = sorted(lm_buckets(_scored(spark, rows)).collect())
+    again = sorted(
+        lm_buckets(_scored(spark, rows).repartition(13)).collect())
+    assert base == again
+
+
+def test_lm_buckets_uneven_split_boundaries(spark):
+    """n not divisible by buckets: floor math puts the extras where the
+    serial formulation puts them (first buckets get the smaller share
+    when n=7, k=3 -> sizes 2,2,3 via floor((rank-1)*3/7))."""
+    rows = [(i, float(i)) for i in range(7)]
+    got = {r["doc_id"]: r["lm_bucket"]
+           for r in lm_buckets(_scored(spark, rows)).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3}
+    assert got == {d: b for d, (_, b) in _ref_buckets(rows).items()}
+
+
+def test_lm_buckets_window_is_partitioned(spark):
+    """The per-doc rank window must partition by the value bin — no
+    single-partition window over the document rows (the small prefix
+    window over the per-bin aggregate is the only global one)."""
+    rows = [(i, float((i * 37) % 11) / 3.0) for i in range(40)]
+    out = lm_buckets(_scored(spark, rows))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan
+    import re
+    # every row_number window spec carries a partition key (_g#..)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "row_number" not in plan[max(0, m.start() - 200):m.start()]:
+            continue
+        assert "_g#" in spec, spec
+    assert "BatchEvalPython" not in plan
+
+
+def test_lm_buckets_end_to_end_orders_by_surprise(spark):
+    """Pipeline shape: natural text lands in an earlier bucket than
+    hex soup when scored and bucketed against the corpus model."""
+    base = [(i, f"the quick brown fox number {i} jumps over the lazy "
+                f"dog and then the cat sat on the mat again")
+            for i in range(12)]
+    soup = [(100 + i, f"qzxj{i:x} vwpk fhgr mlnt bzdc xkcd wxyz {i:x}qj")
+            for i in range(6)]
+    docs = _docs(spark, base + soup)
+    scored = lm_score(docs, char_trigram_lm(docs))
+    got = {r["doc_id"]: r["lm_bucket"]
+           for r in lm_buckets(scored).collect()}
+    assert max(got[i] for i, _ in base) <= min(got[i] for i, _ in soup)
