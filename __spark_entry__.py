@@ -438,6 +438,35 @@ def dedup_incremental(spark, sf):
     return D.incremental_candidates(batch, idx)
 
 
+def dedup_incremental_exact(spark, sf):
+    """Incremental EXACT dedup against a persisted digest index
+    (operators/dedup.digest_index/incremental_exact).  The corpus
+    ships no exact duplicates, so the query synthesizes them with a
+    deterministic source-id remap covering all three decision cases:
+    doc_ids ≡ {0,4,16} (mod 48) share the 48-multiple's text — groups
+    entirely in the batch (doc_id % 4 == 0), so the min id keeps;
+    ids ≡ {8,9,10} (mod 48) share the +8 member's text — the batch doc
+    (+8) collides with indexed corpus copies (+9,+10) and drops;
+    everything else is unique and keeps.  The oracle mirrors the remap
+    and the keep/dup_of rule in direct SQL."""
+    docs = _t(spark, sf, "documents")
+    src = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 48 IN (0, 4, 16)"
+            "     THEN doc_id - doc_id % 48 "
+            "     WHEN doc_id % 48 IN (8, 9, 10)"
+            "     THEN doc_id - doc_id % 48 + 8 "
+            "     ELSE doc_id END").alias("src"),
+    )
+    texts = docs.select(F.col("doc_id").alias("src"), "text")
+    remapped = src.join(texts, "src").select("doc_id", "text")
+    corpus = remapped.filter(F.col("doc_id") % 4 != 0)
+    batch = remapped.filter(F.col("doc_id") % 4 == 0)
+    idx = D.digest_index(corpus)
+    return D.incremental_exact(batch, idx)
+
+
 def dedup_components(spark, sf):
     """Near-dup CLUSTERS from candidate pairs: alternating large/small
     star connected components (operators/components.py, Kiveris et al.
@@ -576,6 +605,29 @@ def dedup_semantic(spark, sf):
     # cosine ~0.5), so the evidence-bearing threshold sits at the
     # moderate-similarity band like dedup_embedding's 0.4
     return S.semantic_dedup_pairs(emb, staged, threshold=0.35)
+
+
+def dedup_semantic_keep(spark, sf):
+    """SemDeDup's APPLICATION step: transitive keep-one over the
+    within-cluster cosine pairs (operators/components.connected_
+    components over semantic_dedup_pairs; Abbas et al. 2023 keep the
+    cluster representative).  Every embedding labeled with its
+    semantic component and the keep decision (vec_id == component
+    min).  The oracle reruns the staged-centroid assignment + pair
+    filter, then recursive min-label propagation — the
+    dedup_components CTE shape.  Eager-builder (the clustering loop
+    runs at build time — ann_ivf_topk precedent)."""
+    from origami_spark.operators.components import connected_components
+
+    emb = _t(spark, sf, "embeddings")
+    staged = _stage_centroids(spark, emb, SEMDEDUP_CENTROIDS_PATH)
+    pairs = S.semantic_dedup_pairs(emb, staged, threshold=0.35)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b",
+                                node_col="vec_id",
+                                nodes=emb.select("vec_id"))
+    return comp.select(
+        "vec_id", "component",
+        (F.col("vec_id") == F.col("component")).alias("keep"))
 
 
 def text_lm_quality(spark, sf):
@@ -1000,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_incremental": dedup_incremental,
+        "dedup_incremental_exact": dedup_incremental_exact,
         "dedup_components": dedup_components,
         "dedup_simhash": dedup_simhash,
         "dedup_substring": dedup_substring,
@@ -1016,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": host_cap,
         "dedup_embedding": dedup_embedding,
         "dedup_semantic": dedup_semantic,
+        "dedup_semantic_keep": dedup_semantic_keep,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1605,6 +1659,34 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id % 4 = 0 AND b.doc_id % 4 = 0
              AND a.doc_id < b.doc_id""",
+        # incremental exact dedup: the same deterministic source-id
+        # remap, then the keep rule in direct SQL — digest absent from
+        # the corpus index AND min batch id per digest
+        "dedup_incremental_exact": """
+            WITH remapped AS (
+              SELECT m.doc_id, s.text
+              FROM (SELECT doc_id,
+                           CASE WHEN doc_id % 48 IN (0, 4, 16)
+                                THEN doc_id - doc_id % 48
+                                WHEN doc_id % 48 IN (8, 9, 10)
+                                THEN doc_id - doc_id % 48 + 8
+                                ELSE doc_id END AS src
+                    FROM documents) m
+              JOIN documents s ON s.doc_id = m.src),
+            idx AS (
+              SELECT md5(text) AS digest, min(doc_id) AS keeper
+              FROM remapped WHERE doc_id % 4 <> 0 GROUP BY 1),
+            b AS (
+              SELECT doc_id, md5(text) AS digest
+              FROM remapped WHERE doc_id % 4 = 0),
+            bmin AS (SELECT digest, min(doc_id) AS bkeep FROM b GROUP BY 1)
+            SELECT b.doc_id, b.digest,
+                   (idx.keeper IS NULL AND b.doc_id = bmin.bkeep) AS keep,
+                   CASE WHEN idx.keeper IS NOT NULL THEN idx.keeper
+                        WHEN b.doc_id <> bmin.bkeep THEN bmin.bkeep
+                   END AS dup_of
+            FROM b JOIN bmin USING (digest)
+            LEFT JOIN idx USING (digest)""",
         # near-dup clusters: the minhash banding pairs (CTEs identical
         # to dedup_minhash_lsh) fed through a recursive min-label
         # propagation — label L spreads along an edge into node v only
@@ -2231,4 +2313,45 @@ def oracle_sql() -> dict[str, str]:
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
                     AS DOUBLE), 4) >= 0.35"""
+    # SemDeDup keep-one: the same staged-centroid assignment + pair
+    # filter, fed through the dedup_components recursive min-label
+    # propagation (label spreads while label < node)
+    sql["dedup_semantic_keep"] = f"""
+        WITH RECURSIVE cen AS (
+          SELECT cluster, centroid, c_sq
+          FROM '{SEMDEDUP_CENTROIDS_PATH}/*.parquet'),
+        emb AS (SELECT vec_id, embedding FROM embeddings),
+        scored AS (
+          SELECT emb.vec_id, emb.embedding, cen.cluster,
+                 floor((cen.c_sq - 2.0 * list_sum(
+                   [CAST(emb.embedding[i] AS DOUBLE) * cen.centroid[i]
+                    for i in range(1, 65)])) * 1000000.0 + 0.5)
+                   / 1000000.0 AS dist
+          FROM emb CROSS JOIN cen),
+        assigned AS (
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT *, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY dist, cluster) AS ark
+            FROM scored) WHERE ark = 1),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM assigned a JOIN assigned b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                      AS DOUBLE), 4) >= 0.35),
+        e AS (
+          SELECT vec_a AS u, vec_b AS v FROM pairs
+          UNION
+          SELECT vec_b, vec_a FROM pairs),
+        reach(node, label) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.v, r.label
+          FROM reach r JOIN e ON e.u = r.node
+          WHERE r.label < e.v),
+        comp AS (
+          SELECT node AS vec_id, min(label) AS component
+          FROM reach GROUP BY node)
+        SELECT vec_id, component, vec_id = component AS keep
+        FROM comp"""
     return sql

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     "dedup_components",
     "dedup_incremental",
+    "dedup_incremental_exact",
     "host_stats",
 ]
 

@@ -69,6 +69,70 @@ def exact_duplicates(docs: DataFrame, min_count: int = 2) -> DataFrame:
     )
 
 
+def digest_index(corpus: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """The persistable EXACT-dedup index — the digest analog of
+    :func:`signature_index`: one row per distinct content digest with
+    the corpus keeper (min id), ``(digest, keeper)``.  At 100 TB a new
+    crawl batch must not re-digest the whole corpus; build this once
+    per corpus snapshot (one shuffle on the digest, map-side partial
+    agg) and probe each arriving batch with :func:`incremental_exact`.
+    Store it PARTITIONED by a short digest prefix (e.g.
+    ``substring(digest, 1, 2)``): the probe join then prunes index
+    files to the prefixes the batch actually touches via dynamic
+    partition pruning instead of scanning the full index."""
+    return (
+        corpus.select(F.col(id_col), content_digest(text_col).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keeper"))
+    )
+
+
+def incremental_exact(batch: DataFrame, index: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Incremental exact dedup of a batch against a prebuilt
+    :func:`digest_index`: ``(id_col, digest, keep boolean, dup_of
+    bigint)`` — a batch row keeps iff its digest is absent from the
+    index AND it is the batch's min id for that digest; dropped rows
+    carry the id they duplicate (the corpus keeper, else the batch
+    keeper; NULL on kept rows).  Survivors' ``(digest, doc_id)`` rows
+    are what the caller appends to the index (idempotent under replay:
+    re-appending the same digest keeps min(keeper)).
+
+    Plan shape: the batch digests once (one shuffle bounded by the
+    BATCH, never the corpus), and the index side joins against the
+    broadcast batch digest set — the 100-TB index is scanned (or
+    partition-pruned, see :func:`digest_index`) but never shuffled.
+    The hit list re-aggregates min(keeper) so an APPEND-ONLY index
+    (the only maintainable kind at scale: survivors are appended, the
+    per-digest min is resolved at read time, compaction is optional)
+    yields the same decisions as a freshly grouped one; the aggregate
+    is bounded by the batch's digest count."""
+    b = _tracked_cache(
+        batch.select(F.col(id_col), content_digest(text_col).alias("digest")))
+    bmin = _tracked_cache(
+        b.groupBy("digest").agg(F.min(id_col).alias("bkeep")))
+    hits = (
+        index.join(F.broadcast(bmin.select("digest")), "digest")
+        .groupBy("digest").agg(F.min("keeper").alias("keeper"))
+    )
+    return (
+        b.join(bmin, "digest")
+        .join(F.broadcast(hits), "digest", "left")
+        .select(
+            id_col,
+            "digest",
+            (F.col("keeper").isNull()
+             & (F.col(id_col) == F.col("bkeep"))).alias("keep"),
+            F.coalesce(
+                "keeper",
+                F.when(F.col(id_col) != F.col("bkeep"), F.col("bkeep")),
+            ).alias("dup_of"),
+        )
+    )
+
+
 def _shingles(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, shingle) distinct word-n-gram shingles."""
     t = docs.select("doc_id", tokens_col().alias("toks"))
