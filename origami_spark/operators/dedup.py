@@ -69,30 +69,30 @@ def exact_duplicates(docs: DataFrame, min_count: int = 2) -> DataFrame:
     )
 
 
-def digest_index(corpus: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+def digest_index(corpus: DataFrame) -> DataFrame:
     """The persistable EXACT-dedup index — the digest analog of
     :func:`signature_index`: one row per distinct content digest with
     the corpus keeper (min id), ``(digest, keeper)``.  At 100 TB a new
     crawl batch must not re-digest the whole corpus; build this once
     per corpus snapshot (one shuffle on the digest, map-side partial
     agg) and probe each arriving batch with :func:`incremental_exact`.
-    Store it PARTITIONED by a short digest prefix (e.g.
-    ``substring(digest, 1, 2)``): the probe join then prunes index
-    files to the prefixes the batch actually touches via dynamic
-    partition pruning instead of scanning the full index."""
+    Note on pruning: because digests are uniform hashes, ANY
+    nontrivial batch touches essentially every digest range, so
+    partitioning the index by a digest prefix buys nothing (and
+    Spark's dynamic partition pruning would not fire off the
+    full-digest join anyway) — the honest per-batch cost is one full
+    index scan with ZERO shuffle, amortized by accumulating arrivals
+    into larger probe batches."""
     return (
-        corpus.select(F.col(id_col), content_digest(text_col).alias("digest"))
+        corpus.select("doc_id", content_digest("text").alias("digest"))
         .groupBy("digest")
-        .agg(F.min(id_col).alias("keeper"))
+        .agg(F.min("doc_id").alias("keeper"))
     )
 
 
-def incremental_exact(batch: DataFrame, index: DataFrame,
-                      id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+def incremental_exact(batch: DataFrame, index: DataFrame) -> DataFrame:
     """Incremental exact dedup of a batch against a prebuilt
-    :func:`digest_index`: ``(id_col, digest, keep boolean, dup_of
+    :func:`digest_index`: ``(doc_id, digest, keep boolean, dup_of
     bigint)`` — a batch row keeps iff its digest is absent from the
     index AND it is the batch's min id for that digest; dropped rows
     carry the id they duplicate (the corpus keeper, else the batch
@@ -102,17 +102,18 @@ def incremental_exact(batch: DataFrame, index: DataFrame,
 
     Plan shape: the batch digests once (one shuffle bounded by the
     BATCH, never the corpus), and the index side joins against the
-    broadcast batch digest set — the 100-TB index is scanned (or
-    partition-pruned, see :func:`digest_index`) but never shuffled.
+    broadcast batch digest set — the 100-TB index is scanned but
+    never shuffled (see :func:`digest_index` on why digest-prefix
+    partition pruning cannot help a uniform-hash probe).
     The hit list re-aggregates min(keeper) so an APPEND-ONLY index
     (the only maintainable kind at scale: survivors are appended, the
     per-digest min is resolved at read time, compaction is optional)
     yields the same decisions as a freshly grouped one; the aggregate
     is bounded by the batch's digest count."""
     b = _tracked_cache(
-        batch.select(F.col(id_col), content_digest(text_col).alias("digest")))
+        batch.select("doc_id", content_digest("text").alias("digest")))
     bmin = _tracked_cache(
-        b.groupBy("digest").agg(F.min(id_col).alias("bkeep")))
+        b.groupBy("digest").agg(F.min("doc_id").alias("bkeep")))
     hits = (
         index.join(F.broadcast(bmin.select("digest")), "digest")
         .groupBy("digest").agg(F.min("keeper").alias("keeper"))
@@ -121,13 +122,13 @@ def incremental_exact(batch: DataFrame, index: DataFrame,
         b.join(bmin, "digest")
         .join(F.broadcast(hits), "digest", "left")
         .select(
-            id_col,
+            "doc_id",
             "digest",
             (F.col("keeper").isNull()
-             & (F.col(id_col) == F.col("bkeep"))).alias("keep"),
+             & (F.col("doc_id") == F.col("bkeep"))).alias("keep"),
             F.coalesce(
                 "keeper",
-                F.when(F.col(id_col) != F.col("bkeep"), F.col("bkeep")),
+                F.when(F.col("doc_id") != F.col("bkeep"), F.col("bkeep")),
             ).alias("dup_of"),
         )
     )
