@@ -929,6 +929,36 @@ def host_cap(spark, sf):
         "doc_id", "url", "host")
 
 
+def url_blocklist(spark, sf):
+    """URL blocklist gate (operators/urlfilter.py): domain rules block
+    a host and every subdomain via a suffix-chain equality join against
+    the broadcast domain list; term rules block urls containing the
+    term (case-insensitive) via a broadcast nested-loop join.  Urls are
+    synthesized deterministically: doc_id % 4 == 0 lands on a
+    tracker.net subdomain (domain rule), doc_id % 11 == 3 on the exact
+    host w3.example.org (exact-entry rule), doc_id % 9 == 0 carries
+    'casino' in the path (term rule); overlaps resolve to the
+    lexicographic min reason.  The oracle mirrors the synthesis and
+    unrolls the suffix chain with generate_series."""
+    from origami_spark.operators.urlfilter import url_blocklist as ub
+
+    docs = _t(spark, sf, "documents")
+    host = F.concat(
+        F.lit("w"), (F.col("doc_id") % 11).cast("string"), F.lit("."),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("tracker.net"))
+        .otherwise(F.lit("example.org")))
+    tail = F.when(F.col("doc_id") % 9 == 0, F.lit("/casino-night")) \
+        .otherwise(F.lit("/p"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, tail, F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    dom = spark.createDataFrame(
+        [("tracker.net",), ("w3.example.org",)], "domain string")
+    trm = spark.createDataFrame([("casino",)], "term string")
+    return ub(pages, dom, trm)
+
+
 def multimodal_payload(spark, sf):
     media = M.media_from_documents(_t(spark, sf, "documents"))
     feats = M.media_features(media)
@@ -1067,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_interleave": sample_interleave,
         "host_stats": host_stats,
         "host_cap": host_cap,
+        "url_blocklist": url_blocklist,
         "dedup_embedding": dedup_embedding,
         "dedup_semantic": dedup_semantic,
         "dedup_semantic_keep": dedup_semantic_keep,
@@ -2083,6 +2114,43 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY host ORDER BY url) AS rk
               FROM v)
             SELECT doc_id, url, host FROM r WHERE rk <= 5""",
+        # url blocklist: same url synthesis, suffix chain unrolled via
+        # generate_series, reasons resolved to the lexicographic min
+        "url_blocklist": """
+            WITH u AS (
+              SELECT doc_id,
+                     'w' || CAST(doc_id % 11 AS VARCHAR) || '.' ||
+                     CASE WHEN doc_id % 4 = 0 THEN 'tracker.net'
+                          ELSE 'example.org' END AS host,
+                     CASE WHEN doc_id % 9 = 0 THEN '/casino-night'
+                          ELSE '/p' END AS tail
+              FROM documents),
+            p AS (
+              SELECT doc_id, host,
+                     'https://' || host || tail || '/'
+                     || CAST(doc_id AS VARCHAR) AS url
+              FROM u),
+            dom(domain) AS (VALUES ('tracker.net'), ('w3.example.org')),
+            trm(term) AS (VALUES ('casino')),
+            parts AS (SELECT doc_id, string_split(host, '.') AS pa FROM p),
+            suf AS (
+              SELECT doc_id, unnest(generate_series(1, len(pa))) AS s, pa
+              FROM parts),
+            dmatch AS (
+              SELECT f.doc_id, 'domain:' || d.domain AS reason
+              FROM (SELECT doc_id, array_to_string(pa[s:], '.') AS domain
+                    FROM suf) f
+              JOIN dom d USING (domain)),
+            tmatch AS (
+              SELECT p.doc_id, 'term:' || t.term AS reason
+              FROM p JOIN trm t ON contains(lower(p.url), t.term)),
+            reasons AS (
+              SELECT doc_id, min(reason) AS reason
+              FROM (SELECT * FROM dmatch UNION ALL SELECT * FROM tmatch)
+              GROUP BY doc_id)
+            SELECT p.doc_id, p.url, p.host,
+                   r.reason IS NOT NULL AS blocked, r.reason
+            FROM p LEFT JOIN reasons r USING (doc_id)""",
         "text_clean_lines": rf"""
             WITH {_l8_cte(decorated=True)},
             tx AS (
