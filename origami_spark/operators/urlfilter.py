@@ -23,8 +23,13 @@ Two rule kinds, matching blocklist practice:
   linear in the corpus for a fixed list.  This is the documented
   bound — a 10^5-term list belongs in the domain form, not here.
 
-Only matched rows shuffle (the per-doc min-reason aggregation), so the
-data moved is proportional to the BLOCKED set, not the corpus.  Pure
+Only matched rows shuffle (the per-doc min-reason aggregation), and
+the aggregated reason set joins BACK broadcast, so no step ever
+hash-exchanges the corpus side — the data moved is proportional to
+the BLOCKED set, not the corpus (plan-asserted).  The plan does scan
+``pages`` three times (two match branches + the final label join);
+each scan is column-pruned to ``(doc_id, url)``, and crawl-scale
+callers should pass an already-projected (or cached) frame.  Pure
 Catalyst; deterministic: when several rules match, the
 lexicographically smallest reason string wins.
 
@@ -64,8 +69,12 @@ def url_blocklist(pages: DataFrame, domains: DataFrame,
 
     ``pages`` needs ``doc_id`` and ``url_col``; ``domains`` one
     ``domain`` column (blocks the host and all subdomains); ``terms``
-    one ``term`` column (blocks urls containing it, case-insensitive;
-    store terms lower-cased).  Output: ``doc_id, url, host, blocked,
+    one ``term`` column (blocks urls containing it, case-insensitive).
+    Rule lists are canonicalized defensively: lower-cased (hosts are
+    already lower-case, so a mixed-case entry would otherwise silently
+    never match) and empty entries dropped (``contains(url, '')`` is
+    true for EVERY url, so one blank line in a blocklist file would
+    block the whole corpus).  Output: ``doc_id, url, host, blocked,
     reason`` — reason is ``'domain:<d>'`` / ``'term:<t>'`` (the
     lexicographic min when several rules hit), NULL on clean rows.
     Keep = ``filter(~blocked)`` downstream; the labeled form is kept so
@@ -73,15 +82,22 @@ def url_blocklist(pages: DataFrame, domains: DataFrame,
     base = pages.select(
         "doc_id", F.col(url_col).alias("url"),
         host_of(url_col).alias("host"))
+    # no .distinct() on the rule lists: duplicate entries only produce
+    # duplicate match rows, which the min-reason groupBy collapses —
+    # and a distinct here would add a rule-list shuffle to the plan
+    dom = (domains.select(F.lower("domain").alias("domain"))
+           .filter(F.length("domain") > 0))
+    trm = (terms.select(F.lower("term").alias("term"))
+           .filter(F.length("term") > 0))
     dmatch = (
         base.select("doc_id",
                     F.explode(domain_suffixes("host")).alias("domain"))
-        .join(F.broadcast(domains.select("domain").distinct()), "domain")
+        .join(F.broadcast(dom), "domain")
         .select("doc_id",
                 F.concat(F.lit("domain:"), "domain").alias("reason"))
     )
     tmatch = (
-        base.join(F.broadcast(terms.select("term").distinct()),
+        base.join(F.broadcast(trm),
                   F.contains(F.lower(F.col("url")), F.col("term")))
         .select("doc_id", F.concat(F.lit("term:"), "term").alias("reason"))
     )
@@ -89,8 +105,10 @@ def url_blocklist(pages: DataFrame, domains: DataFrame,
         dmatch.unionByName(tmatch)
         .groupBy("doc_id").agg(F.min("reason").alias("reason"))
     )
+    # the blocked set is small by assumption — broadcast it back so the
+    # corpus side is never hash-exchanged for the label join
     return (
-        base.join(reasons, "doc_id", "left")
+        base.join(F.broadcast(reasons), "doc_id", "left")
         .select("doc_id", "url", "host",
                 F.col("reason").isNotNull().alias("blocked"), "reason")
     )

@@ -66,6 +66,24 @@ def test_term_rule_case_insensitive_and_min_reason(spark):
                    3: (False, None)}
 
 
+def test_rule_lists_canonicalized(spark):
+    """Mixed-case entries match (hosts are lower-case, so an as-is join
+    would silently never block); empty entries are inert rather than
+    corpus-fatal (contains(url, '') is true for EVERY url)."""
+    pages = _pages(spark, [
+        (1, "https://a.Tracker.net/x"),
+        (2, "https://ok.org/CASINO"),
+        (3, "https://ok.org/fine"),
+    ])
+    dom = _domains(spark, ["Tracker.NET", ""])
+    trm = _terms(spark, ["CaSiNo", ""])
+    got = {r["doc_id"]: (r["blocked"], r["reason"])
+           for r in url_blocklist(pages, dom, trm).collect()}
+    assert got == {1: (True, "domain:tracker.net"),
+                   2: (True, "term:casino"),
+                   3: (False, None)}
+
+
 def test_unparseable_url_is_clean_not_crash(spark):
     pages = _pages(spark, [(1, "not a url"), (2, "")])
     out = url_blocklist(pages, _domains(spark, ["tracker.net"]),
@@ -75,9 +93,11 @@ def test_unparseable_url_is_clean_not_crash(spark):
 
 def test_blocklist_sides_broadcast(spark):
     """The 100-TB shape: both rule lists join BROADCAST (equality join
-    for domains, nested-loop for terms) — the corpus side never
-    shuffles to meet a rule list.  Broadcast disabled globally so only
-    the operator's explicit hints can produce the shape."""
+    for domains, nested-loop for terms) and the aggregated reason set
+    joins BACK broadcast — the corpus side is never hash-exchanged.
+    The plan's ONLY shuffle is the matched-rows min-reason groupBy.
+    Broadcast disabled globally so only the operator's explicit hints
+    can produce the shape."""
     pages = _pages(spark, [(i, f"https://h{i % 7}.example.org/p/{i}")
                            for i in range(100)])
     dom = _domains(spark, ["h3.example.org"])
@@ -87,8 +107,14 @@ def test_blocklist_sides_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         out = url_blocklist(pages, dom, trm)
         out.collect()
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan          # domain equality join
+        # AQE's toString echoes the Initial Plan after the Final Plan —
+        # assert on the final section only
+        plan = (out._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+        assert "BroadcastHashJoin" in plan          # domain equality + label joins
         assert "BroadcastNestedLoopJoin" in plan    # term contains join
+        assert "SortMergeJoin" not in plan          # label join is NOT a corpus shuffle
+        # exactly one shuffle: the matched-rows min-reason aggregation
+        assert plan.count("Exchange hashpartitioning") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
