@@ -8,10 +8,11 @@
         --min-tokens 20 --near-dup --shard-mb 256
 
 Chains every stage of the training-data story on one DAG: WARC (or
-parquet pages, or the synthetic generator) -> fused extraction ->
-token/quality gate -> optional corpus-LM gate -> exact dedup
-(keep-first per content digest) -> optional MinHash near-dup pruning
--> size-targeted JSONL shards.
+parquet pages, or the synthetic generator) -> optional URL blocklist
+gate (the cheapest filter — no text is read — so it runs FIRST) ->
+fused extraction -> token/quality gate -> optional corpus-LM gate ->
+exact dedup (keep-first per content digest) -> optional MinHash
+near-dup pruning -> size-targeted JSONL shards.
 Prints one JSON summary line with per-stage survivor counts.
 
 NB in local/driver-only mode pass ``--driver-memory`` on spark-submit
@@ -30,7 +31,8 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
                  near_dup: bool = False, dedup_spans: bool = False,
                  dedup_paragraphs: bool = False, host_cap: int = 0,
                  shard_mb: int = 256,
-                 lm_max_bits: float = 0.0) -> dict:
+                 lm_max_bits: float = 0.0,
+                 block_domains=None, block_terms=None) -> dict:
     """The corpus-build DAG; returns per-stage counts.
 
     Cache cleanup is guaranteed (finally): a failure mid-build in a
@@ -43,7 +45,8 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
     try:
         return _build_corpus(spark, pages, out_dir, min_tokens, near_dup,
                              dedup_spans, dedup_paragraphs, host_cap,
-                             shard_mb, lm_max_bits, cached)
+                             shard_mb, lm_max_bits, block_domains,
+                             block_terms, cached)
     finally:
         # best-effort: a dead session makes unpersist itself raise —
         # that must neither mask the build's root-cause exception nor
@@ -61,7 +64,7 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
 
 def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
                   dedup_paragraphs, host_cap, shard_mb, lm_max_bits,
-                  cached) -> dict:
+                  block_domains, block_terms, cached) -> dict:
     from pyspark.sql import functions as F
 
     from origami_spark.operators import dedup as D
@@ -71,6 +74,25 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
     from origami_spark.sinks import export_jsonl
 
     counts = {"pages": pages.count()}
+
+    if block_domains is not None or block_terms is not None:
+        # URL blocklist gate FIRST — no html bytes are read to reject a
+        # page, so it runs before extraction at full crawl width.  Only
+        # the BLOCKED url set (small by assumption, same as the
+        # operator's reason join) travels: left-anti against its
+        # broadcast keeps the corpus side exchange-free.
+        from origami_spark.operators.urlfilter import url_blocklist
+
+        empty = spark.createDataFrame([], "domain string")
+        lab = url_blocklist(
+            pages.select(F.col("url").alias("doc_id"), "url"),
+            block_domains if block_domains is not None else empty,
+            (block_terms if block_terms is not None
+             else empty.withColumnRenamed("domain", "term")))
+        blocked_urls = lab.filter("blocked").select(
+            F.col("doc_id").alias("url"))
+        pages = pages.join(F.broadcast(blocked_urls), "url", "left_anti")
+        counts["after_url_blocklist"] = pages.count()
 
     extracted = (
         extract_fused(spark, pages)
@@ -246,6 +268,12 @@ def main(argv=None):
                     help="ccnet LM gate: drop docs whose corpus-model "
                          "cross-entropy exceeds this many bits/char "
                          "(0 = off)")
+    ap.add_argument("--block-domains",
+                    help="text file of blocked domains, one per line "
+                         "(each blocks the host and all subdomains)")
+    ap.add_argument("--block-terms",
+                    help="text file of blocked url terms, one per line "
+                         "(case-insensitive substring match)")
     ap.add_argument("--shard-mb", type=int, default=256)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
@@ -274,6 +302,16 @@ def main(argv=None):
     else:
         ap.error("one of --warc / --input / --generate is required")
 
+    from pyspark.sql import functions as F
+
+    block_domains = block_terms = None
+    if args.block_domains:
+        block_domains = spark.read.text(args.block_domains).select(
+            F.col("value").alias("domain"))
+    if args.block_terms:
+        block_terms = spark.read.text(args.block_terms).select(
+            F.col("value").alias("term"))
+
     counts = build_corpus(spark, pages, args.output,
                           min_tokens=args.min_tokens,
                           near_dup=args.near_dup,
@@ -281,7 +319,9 @@ def main(argv=None):
                           dedup_paragraphs=args.dedup_paragraphs,
                           host_cap=args.host_cap,
                           shard_mb=args.shard_mb,
-                          lm_max_bits=args.lm_max_bits)
+                          lm_max_bits=args.lm_max_bits,
+                          block_domains=block_domains,
+                          block_terms=block_terms)
     print(json.dumps(counts))
     spark.stop()
 

@@ -280,3 +280,31 @@ def test_corpus_build_lm_gate_drops_gibberish(spark, tmp_path):
 
     landed = spark.read.json(out)
     assert landed.filter(F.col("url").contains("soup.example")).count() == 0
+
+
+def test_corpus_job_url_blocklist_gate(spark, tmp_path):
+    """--block-domains/--block-terms reject pages BEFORE extraction:
+    blocked hosts/terms never appear in the export and the stage count
+    records the survivors."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.sources.corpus import pages_df
+
+    src = pages_df(spark, 40, num_partitions=2)
+    n_blocked = src.filter(
+        F.col("url").contains("site00.example.org")
+        | F.col("url").contains("/de/")).count()
+    assert n_blocked > 0  # the fixture must exercise both rule kinds
+
+    out = str(tmp_path / "corpus_ub")
+    counts = build_corpus(
+        spark, src, out, min_tokens=5,
+        block_domains=spark.createDataFrame(
+            [("site00.example.org",)], "domain string"),
+        block_terms=spark.createDataFrame([("/de/",)], "term string"))
+    assert counts["after_url_blocklist"] == counts["pages"] - n_blocked
+    back = spark.read.json(out)
+    assert back.filter(
+        F.col("url").contains("site00.example.org")
+        | F.col("url").contains("/de/")).count() == 0
+    assert back.count() > 0
