@@ -509,6 +509,23 @@ def dedup_simhash(spark, sf):
                                max_hamming=6)
 
 
+def dedup_simhash_keep(spark, sf):
+    """Transitive keep-one over the SIMHASH pair graph: the verified
+    hamming<=6 pairs feed the same alternating-star component loop as
+    dedup_components (a~b~c is ONE cluster even when a,c share no
+    band), every doc labeled (component, keep = doc_id == component).
+    Same eager-builder caveat as dedup_components; the oracle chains
+    the dedup_simhash CTE into the recursive min-label reach."""
+    from origami_spark.operators.components import connected_components
+
+    docs = _t(spark, sf, "documents")
+    pairs = D.simhash_near_dups(docs, bits=32, bands=4, max_hamming=6)
+    comp = connected_components(pairs, nodes=docs.select("doc_id"))
+    return comp.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"))
+
+
 def dedup_embedding(spark, sf):
     # max pairwise cosine in the testdata is ~0.51; 0.4 yields real pairs
     return D.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.4)
@@ -1085,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_exact": dedup_incremental_exact,
         "dedup_components": dedup_components,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_keep": dedup_simhash_keep,
         "dedup_substring": dedup_substring,
         "dedup_span_removal": dedup_span_removal,
         "dedup_paragraphs": dedup_paragraphs,
@@ -1144,6 +1162,38 @@ shingles AS (
   WHERE len(t) >= {n}
 )"""
 
+
+
+def _simhash_cand_cte() -> str:
+    """The banded-simhash candidate CTE chain (mirrors
+    operators/dedup.simhash + the band join), ending at
+    ``cand(doc_a, doc_b, ha, hb)`` — shared by dedup_simhash and
+    dedup_simhash_keep."""
+    return f"""toks AS (
+              SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+            th AS (SELECT doc_id, {_H60.format(x="tok")} AS h FROM toks),
+            votes AS (
+              SELECT doc_id, CAST(bit AS INT) AS bit,
+                     sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS vote
+              FROM th, LATERAL unnest(range(0, 32)) AS r(bit)
+              GROUP BY doc_id, bit),
+            sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN vote > 0
+                              THEN (CAST(1 AS BIGINT) << bit)
+                              ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, simhash, CAST(band AS INT) AS band,
+                     (simhash >> (CAST(band AS INT) * 8)) & 255 AS bucket
+              FROM sh, LATERAL unnest(range(0, 4)) AS r(band)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS ha, b.simhash AS hb
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id)"""
 
 
 def _bucket_array_sql(planes: int, tables: int, dim: int) -> str:
@@ -1769,35 +1819,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2""",
         "dedup_span_removal": _span_removal_oracle_sql(),
         "dedup_simhash": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
-            th AS (SELECT doc_id, {_H60.format(x="tok")} AS h FROM toks),
-            votes AS (
-              SELECT doc_id, CAST(bit AS INT) AS bit,
-                     sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1
-                         THEN 1 ELSE -1 END) AS vote
-              FROM th, LATERAL unnest(range(0, 32)) AS r(bit)
-              GROUP BY doc_id, bit),
-            sh AS (
-              SELECT doc_id,
-                     CAST(sum(CASE WHEN vote > 0
-                              THEN (CAST(1 AS BIGINT) << bit)
-                              ELSE 0 END) AS BIGINT) AS simhash
-              FROM votes GROUP BY doc_id),
-            banded AS (
-              SELECT doc_id, simhash, CAST(band AS INT) AS band,
-                     (simhash >> (CAST(band AS INT) * 8)) & 255 AS bucket
-              FROM sh, LATERAL unnest(range(0, 4)) AS r(band)),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     a.simhash AS ha, b.simhash AS hb
-              FROM banded a JOIN banded b
-                ON a.band = b.band AND a.bucket = b.bucket
-               AND a.doc_id < b.doc_id)
+            WITH {_simhash_cand_cte()}
             SELECT doc_a, doc_b,
                    CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS hamming
             FROM cand
             WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 6""",
+        # simhash pairs -> transitive min-label components (the
+        # dedup_components reach shape) -> keep-one per cluster
+        "dedup_simhash_keep": f"""
+            WITH RECURSIVE {_simhash_cand_cte()},
+            pairs AS (
+              SELECT doc_a, doc_b FROM cand
+              WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 6),
+            e AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+            reach(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, r.label
+              FROM reach r JOIN e ON e.u = r.node
+              WHERE r.label < e.v),
+            comp AS (
+              SELECT node AS doc_id, min(label) AS component
+              FROM reach GROUP BY node)
+            SELECT doc_id, component, doc_id = component AS keep
+            FROM comp""",
         "dedup_embedding": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding)
