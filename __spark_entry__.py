@@ -509,6 +509,24 @@ def dedup_simhash(spark, sf):
                                max_hamming=6)
 
 
+def dedup_substring_keep(spark, sf):
+    """Transitive keep-one over the winnowing SUBSTRING pair graph:
+    docs sharing any >= window-char passage (at any alignment) are
+    clustered via the alternating-star component loop and exactly one
+    per cluster keeps.  This is the whole-doc POLICY consumer of
+    dedup_substring's pair evidence (the passage-surgery consumer is
+    dedup_span_removal).  Same eager-builder caveat as
+    dedup_components."""
+    from origami_spark.operators.components import connected_components
+
+    docs = _t(spark, sf, "documents")
+    pairs = D.substring_dup_pairs(docs, window=64, k=16, max_df=5)
+    comp = connected_components(pairs, nodes=docs.select("doc_id"))
+    return comp.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"))
+
+
 def dedup_simhash_keep(spark, sf):
     """Transitive keep-one over the SIMHASH pair graph: the verified
     hamming<=6 pairs feed the same alternating-star component loop as
@@ -1103,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_keep": dedup_simhash_keep,
+        "dedup_substring_keep": dedup_substring_keep,
         "dedup_substring": dedup_substring,
         "dedup_span_removal": dedup_span_removal,
         "dedup_paragraphs": dedup_paragraphs,
@@ -1818,6 +1837,28 @@ def oracle_sql() -> dict[str, str]:
               ON a.gram = b.gram AND a.doc_id < b.doc_id
             GROUP BY 1, 2""",
         "dedup_span_removal": _span_removal_oracle_sql(),
+        # substring pairs -> transitive min-label components -> keep-one
+        "dedup_substring_keep": f"""
+            WITH RECURSIVE {_winnow_fp_cte()},
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM fp a JOIN fp b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id),
+            e AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs),
+            reach(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, r.label
+              FROM reach r JOIN e ON e.u = r.node
+              WHERE r.label < e.v),
+            comp AS (
+              SELECT node AS doc_id, min(label) AS component
+              FROM reach GROUP BY node)
+            SELECT doc_id, component, doc_id = component AS keep
+            FROM comp""",
         "dedup_simhash": f"""
             WITH {_simhash_cand_cte()}
             SELECT doc_a, doc_b,

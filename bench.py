@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_incremental_exact",
     "host_stats",
+    "url_blocklist",
 ]
 
 
