@@ -32,7 +32,9 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
                  dedup_paragraphs: bool = False, host_cap: int = 0,
                  shard_mb: int = 256,
                  lm_max_bits: float = 0.0,
-                 block_domains=None, block_terms=None) -> dict:
+                 block_domains=None, block_terms=None,
+                 shuffle_output: bool = False,
+                 shuffle_seed: str = "s0") -> dict:
     """The corpus-build DAG; returns per-stage counts.
 
     Cache cleanup is guaranteed (finally): a failure mid-build in a
@@ -46,7 +48,8 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
         return _build_corpus(spark, pages, out_dir, min_tokens, near_dup,
                              dedup_spans, dedup_paragraphs, host_cap,
                              shard_mb, lm_max_bits, block_domains,
-                             block_terms, cached)
+                             block_terms, shuffle_output, shuffle_seed,
+                             cached)
     finally:
         # best-effort: a dead session makes unpersist itself raise —
         # that must neither mask the build's root-cause exception nor
@@ -64,7 +67,8 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
 
 def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
                   dedup_paragraphs, host_cap, shard_mb, lm_max_bits,
-                  block_domains, block_terms, cached) -> dict:
+                  block_domains, block_terms, shuffle_output, shuffle_seed,
+                  cached) -> dict:
     from pyspark.sql import functions as F
 
     from origami_spark.operators import dedup as D
@@ -240,6 +244,26 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
     )
     cached.append(final)
     counts["exported"] = final.count()
+
+    if shuffle_output:
+        # deterministic training order (operators/sampling.shuffle_order):
+        # every doc gets its reproducible global shuffle rank, and the
+        # export is physically materialized in that order — range
+        # partition on the rank + within-partition sort, a distributed
+        # total order with no single-partition sort.  coalesce-to-shards
+        # in the sink preserves it (adjacent partitions merge in index
+        # order), so shard k holds ranks strictly before shard k+1.
+        from origami_spark.operators.sampling import shuffle_order
+
+        order = shuffle_order(
+            final.select(F.col("url").alias("doc_id")), seed=shuffle_seed,
+        ).withColumnRenamed("doc_id", "url")
+        final = (
+            final.join(order, "url")
+            .repartitionByRange("shuffle_pos")
+            .sortWithinPartitions("shuffle_pos")
+        )
+
     # the exact row count is already paid for above — pass it through so
     # the sink merges small shuffle partitions to the target shard count
     # instead of leaving one file per partition
@@ -275,6 +299,13 @@ def main(argv=None):
                     help="text file of blocked url terms, one per line "
                          "(case-insensitive substring match)")
     ap.add_argument("--shard-mb", type=int, default=256)
+    ap.add_argument("--shuffle-output", action="store_true",
+                    help="export in deterministic global training order "
+                         "(reproducible shuffle rank; shards are ordered "
+                         "and order-contiguous)")
+    ap.add_argument("--shuffle-seed", default="s0",
+                    help="seed string for --shuffle-output (a different "
+                         "seed is a different epoch order)")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -321,7 +352,9 @@ def main(argv=None):
                           shard_mb=args.shard_mb,
                           lm_max_bits=args.lm_max_bits,
                           block_domains=block_domains,
-                          block_terms=block_terms)
+                          block_terms=block_terms,
+                          shuffle_output=args.shuffle_output,
+                          shuffle_seed=args.shuffle_seed)
     print(json.dumps(counts))
     spark.stop()
 

@@ -308,3 +308,30 @@ def test_corpus_job_url_blocklist_gate(spark, tmp_path):
         F.col("url").contains("site00.example.org")
         | F.col("url").contains("/de/")).count() == 0
     assert back.count() > 0
+
+
+def test_corpus_job_shuffle_output_order(spark, tmp_path):
+    """--shuffle-output exports in the deterministic global training
+    order: every rank 1..N appears exactly once, each shard is
+    internally ascending, and shards are order-contiguous (file k's
+    ranks all precede file k+1's)."""
+    import glob
+    import gzip
+    import json as _json
+
+    from origami_spark.sources.corpus import pages_df
+
+    out = str(tmp_path / "corpus_shuf")
+    # fractional shard target (the CLI coerces int; the function takes
+    # any number) so this small corpus genuinely produces several shards
+    counts = build_corpus(spark, pages_df(spark, 600, num_partitions=4), out,
+                          min_tokens=5, shard_mb=0.1, shuffle_output=True)
+    per_file = []
+    for f in sorted(glob.glob(out + "/part-*")):
+        opener = gzip.open if f.endswith(".gz") else open
+        with opener(f, "rt") as fh:
+            per_file.append([_json.loads(l)["shuffle_pos"] for l in fh if l.strip()])
+    ranks = [r for fr in per_file for r in fr]
+    assert len(per_file) >= 2  # the contiguity claim needs real shards
+    assert sorted(ranks) == list(range(1, counts["exported"] + 1))
+    assert ranks == sorted(ranks)  # ascending within AND across shards
