@@ -467,6 +467,22 @@ def dedup_incremental_exact(spark, sf):
     return D.incremental_exact(batch, idx)
 
 
+def _component_keep(pairs, nodes, node_col="doc_id",
+                    src="doc_a", dst="doc_b"):
+    """Candidate pairs -> connected components -> (node, component,
+    keep = node == component min).  ONE copy of the transitive
+    keep-one labeling shared by every *_keep query; its oracle twin is
+    ``_reach_comp_cte``.  Eager-builder: the component loop executes
+    at build time (ann_ivf_topk trainer precedent)."""
+    from origami_spark.operators.components import connected_components
+
+    comp = connected_components(pairs, src=src, dst=dst,
+                                node_col=node_col, nodes=nodes)
+    return comp.select(
+        node_col, "component",
+        (F.col(node_col) == F.col("component")).alias("keep"))
+
+
 def dedup_components(spark, sf):
     """Near-dup CLUSTERS from candidate pairs: alternating large/small
     star connected components (operators/components.py, Kiveris et al.
@@ -517,14 +533,9 @@ def dedup_substring_keep(spark, sf):
     dedup_substring's pair evidence (the passage-surgery consumer is
     dedup_span_removal).  Same eager-builder caveat as
     dedup_components."""
-    from origami_spark.operators.components import connected_components
-
     docs = _t(spark, sf, "documents")
     pairs = D.substring_dup_pairs(docs, window=64, k=16, max_df=5)
-    comp = connected_components(pairs, nodes=docs.select("doc_id"))
-    return comp.select(
-        "doc_id", "component",
-        (F.col("doc_id") == F.col("component")).alias("keep"))
+    return _component_keep(pairs, docs.select("doc_id"))
 
 
 def dedup_simhash_keep(spark, sf):
@@ -534,14 +545,9 @@ def dedup_simhash_keep(spark, sf):
     band), every doc labeled (component, keep = doc_id == component).
     Same eager-builder caveat as dedup_components; the oracle chains
     the dedup_simhash CTE into the recursive min-label reach."""
-    from origami_spark.operators.components import connected_components
-
     docs = _t(spark, sf, "documents")
     pairs = D.simhash_near_dups(docs, bits=32, bands=4, max_hamming=6)
-    comp = connected_components(pairs, nodes=docs.select("doc_id"))
-    return comp.select(
-        "doc_id", "component",
-        (F.col("doc_id") == F.col("component")).alias("keep"))
+    return _component_keep(pairs, docs.select("doc_id"))
 
 
 def dedup_embedding(spark, sf):
@@ -652,17 +658,11 @@ def dedup_semantic_keep(spark, sf):
     filter, then recursive min-label propagation — the
     dedup_components CTE shape.  Eager-builder (the clustering loop
     runs at build time — ann_ivf_topk precedent)."""
-    from origami_spark.operators.components import connected_components
-
     emb = _t(spark, sf, "embeddings")
     staged = _stage_centroids(spark, emb, SEMDEDUP_CENTROIDS_PATH)
     pairs = S.semantic_dedup_pairs(emb, staged, threshold=0.35)
-    comp = connected_components(pairs, src="vec_a", dst="vec_b",
-                                node_col="vec_id",
-                                nodes=emb.select("vec_id"))
-    return comp.select(
-        "vec_id", "component",
-        (F.col("vec_id") == F.col("component")).alias("keep"))
+    return _component_keep(pairs, emb.select("vec_id"),
+                           node_col="vec_id", src="vec_a", dst="vec_b")
 
 
 def text_lm_quality(spark, sf):
@@ -1213,6 +1213,32 @@ def _simhash_cand_cte() -> str:
               FROM banded a JOIN banded b
                 ON a.band = b.band AND a.bucket = b.bucket
                AND a.doc_id < b.doc_id)"""
+
+
+def _reach_comp_cte(u: str = "doc_a", v: str = "doc_b",
+                    nodes: str = "documents",
+                    node_col: str = "doc_id") -> str:
+    """Transitive min-label propagation over a preceding
+    ``pairs({u}, {v})`` CTE — the DuckDB oracle of
+    operators/components.connected_components.  Emits the ``e`` /
+    ``reach`` / ``comp`` chain (labels flow while label < node, so the
+    component min always spreads); append after the pairs CTE inside a
+    WITH RECURSIVE chain and SELECT from ``comp``.  ONE copy on
+    purpose: the propagation rule must stay identical across every
+    *_keep / components oracle."""
+    return f"""e AS (
+              SELECT {u} AS u, {v} AS v FROM pairs
+              UNION
+              SELECT {v}, {u} FROM pairs),
+            reach(node, label) AS (
+              SELECT {node_col}, {node_col} FROM {nodes}
+              UNION
+              SELECT e.v, r.label
+              FROM reach r JOIN e ON e.u = r.node
+              WHERE r.label < e.v),
+            comp AS (
+              SELECT node AS {node_col}, min(label) AS component
+              FROM reach GROUP BY node)"""
 
 
 def _bucket_array_sql(planes: int, tables: int, dim: int) -> str:
@@ -1809,19 +1835,7 @@ def oracle_sql() -> dict[str, str]:
               FROM buckets a JOIN buckets b
                 ON a.band = b.band AND a.bucket = b.bucket
                AND a.doc_id < b.doc_id),
-            e AS (
-              SELECT doc_a AS u, doc_b AS v FROM pairs
-              UNION
-              SELECT doc_b, doc_a FROM pairs),
-            reach(node, label) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT e.v, r.label
-              FROM reach r JOIN e ON e.u = r.node
-              WHERE r.label < e.v),
-            comp AS (
-              SELECT node AS doc_id, min(label) AS component
-              FROM reach GROUP BY node)
+            {_reach_comp_cte()}
             SELECT doc_id, component,
                    count(*) OVER (PARTITION BY component) AS csize
             FROM comp""",
@@ -1844,19 +1858,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM fp a JOIN fp b
                 ON a.gram = b.gram AND a.doc_id < b.doc_id),
-            e AS (
-              SELECT doc_a AS u, doc_b AS v FROM pairs
-              UNION
-              SELECT doc_b, doc_a FROM pairs),
-            reach(node, label) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT e.v, r.label
-              FROM reach r JOIN e ON e.u = r.node
-              WHERE r.label < e.v),
-            comp AS (
-              SELECT node AS doc_id, min(label) AS component
-              FROM reach GROUP BY node)
+            {_reach_comp_cte()}
             SELECT doc_id, component, doc_id = component AS keep
             FROM comp""",
         "dedup_simhash": f"""
@@ -1872,19 +1874,7 @@ def oracle_sql() -> dict[str, str]:
             pairs AS (
               SELECT doc_a, doc_b FROM cand
               WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 6),
-            e AS (
-              SELECT doc_a AS u, doc_b AS v FROM pairs
-              UNION
-              SELECT doc_b, doc_a FROM pairs),
-            reach(node, label) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT e.v, r.label
-              FROM reach r JOIN e ON e.u = r.node
-              WHERE r.label < e.v),
-            comp AS (
-              SELECT node AS doc_id, min(label) AS component
-              FROM reach GROUP BY node)
+            {_reach_comp_cte()}
             SELECT doc_id, component, doc_id = component AS keep
             FROM comp""",
         "dedup_embedding": """
@@ -2496,19 +2486,8 @@ def oracle_sql() -> dict[str, str]:
             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
           WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
                       AS DOUBLE), 4) >= 0.35),
-        e AS (
-          SELECT vec_a AS u, vec_b AS v FROM pairs
-          UNION
-          SELECT vec_b, vec_a FROM pairs),
-        reach(node, label) AS (
-          SELECT vec_id, vec_id FROM embeddings
-          UNION
-          SELECT e.v, r.label
-          FROM reach r JOIN e ON e.u = r.node
-          WHERE r.label < e.v),
-        comp AS (
-          SELECT node AS vec_id, min(label) AS component
-          FROM reach GROUP BY node)
+        {_reach_comp_cte(u="vec_a", v="vec_b", nodes="embeddings",
+                         node_col="vec_id")}
         SELECT vec_id, component, vec_id = component AS keep
         FROM comp"""
     return sql

@@ -93,8 +93,13 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
             block_domains if block_domains is not None else empty,
             (block_terms if block_terms is not None
              else empty.withColumnRenamed("domain", "term")))
+        # cache the (small) blocked set: it sits on the build side of
+        # the anti-join, and without the cache urlfilter's 3-scan
+        # labeling plan re-executes for the stage count AND again when
+        # extraction materializes the gated pages
         blocked_urls = lab.filter("blocked").select(
-            F.col("doc_id").alias("url"))
+            F.col("doc_id").alias("url")).cache()
+        cached.append(blocked_urls)
         pages = pages.join(F.broadcast(blocked_urls), "url", "left_anti")
         counts["after_url_blocklist"] = pages.count()
 
@@ -245,30 +250,31 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
     cached.append(final)
     counts["exported"] = final.count()
 
+    order_col = None
     if shuffle_output:
         # deterministic training order (operators/sampling.shuffle_order):
-        # every doc gets its reproducible global shuffle rank, and the
-        # export is physically materialized in that order — range
-        # partition on the rank + within-partition sort, a distributed
-        # total order with no single-partition sort.  coalesce-to-shards
-        # in the sink preserves it (adjacent partitions merge in index
-        # order), so shard k holds ranks strictly before shard k+1.
+        # every doc gets its reproducible global shuffle rank; the sink
+        # range-partitions on it to the EXACT shard count and sorts
+        # within partitions (export_jsonl order_col — a coalesce would
+        # group by locality on a real cluster and break contiguity).
+        # The joined frame is cached: the sink's sizing sample and the
+        # range partitioner's boundary sampling would otherwise each
+        # re-execute the rank join.
         from origami_spark.operators.sampling import shuffle_order
 
         order = shuffle_order(
             final.select(F.col("url").alias("doc_id")), seed=shuffle_seed,
         ).withColumnRenamed("doc_id", "url")
-        final = (
-            final.join(order, "url")
-            .repartitionByRange("shuffle_pos")
-            .sortWithinPartitions("shuffle_pos")
-        )
+        final = final.join(order, "url").cache()
+        cached.append(final)
+        order_col = "shuffle_pos"
 
     # the exact row count is already paid for above — pass it through so
     # the sink merges small shuffle partitions to the target shard count
     # instead of leaving one file per partition
     counts["shards"] = export_jsonl(final, out_dir, target_shard_mb=shard_mb,
-                                    total_rows=counts["exported"])
+                                    total_rows=counts["exported"],
+                                    order_col=order_col)
     return counts
 
 
@@ -336,12 +342,15 @@ def main(argv=None):
     from pyspark.sql import functions as F
 
     block_domains = block_terms = None
+    # trim at the read: a CRLF file or trailing spaces would otherwise
+    # make every rule silently match nothing (the gate canonicalization
+    # only lower-cases and drops EMPTY entries)
     if args.block_domains:
         block_domains = spark.read.text(args.block_domains).select(
-            F.col("value").alias("domain"))
+            F.trim(F.col("value")).alias("domain"))
     if args.block_terms:
         block_terms = spark.read.text(args.block_terms).select(
-            F.col("value").alias("term"))
+            F.trim(F.col("value")).alias("term"))
 
     counts = build_corpus(spark, pages, args.output,
                           min_tokens=args.min_tokens,

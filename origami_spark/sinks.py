@@ -31,7 +31,8 @@ def _count_part_files(spark, path: str) -> int:
 def export_jsonl(df: DataFrame, path: str, target_shard_mb: int = 256,
                  compression: str = "gzip",
                  sample_rows: int = 2048,
-                 total_rows: int | None = None) -> int:
+                 total_rows: int | None = None,
+                 order_col: str | None = None) -> int:
     """Write `df` as JSONL shards of ~`target_shard_mb` (uncompressed
     estimate).  Returns the number of part files written.
 
@@ -53,7 +54,17 @@ def export_jsonl(df: DataFrame, path: str, target_shard_mb: int = 256,
     frame is coalesced (no shuffle) to the exact shard count first.
     Without it, the sample that exhausts the table gives the same
     exactness for small inputs; large unknown-count inputs keep the
-    one-pass contract and the upstream partitioning floor."""
+    one-pass contract and the upstream partitioning floor.
+
+    ``order_col`` (requires ``total_rows``): globally ORDERED export —
+    the frame is range-partitioned on that column to the exact shard
+    count and sorted within each partition, so file k's values all
+    precede file k+1's in filename order.  This MUST NOT be expressed
+    as caller-side repartitionByRange + sink-side coalesce: coalesce
+    groups parent partitions by LOCALITY on a real cluster
+    (DefaultPartitionCoalescer), not by index, which silently breaks
+    shard contiguity — only ever observable off the single-node test
+    rig."""
     # CollectLimit executes incrementally (first partition, then grow),
     # so this job touches ~one upstream partition — an agg on top would
     # force a LocalLimit per partition and evaluate them ALL
@@ -65,7 +76,13 @@ def export_jsonl(df: DataFrame, path: str, target_shard_mb: int = 256,
     sample = {"n": len(sampled), "b": sum(r["b"] or 0 for r in sampled)}
     target_bytes = int(target_shard_mb * 1024 * 1024)
     bytes_per_row = max(1, math.ceil(sample["b"] / sample["n"])) if sample["n"] else 1
-    if total_rows is not None and sample["n"]:
+    if order_col is not None:
+        if total_rows is None:
+            raise ValueError("order_col requires total_rows")
+        shards = max(1, math.ceil(total_rows * bytes_per_row / target_bytes))
+        df = (df.repartitionByRange(shards, F.col(order_col))
+              .sortWithinPartitions(order_col))
+    elif total_rows is not None and sample["n"]:
         # caller-supplied exact count: coalesce to the exact shard count
         shards = max(1, math.ceil(total_rows * bytes_per_row / target_bytes))
         df = df.coalesce(shards)
