@@ -912,6 +912,19 @@ def sample_token_budget_global(spark, sf):
     return token_budget_global(docs, 3000)
 
 
+def sample_pack_sequences(spark, sf):
+    """Greedy concatenation packing (operators/sampling.pack_sequences):
+    docs concatenate in the deterministic shuffle order, the token
+    stream cuts every 512 tokens, and each doc is assigned the pack
+    where its first token lands (pack_id, pack_offset) — pure
+    arithmetic on the same decomposed prefix sum as
+    sample_token_budget_global.  The oracle is the SERIAL prefix sum
+    with the same floor/mod arithmetic."""
+    from origami_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), seq_len=512)
+
+
 def sample_shuffle(spark, sf):
     """Deterministic global training-order shuffle
     (operators/sampling.shuffle_order): rank in (hash60(seed|id), id)
@@ -1130,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "sample_token_budget": sample_token_budget,
         "sample_token_budget_global": sample_token_budget_global,
+        "sample_pack_sequences": sample_pack_sequences,
         "sample_shuffle": sample_shuffle,
         "sample_interleave": sample_interleave,
         "host_stats": host_stats,
@@ -1213,6 +1227,35 @@ def _simhash_cand_cte() -> str:
               FROM banded a JOIN banded b
                 ON a.band = b.band AND a.bucket = b.bucket
                AND a.doc_id < b.doc_id)"""
+
+
+def _global_cum_cte() -> str:
+    """The decomposed corpus-wide running token sum (mirror of
+    operators/sampling._global_cum), ending at ``c(doc_id, n_tokens,
+    cum_tokens)`` — shared by the global-budget and sequence-packing
+    oracles so the prefix-sum decomposition cannot drift between
+    them."""
+    return f"""t AS (
+              SELECT doc_id,
+                     CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                     CAST(('0x' || substring(md5('s0' || '|'
+                          || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1000000 AS b
+              FROM documents
+              WHERE doc_id IS NOT NULL),
+            tg AS (SELECT *, CAST(floor(b * 256 / 1000000) AS INT) AS g FROM t),
+            gs AS (SELECT g, sum(n_tokens) AS gsum FROM tg GROUP BY g),
+            pre AS (
+              SELECT g,
+                     CAST(sum(gsum) OVER (ORDER BY g
+                          ROWS UNBOUNDED PRECEDING) - gsum AS BIGINT) AS prefix
+              FROM gs),
+            c AS (
+              SELECT tg.doc_id, tg.n_tokens,
+                     CAST(pre.prefix + sum(tg.n_tokens) OVER (
+                          PARTITION BY tg.g ORDER BY tg.b, tg.doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM tg JOIN pre USING (g))"""
 
 
 def _reach_comp_cte(u: str = "doc_a", v: str = "doc_b",
@@ -2088,29 +2131,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
             FROM c WHERE cum_tokens <= 500""",
         "sample_token_budget_global": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
-                     CAST(('0x' || substring(md5('s0' || '|'
-                          || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                       % 1000000 AS b
-              FROM documents
-              WHERE doc_id IS NOT NULL),
-            tg AS (SELECT *, CAST(floor(b * 256 / 1000000) AS INT) AS g FROM t),
-            gs AS (SELECT g, sum(n_tokens) AS gsum FROM tg GROUP BY g),
-            pre AS (
-              SELECT g,
-                     CAST(sum(gsum) OVER (ORDER BY g
-                          ROWS UNBOUNDED PRECEDING) - gsum AS BIGINT) AS prefix
-              FROM gs),
-            c AS (
-              SELECT tg.doc_id, tg.n_tokens,
-                     CAST(pre.prefix + sum(tg.n_tokens) OVER (
-                          PARTITION BY tg.g ORDER BY tg.b, tg.doc_id
-                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-              FROM tg JOIN pre USING (g))
+            WITH {_global_cum_cte()}
             SELECT doc_id, n_tokens, cum_tokens
             FROM c WHERE cum_tokens <= 3000""",
+        # same running sum, pack arithmetic instead of a prefix cut
+        "sample_pack_sequences": f"""
+            WITH {_global_cum_cte()}
+            SELECT doc_id, n_tokens,
+                   (cum_tokens - n_tokens) // 512 AS pack_id,
+                   (cum_tokens - n_tokens) % 512 AS pack_offset
+            FROM c""",
         # the decomposed-rank ops against their SERIAL formulations:
         # decomposed == serial is exactly the claim under test
         "sample_shuffle": """

@@ -167,6 +167,22 @@ def token_budget_global(docs: DataFrame, budget_tokens: int,
     Output: ``doc_id, n_tokens, cum_tokens`` for kept docs (prefix cut,
     same contract as :func:`token_budget`).
     """
+    cum = _global_cum(docs, text_col, seed, id_col, groups)
+    return (
+        cum.filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, "n_tokens", "cum_tokens")
+    )
+
+
+def _global_cum(docs: DataFrame, text_col: str, seed: str,
+                id_col: str, groups: int) -> DataFrame:
+    """The decomposed corpus-wide running token sum shared by
+    :func:`token_budget_global` and :func:`pack_sequences`:
+    ``(id_col, n_tokens, cum_tokens)`` where cum_tokens is the
+    inclusive prefix sum in the deterministic (hash, id) order,
+    computed with NO single-partition window (256 contiguous hash
+    ranges + a 256-row offset aggregate + parallel within-range
+    windows)."""
     from .dedup import _tracked_cache
 
     t = docs.select(
@@ -194,16 +210,40 @@ def token_budget_global(docs: DataFrame, budget_tokens: int,
         .orderBy("_b", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = (
+    return (
         t.join(F.broadcast(pre), "_g")
         .withColumn(
             "cum_tokens",
             (F.col("prefix") + F.sum("n_tokens").over(wg)).cast("bigint"),
         )
     )
-    return (
-        cum.filter(F.col("cum_tokens") <= budget_tokens)
-        .select(id_col, "n_tokens", "cum_tokens")
+
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   text_col: str = "text", seed: str = "s0",
+                   id_col: str = "doc_id", groups: int = 256) -> DataFrame:
+    """Greedy concatenation packing — the training-loader "example
+    packing" step (concatenate docs, cut the token stream every
+    ``seq_len``; T5/GPT-style, cf. Krell et al. 2021, public): each
+    doc is assigned the training sequence where its FIRST token lands.
+
+    The docs concatenate in the same deterministic (hash, id) shuffle
+    order as :func:`token_budget_global` and the assignment is pure
+    arithmetic on the decomposed prefix sum — ``pack_id = excl //
+    seq_len``, ``pack_offset = excl % seq_len`` where ``excl`` is the
+    exclusive prefix — so there is no single-partition window, no
+    driver loop, and the packing is reproducible across runs,
+    partitionings, and engines.  A doc longer than ``seq_len`` spans
+    packs (its continuation packs contain no starting doc); a
+    zero-token doc sits at its neighbor's boundary and consumes no
+    width.  Output: ``(id_col, n_tokens, pack_id, pack_offset)``.
+    Rows with NULL ids drop (no deterministic position exists)."""
+    cum = _global_cum(docs, text_col, seed, id_col, groups)
+    excl = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        id_col, "n_tokens",
+        F.floor(excl / seq_len).cast("bigint").alias("pack_id"),
+        (excl % seq_len).cast("bigint").alias("pack_offset"),
     )
 
 

@@ -274,3 +274,65 @@ def test_interleave_sources_weighted_prefixes(spark):
     # exact key law
     for r in out:
         assert r["emit_key"] == r["src_pos"] / w[r["source"]]
+
+
+def test_pack_sequences_equals_serial_packing(spark):
+    """The decomposed pack assignment must equal the naive
+    single-window serial packing exactly: pack_id/pack_offset from the
+    serial exclusive prefix in (hash, id) order."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from origami_spark.operators.sampling import _bucket, pack_sequences
+    from origami_spark.operators.text import tokens_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+           for r in pack_sequences(docs, seq_len=128).collect()}
+
+    serial = docs.select(
+        "doc_id",
+        F.size(tokens_col()).cast("bigint").alias("n_tokens"),
+        _bucket("doc_id", "s0").alias("_b"),
+    )
+    w = Window.orderBy("_b", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    excl = F.col("cum") - F.col("n_tokens")
+    want = {
+        r["doc_id"]: (r["p"], r["o"])
+        for r in serial.withColumn("cum", F.sum("n_tokens").over(w))
+        .select("doc_id",
+                F.floor(excl / 128).cast("bigint").alias("p"),
+                (excl % 128).cast("bigint").alias("o")).collect()
+    }
+    assert got == want and len(got) == docs.count()
+    # real packing happened: several packs, offsets inside the sequence
+    packs = {p for p, _ in got.values()}
+    assert len(packs) > 1
+    assert all(0 <= o < 128 for _, o in got.values())
+
+
+def test_pack_sequences_long_doc_spans_packs(spark):
+    """A doc longer than seq_len occupies several packs: the next doc
+    starts in a LATER pack, and continuation packs contain no starting
+    doc (pack ids can skip)."""
+    docs = spark.createDataFrame(
+        [(1, "w " * 50), (2, "x " * 500), (3, "y " * 50), (4, "")],
+        "doc_id long, text string")
+    from origami_spark.operators.sampling import pack_sequences
+
+    out = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+           for r in pack_sequences(docs, seq_len=100).collect()}
+    assert len(out) == 4  # empty text => 0 tokens, still placed
+    by_order = sorted(out.values())
+    # total tokens 600 over seq_len 100 => starts spread over >2 packs
+    assert by_order[-1][0] >= 2
+
+
+def test_pack_sequences_excludes_null_ids(spark):
+    from origami_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (None, "d e f")], "doc_id long, text string")
+    out = pack_sequences(docs, seq_len=4).collect()
+    assert [r["doc_id"] for r in out] == [1]
