@@ -183,19 +183,35 @@ def _near_dup_against_index(spark: SparkSession, gated: DataFrame,
     representative whose agreement may fail where another member would
     pass — so index-side read capping is OFF (cap_index=False); the
     batch side keeps its star capping so a hot bucket arriving within
-    ONE micro-batch emits O(m) star pairs, not m(m-1)/2."""
+    ONE micro-batch emits O(m) star pairs, not m(m-1)/2.
+
+    Touched-bucket pruning: the decision only ever consults corpus
+    rows whose (band, bucket) some batch doc also occupies
+    (``incremental_candidates`` is an equality join on those keys, and
+    corpus nodes enter the component graph only through such pairs),
+    so the corpus read semi-joins the batch's touched-bucket set
+    BEFORE the eager materialization.  Per-batch work is then
+    proportional to the BATCH (bounded by batch_docs x bands x
+    max_bucket rows), not the accumulated corpus — without this, every
+    micro-batch localCheckpoints the whole index.  The broadcast
+    touched set is batch_docs x bands rows at most — small by the
+    micro-batch contract."""
     from ..operators.dedup import incremental_keep, signature_index
     from ..operators.text import portable_hash60
 
     ids = gated.select(
         portable_hash60(F.col("url")).alias("doc_id"), "url", "text")
-    new_idx = signature_index(ids.select("doc_id", "text"))
+    # three consumers (touched-bucket broadcast, the keep decision, the
+    # index append) — sign the batch once
+    new_idx = signature_index(ids.select("doc_id", "text")).cache()
+    touched = new_idx.select("band", "bucket").distinct()
     from pyspark.errors import AnalysisException
 
     try:
         corpus_idx = (
             spark.read.schema(_INDEX_SCHEMA).parquet(index_dir)
             .filter(F.col("batch_id") != batch_id)
+            .join(F.broadcast(touched), ["band", "bucket"], "semi")
             .select("doc_id", "band", "bucket", "sig")
             .localCheckpoint(eager=True)
         )
@@ -211,10 +227,9 @@ def _near_dup_against_index(spark: SparkSession, gated: DataFrame,
         if max_bucket is not None:
             from pyspark.sql import Window
 
-            touched = new_idx.select("band", "bucket").distinct()
+            # corpus_idx is already pruned to touched buckets
             cur = (
-                corpus_idx.join(F.broadcast(touched),
-                                ["band", "bucket"], "semi")
+                corpus_idx
                 .groupBy("band", "bucket")
                 .agg(F.count(F.lit(1)).alias("_n"))
             )
@@ -234,6 +249,7 @@ def _near_dup_against_index(spark: SparkSession, gated: DataFrame,
         # the caller writes AFTER release_caches() would drop it
     finally:
         surv.unpersist()
+        new_idx.unpersist()
 
 
 def compact_corpus(spark: SparkSession, out_dir: str,

@@ -460,3 +460,39 @@ def test_stream_near_dup_replay_is_idempotent(spark, tmp_path):
         spark.read.parquet(idx_dir).collect())
     assert replay == first
     assert idx_replay == idx_first
+
+
+def test_stream_near_dup_untouched_buckets_pruned_and_irrelevant(spark,
+                                                                 tmp_path):
+    """The corpus read is pruned to buckets the batch touches; rows in
+    untouched buckets must neither change the decision (they cannot
+    pair) nor survive into the materialized corpus side.  Guards the
+    pruning invariant: if a future change makes the keep decision read
+    corpus rows OUTSIDE the batch's buckets, this fixture's near-dup
+    twin in a foreign bucket would start mattering and the test fails
+    loudly."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.operators.dedup import signature_index
+    from origami_spark.operators.text import portable_hash60
+    from origami_spark.streaming.corpus import _near_dup_against_index
+
+    text = ("the quick brown fox jumps over the lazy dog while the rain "
+            "in spain falls mainly on the plain and the cat sat on the mat")
+    gated = spark.createDataFrame([("u1", text)], "url string, text string")
+    ids = gated.select(portable_hash60(F.col("url")).alias("doc_id"), "text")
+    own = signature_index(ids)
+    # an index row with the doc's OWN signatures (perfect agreement —
+    # would drop the doc if consulted) but in a bucket the batch never
+    # touches: same bands, foreign bucket string
+    foreign = own.select(
+        F.lit(900).alias("doc_id"), "band",
+        F.concat(F.lit("zz-"), F.col("bucket")).alias("bucket"), "sig")
+    idx_dir = str(tmp_path / "pruned_idx")
+    foreign.write.parquet(f"{idx_dir}/batch_id=0")
+
+    out = _near_dup_against_index(spark, gated, idx_dir, 1, 0.5, 128)
+    # untouched-bucket twin is invisible: the doc survives
+    assert [r["url"] for r in out.collect()] == ["u1"]
+    # and its own rows landed under batch_id=1 as usual
+    assert spark.read.parquet(f"{idx_dir}/batch_id=1").count() == 4
