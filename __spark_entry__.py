@@ -592,6 +592,7 @@ _STAGE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 IVF_CENTROIDS_PATH = os.path.join(_STAGE_DIR, "ivf_centroids.parquet")
 SEMDEDUP_CENTROIDS_PATH = os.path.join(_STAGE_DIR, "semdedup_centroids.parquet")
 LM_TABLE_PATH = os.path.join(_STAGE_DIR, "trigram_lm.parquet")
+NB_MODEL_PATH = os.path.join(_STAGE_DIR, "nb_model.parquet")
 
 
 def _staged(path: str) -> str:
@@ -696,6 +697,52 @@ def text_lm_buckets(spark, sf):
     lm.coalesce(1).write.mode("overwrite").parquet(_staged(LM_TABLE_PATH))
     staged = spark.read.parquet(LM_TABLE_PATH)
     return lm_buckets(lm_score(docs, staged), buckets=3)
+
+
+# the pinned "reference corpus" label for the classifier queries — the
+# GPT-3 recipe's positives (curated sources) vs crawl negatives; the
+# DuckDB oracle applies the identical membership rule
+_REF_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def text_classifier_score(spark, sf):
+    """GPT-3-style reference-corpus quality classifier
+    (operators/classifier.py, Brown et al. 2020 appendix A):
+    multinomial Naive Bayes over hashed tokens, trained on a pinned
+    reference-source label, log-likelihood ratios quantized to
+    integers (partition-order-independent sums).  The dense B-row
+    model — the only float-log surface — is staged to parquet and the
+    DuckDB oracle re-reads it, redoing the token explode, bucket hash,
+    broadcast join, and integer aggregation."""
+    from origami_spark.operators.classifier import nb_score, nb_train
+
+    docs = _t(spark, sf, "documents")
+    lab = docs.withColumn(
+        "y", F.col("source").isin(*_REF_SOURCES).cast("int"))
+    model = nb_train(lab, "y")
+    model.coalesce(1).write.mode("overwrite").parquet(_staged(NB_MODEL_PATH))
+    staged = spark.read.parquet(NB_MODEL_PATH)
+    return nb_score(docs, staged)
+
+
+def text_classifier_keep(spark, sf):
+    """The classifier as a corpus gate (classifier.nb_keep): keep
+    documents whose length-normalized log-odds is >= 0 (reference-like)
+    plus zero-token documents the model has no opinion on.  The corpus
+    side never shuffles — the reject set joins left-anti.  Sign of the
+    threshold comparison is integer-derived (sum of qllr), so the gate
+    cannot flip on a float boundary in either engine."""
+    from origami_spark.operators.classifier import (nb_keep, nb_score,
+                                                    nb_train)
+
+    docs = _t(spark, sf, "documents")
+    lab = docs.withColumn(
+        "y", F.col("source").isin(*_REF_SOURCES).cast("int"))
+    model = nb_train(lab, "y")
+    model.coalesce(1).write.mode("overwrite").parquet(_staged(NB_MODEL_PATH))
+    staged = spark.read.parquet(NB_MODEL_PATH)
+    kept = nb_keep(docs, nb_score(docs, staged), min_llr_per_token=0.0)
+    return kept.select("doc_id", "source")
 
 
 def text_token_stats(spark, sf):
@@ -1159,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats,
         "text_lm_quality": text_lm_quality,
         "text_lm_buckets": text_lm_buckets,
+        "text_classifier_score": text_classifier_score,
+        "text_classifier_keep": text_classifier_keep,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
@@ -2462,6 +2511,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lm_rank,
                CAST(floor((lm_rank - 1) * 3 / n) + 1 AS INT) AS lm_bucket
         FROM r"""
+    # NB quality classifier over the staged dense model table
+    # (text_classifier_score stages it before returning): DuckDB redoes
+    # the token explode, the bucket hash, the model join (dense — every
+    # bucket hits), and the INTEGER log-likelihood-ratio sum
+    _NB_SCORE_CTE = f"""
+        WITH m AS (SELECT feat, qllr, qprior, q
+                   FROM '{NB_MODEL_PATH}/*.parquet'),
+        c AS (
+          -- the staged table carries its own constants: the class
+          -- prior and the quantization q
+          SELECT CAST(max(qprior) AS BIGINT) AS p,
+                 CAST(max(q) AS BIGINT) AS q
+          FROM m),
+        t AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+        f AS (SELECT doc_id, {_H60.format(x="tok")} % 4096 AS feat
+              FROM t),
+        s AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(qllr) AS BIGINT) AS s_in
+          FROM f JOIN m USING (feat)
+          GROUP BY doc_id)"""
+    sql["text_classifier_score"] = f"""{_NB_SCORE_CTE}
+        SELECT doc_id, n_tokens,
+               CAST(c.p + s.s_in AS BIGINT) AS score_q,
+               s.s_in / (n_tokens * CAST(c.q AS DOUBLE)) AS llr_per_token
+        FROM s CROSS JOIN c"""
+    # the gate: reject iff the scored llr is negative (sign of an
+    # integer sum); zero-token docs have no scored row and survive
+    sql["text_classifier_keep"] = f"""{_NB_SCORE_CTE}
+        SELECT d.doc_id, d.source
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM s WHERE s_in < 0)"""
     # SemDeDup over the staged k-means partition (dedup_semantic stages
     # its own centroid table before returning): the same bit-compatible
     # floor-quantized argmin assignment, then exact rounded cosine over

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "dedup_incremental_exact",
     "host_stats",
     "url_blocklist",
+    "text_classifier_score",
 ]
 
 

@@ -32,6 +32,7 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
                  dedup_paragraphs: bool = False, host_cap: int = 0,
                  shard_mb: int = 256,
                  lm_max_bits: float = 0.0,
+                 quality_ref=None, quality_min_llr: float = 0.0,
                  block_domains=None, block_terms=None,
                  shuffle_output: bool = False,
                  shuffle_seed: str = "s0") -> dict:
@@ -47,7 +48,8 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
     try:
         return _build_corpus(spark, pages, out_dir, min_tokens, near_dup,
                              dedup_spans, dedup_paragraphs, host_cap,
-                             shard_mb, lm_max_bits, block_domains,
+                             shard_mb, lm_max_bits, quality_ref,
+                             quality_min_llr, block_domains,
                              block_terms, shuffle_output, shuffle_seed,
                              cached)
     finally:
@@ -67,6 +69,7 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
 
 def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
                   dedup_paragraphs, host_cap, shard_mb, lm_max_bits,
+                  quality_ref, quality_min_llr,
                   block_domains, block_terms, shuffle_output, shuffle_seed,
                   cached) -> dict:
     from pyspark.sql import functions as F
@@ -168,6 +171,28 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
         uniq = uniq.join(too_surprising, "doc_id", "left_anti").cache()
         cached.append(uniq)
         counts["after_lm_gate"] = uniq.count()
+
+    if quality_ref is not None:
+        # GPT-3-style reference classifier gate (operators/classifier):
+        # positives = the curated reference corpus, negatives = the
+        # crawl survivors themselves (the standard PU-learning
+        # approximation — reference-like crawl docs add label noise on
+        # the negative side, which only makes the gate conservative).
+        # Runs AFTER exact dedup for the same reason as the LM gate:
+        # duplicated boilerplate on the negative side would dominate
+        # the token counts.  Docs with no tokens carry no opinion and
+        # pass (nb_keep contract).
+        from origami_spark.operators.classifier import (nb_keep, nb_score,
+                                                        nb_train)
+
+        pos = quality_ref.select(F.lit(1).alias("_y"), F.col("text"))
+        neg = uniq.select(F.lit(0).alias("_y"), "text")
+        model = nb_train(pos.unionByName(neg), "_y")
+        uniq = nb_keep(
+            uniq, nb_score(uniq, model),
+            min_llr_per_token=quality_min_llr).cache()
+        cached.append(uniq)
+        counts["after_classifier"] = uniq.count()
 
     if near_dup:
         # MinHash near-dup pruning over a 60-bit url-hash id (Arrow
@@ -298,6 +323,14 @@ def main(argv=None):
                     help="ccnet LM gate: drop docs whose corpus-model "
                          "cross-entropy exceeds this many bits/char "
                          "(0 = off)")
+    ap.add_argument("--quality-ref",
+                    help="parquet dir of curated reference documents "
+                         "(text column): train the NB quality classifier "
+                         "(positives=reference, negatives=crawl) and keep "
+                         "only reference-like docs")
+    ap.add_argument("--quality-min-llr", type=float, default=0.0,
+                    help="classifier gate threshold on length-normalized "
+                         "log-odds (bits/token); docs below it drop")
     ap.add_argument("--block-domains",
                     help="text file of blocked domains, one per line "
                          "(each blocks the host and all subdomains)")
@@ -360,6 +393,9 @@ def main(argv=None):
                           host_cap=args.host_cap,
                           shard_mb=args.shard_mb,
                           lm_max_bits=args.lm_max_bits,
+                          quality_ref=(spark.read.parquet(args.quality_ref)
+                                       if args.quality_ref else None),
+                          quality_min_llr=args.quality_min_llr,
                           block_domains=block_domains,
                           block_terms=block_terms,
                           shuffle_output=args.shuffle_output,

@@ -335,3 +335,49 @@ def test_corpus_job_shuffle_output_order(spark, tmp_path):
     assert len(per_file) >= 2  # the contiguity claim needs real shards
     assert sorted(ranks) == list(range(1, counts["exported"] + 1))
     assert ranks == sorted(ranks)  # ascending within AND across shards
+
+
+def test_corpus_build_classifier_gate_drops_spam(spark, tmp_path):
+    """--quality-ref: planted spam-vocabulary pages pass the heuristic
+    token gate but the reference classifier (positives = a curated
+    corpus from the natural distribution, negatives = the crawl
+    survivors themselves) scores them strongly negative and the gate
+    drops them; natural pages survive."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.sources.corpus import pages_df
+
+    pages = pages_df(spark, 30)
+    spam_text = " ".join(
+        ["click here to buy cheap pills win free prizes now limited "
+         "offer casino jackpot bonus claim your reward instantly"] * 3)
+    spam = spark.createDataFrame(
+        [(f"https://spam{i}.example.com/x", spam_text) for i in range(3)],
+        "url string, text string")
+    spam_pages = spam.selectExpr(
+        "url",
+        "timestamp'2024-01-01' as warc_ts",
+        "cast(concat('<html><body><p>', text, '</p></body></html>') "
+        "as binary) as html",
+        "text", "'en' as lang",
+        "null as spans_json").select(pages.columns)
+    src = pages.unionByName(spam_pages)
+
+    # curated reference = the natural pages themselves (the GPT-3 /
+    # ccnet pattern: a curated subset of the target distribution; the
+    # synthetic generator's cross-seed vocabulary is nearly disjoint,
+    # so a different-seed corpus would not represent this one).
+    # Measured llr/token on this corpus: naturals +0.01, spam -1.99.
+    ref_dir = str(tmp_path / "ref")
+    pages_df(spark, 30).select("text").write.parquet(ref_dir)
+
+    out = str(tmp_path / "clf_corpus")
+    counts = build_corpus(spark, src, out, min_tokens=5,
+                          quality_ref=spark.read.parquet(ref_dir),
+                          quality_min_llr=-0.5)
+    # the 3 identical spam pages collapse to 1 at exact dedup; the
+    # classifier removes that survivor
+    assert counts["after_classifier"] == counts["after_exact_dedup"] - 1
+    landed = spark.read.json(out)
+    assert landed.filter(F.col("url").contains("spam")).count() == 0
+    assert landed.count() == counts["exported"] > 0
