@@ -2516,16 +2516,17 @@ def oracle_sql() -> dict[str, str]:
     # the token explode, the bucket hash, the model join (dense — every
     # bucket hits), and the INTEGER log-likelihood-ratio sum
     _NB_SCORE_CTE = f"""
-        WITH m AS (SELECT feat, qllr, qprior, q
+        WITH m AS (SELECT feat, qllr, qprior, q, b
                    FROM '{NB_MODEL_PATH}/*.parquet'),
         c AS (
           -- the staged table carries its own constants: the class
-          -- prior and the quantization q
+          -- prior, the quantization q, and the bucket count b
           SELECT CAST(max(qprior) AS BIGINT) AS p,
                  CAST(max(q) AS BIGINT) AS q
           FROM m),
         t AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
-        f AS (SELECT doc_id, {_H60.format(x="tok")} % 4096 AS feat
+        f AS (SELECT doc_id,
+                     {_H60.format(x="tok")} % (SELECT max(b) FROM m) AS feat
               FROM t),
         s AS (
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,

@@ -187,12 +187,20 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
 
         pos = quality_ref.select(F.lit(1).alias("_y"), F.col("text"))
         neg = uniq.select(F.lit(0).alias("_y"), "text")
-        model = nb_train(pos.unionByName(neg), "_y")
-        uniq = nb_keep(
-            uniq, nb_score(uniq, model),
-            min_llr_per_token=quality_min_llr).cache()
-        cached.append(uniq)
-        counts["after_classifier"] = uniq.count()
+        try:
+            model = nb_train(pos.unionByName(neg), "_y")
+        except ValueError as e:
+            # degenerate training set (empty survivors, or a reference
+            # parquet with no token evidence): a scheduled crawl
+            # refresh must land its (possibly empty) corpus, not crash
+            # — the skip is recorded, not silent
+            counts["classifier_skipped"] = str(e)
+        else:
+            uniq = nb_keep(
+                uniq, nb_score(uniq, model),
+                min_llr_per_token=quality_min_llr).cache()
+            cached.append(uniq)
+            counts["after_classifier"] = uniq.count()
 
     if near_dup:
         # MinHash near-dup pruning over a 60-bit url-hash id (Arrow

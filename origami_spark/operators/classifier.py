@@ -40,7 +40,7 @@ per-unit evidence -> scalar -> threshold), which is exactly what
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import portable_hash60, tokens_col
@@ -49,20 +49,6 @@ __all__ = ["nb_train", "nb_score", "nb_keep"]
 
 _Q = 4096
 _B = 4096
-
-
-def _features(docs: DataFrame, text_col: str, id_col: str,
-              buckets: int) -> DataFrame:
-    """One row per (doc, token occurrence): the token's hash bucket.
-    Multinomial NB counts occurrences, so duplicates stay."""
-    return docs.select(
-        F.col(id_col),
-        F.explode(tokens_col(text_col)).alias("tok"),
-    ).select(
-        id_col,
-        F.pmod(portable_hash60(F.col("tok")), F.lit(buckets))
-        .cast("bigint").alias("feat"),
-    )
 
 
 def nb_train(docs: DataFrame, label_col: str, text_col: str = "text",
@@ -74,7 +60,7 @@ def nb_train(docs: DataFrame, label_col: str, text_col: str = "text",
         ``p(f|c) = (count(f in class c) + 1) / (tokens(c) + buckets)``
 
     (add-one smoothing over the bucket space), returned DENSE as
-    ``(feat bigint, qllr bigint, qprior bigint, q int)`` with
+    ``(feat bigint, qllr bigint, qprior bigint, q int, b bigint)`` with
     ``qllr = floor(log2(p(f|1)/p(f|0)) * q + 0.5)`` and
     ``qprior = floor(log2(docs(1)/docs(0)) * q + 0.5)``.  Buckets never
     seen in training get the smoothing-floor ratio — the model has no
@@ -98,11 +84,14 @@ def nb_train(docs: DataFrame, label_col: str, text_col: str = "text",
         F.pmod(portable_hash60(F.col("tok")), F.lit(buckets))
         .cast("bigint").alias("feat"),
     )
-    # one wordcount-shaped shuffle on the bounded bucket key
-    cnt = feats.groupBy("feat").agg(
+    # one wordcount-shaped shuffle on the bounded bucket key — the
+    # collect MATERIALIZES it (<= buckets rows), so the corpus-wide
+    # token explode executes exactly once: the returned model's
+    # lineage is driver-local rows + range, never the corpus
+    cnt_rows = feats.groupBy("feat").agg(
         F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("c0"),
-    )
+    ).collect()
     tot = lab.groupBy().agg(
         F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("d1"),
         F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("d0"),
@@ -111,9 +100,8 @@ def nb_train(docs: DataFrame, label_col: str, text_col: str = "text",
         raise ValueError(
             f"nb_train needs both classes non-empty, got d1={tot['d1']} "
             f"d0={tot['d0']}")
-    n = cnt.groupBy().agg(
-        F.sum("c1").alias("n1"), F.sum("c0").alias("n0")).collect()[0]
-    n1, n0 = int(n["n1"] or 0), int(n["n0"] or 0)
+    n1 = sum(r["c1"] for r in cnt_rows)
+    n0 = sum(r["c0"] for r in cnt_rows)
     if not n1 or not n0:
         raise ValueError(
             f"nb_train needs token evidence in both classes, got "
@@ -121,6 +109,9 @@ def nb_train(docs: DataFrame, label_col: str, text_col: str = "text",
     import math
     qprior = math.floor(
         math.log2(tot["d1"] / tot["d0"]) * _Q + 0.5)
+    cnt = spark.createDataFrame(
+        [(r["feat"], r["c1"], r["c0"]) for r in cnt_rows],
+        "feat bigint, c1 bigint, c0 bigint")
     return (
         spark.range(buckets).select(F.col("id").alias("feat"))
         .join(F.broadcast(cnt), "feat", "left")
@@ -135,12 +126,13 @@ def nb_train(docs: DataFrame, label_col: str, text_col: str = "text",
             ).cast("bigint").alias("qllr"),
             F.lit(qprior).cast("bigint").alias("qprior"),
             F.lit(_Q).alias("q"),
+            F.lit(buckets).cast("bigint").alias("b"),
         )
     )
 
 
 def nb_score(docs: DataFrame, model: DataFrame, text_col: str = "text",
-             id_col: str = "doc_id", buckets: int = _B) -> DataFrame:
+             id_col: str = "doc_id") -> DataFrame:
     """Score documents against an :func:`nb_train` table: returns
     ``(id_col, n_tokens bigint, score_q bigint, llr_per_token double)``
     where ``score_q = qprior + sum(qllr over token buckets)`` — the
@@ -152,9 +144,22 @@ def nb_score(docs: DataFrame, model: DataFrame, text_col: str = "text",
     produce NO row (no evidence — the model has no opinion; gates must
     not equate "no row" with "rejected").  Every token bucket hits the
     dense model, so the join is an inner broadcast with no OOV branch;
-    integer sums make the score partition-order-independent."""
-    consts = model.agg(F.max("qprior").alias("_p"), F.max("q").alias("_q"))
-    feats = _features(docs, text_col, id_col, buckets)
+    integer sums make the score partition-order-independent.  The
+    bucket count comes FROM the model (``b`` travels in the table like
+    ``q``) — a caller-supplied count that disagreed with training would
+    silently drop every token hashing past it."""
+    consts = model.agg(F.max("qprior").alias("_p"), F.max("q").alias("_q"),
+                       F.max("b").alias("_b"))
+    feats = (
+        docs.select(F.col(id_col), F.explode(tokens_col(text_col))
+                    .alias("tok"))
+        .crossJoin(F.broadcast(consts.select("_b")))
+        .select(
+            id_col,
+            F.pmod(portable_hash60(F.col("tok")), F.col("_b"))
+            .cast("bigint").alias("feat"),
+        )
+    )
     return (
         feats.join(F.broadcast(model.select("feat", "qllr")), "feat")
         .groupBy(id_col)

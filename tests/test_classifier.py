@@ -67,6 +67,7 @@ def test_model_matches_python_reference_and_is_dense(spark):
     assert {r["feat"]: r["qllr"] for r in model} == ref
     assert {r["qprior"] for r in model} == {qprior}
     assert {r["q"] for r in model} == {Q}       # constants travel along
+    assert {r["b"] for r in model} == {B}       # incl. the bucket count
 
 
 def test_score_exact_and_partition_independent(spark):
@@ -137,3 +138,17 @@ def test_score_plan_broadcasts_model_single_exchange(spark):
     # separate tiny relation whose exchanges don't touch the corpus
     corpus_side = head.split("BroadcastHashJoin")[0]
     assert corpus_side.count("Exchange") <= 1
+
+
+def test_bucket_count_travels_with_model(spark):
+    """nb_score derives the hash modulus FROM the model table (b
+    column) — a non-default training bucket count must score exactly,
+    with no way to pass a mismatched count."""
+    docs = _docs(spark, ROWS)
+    model = nb_train(docs, "y", buckets=512)
+    ref, qprior = _ref_model(ROWS, buckets=512)
+    got = {r["doc_id"]: r["score_q"]
+           for r in nb_score(docs, model).collect()}
+    exp = {i: qprior + sum(ref[_h60(t) % 512] for t in _toks(text))
+           for i, text, _ in ROWS}
+    assert got == exp
