@@ -749,6 +749,14 @@ def text_token_stats(spark, sf):
     return T.token_stats(_t(spark, sf, "documents"))
 
 
+def text_bpe_pretokens(spark, sf):
+    """BPE-ish token counting (operators/text.bpe_pretokens): the
+    GPT-2 pre-tokenizer piece count via an RE2-safe pattern, so the
+    DuckDB oracle runs the IDENTICAL regex and the split — not just
+    the count — matches."""
+    return T.bpe_pretokens(_t(spark, sf, "documents"))
+
+
 def text_quality(spark, sf):
     return T.quality_score(_t(spark, sf, "documents"))
 
@@ -1204,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "text_token_stats": text_token_stats,
+        "text_bpe_pretokens": text_bpe_pretokens,
         "text_lm_quality": text_lm_quality,
         "text_lm_buckets": text_lm_buckets,
         "text_classifier_score": text_classifier_score,
@@ -2544,6 +2553,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source
         FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM s WHERE s_in < 0)"""
+    # GPT-2 pre-tokenizer piece count: the IDENTICAL RE2-safe pattern
+    # (operators/text.BPE_PRETOKEN_RE) runs in DuckDB; leftmost-first
+    # alternation in both engines makes the split itself equal
+    _BPE_RE_SQL = ("'" + "''" + "(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+"
+                   "| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+" + "'")
+    sql["text_bpe_pretokens"] = f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, {_BPE_RE_SQL})) AS BIGINT)
+                 AS n_pretokens,
+               CAST(len({_TOKENS}) AS BIGINT) AS n_ws_tokens,
+               CAST(length(text) AS BIGINT) AS chars,
+               CAST(length(text) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, {_BPE_RE_SQL})), 1)
+                 AS chars_per_pretoken
+        FROM documents"""
     # SemDeDup over the staged k-means partition (dedup_semantic stages
     # its own centroid table before returning): the same bit-compatible
     # floor-quantized argmin assignment, then exact rounded cosine over

@@ -85,6 +85,42 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# the GPT-2 pre-tokenizer pattern (Radford et al. 2019, public
+# `gpt2` encoder regex) in an RE2-SAFE subset: the `\s+(?!\S)`
+# lookahead branch is dropped (RE2 — hence DuckDB — has no lookahead),
+# so a whitespace run before a word is consumed by `\s+` instead of
+# being split ` ` + ` word`; and `\p{L}`/`\p{N}` narrow to ASCII
+# classes so Java (UTF-16) and RE2 (UTF-8) agree on every BMP corpus.
+# Both engines use leftmost-first alternation, so the split — not just
+# the count — is identical (asserted in tests).
+BPE_PRETOKEN_RE = ("'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+                   "| ?[^a-zA-Z0-9\\s]+|\\s+")
+
+
+def bpe_pretokens(docs: DataFrame) -> DataFrame:
+    """BPE-ish token accounting: the GPT-2 pre-tokenizer piece count —
+    the standard budget proxy when no tokenizer model is shippable
+    (real BPE only subdivides these pieces, so the count is a stable
+    lower bound ~1.3x under the true token count for English).
+    Returns ``(doc_id, n_pretokens, n_ws_tokens, chars,
+    chars_per_pretoken)``; the ratio divides exact bigints (IEEE-
+    identical in every engine) with a 0-pretoken guard.  Pure Catalyst
+    projection — zero exchanges at any scale."""
+    t = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0))
+        .cast("bigint").alias("n_pretokens"),
+        F.size(tokens_col()).cast("bigint").alias("n_ws_tokens"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    return t.select(
+        "doc_id", "n_pretokens", "n_ws_tokens", "chars",
+        (F.col("chars").cast("double")
+         / F.greatest("n_pretokens", F.lit(1)))
+        .alias("chars_per_pretoken"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Boilerplate-grade quality features + bucket per document."""
     t = docs.select(

@@ -1,0 +1,54 @@
+"""Text-analysis operators: hand-computed goldens for the BPE-ish
+pre-token counter (the rest of the family is oracle-gated in
+test_oracle_parity)."""
+
+import re
+
+from origami_spark.operators.text import BPE_PRETOKEN_RE, bpe_pretokens
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bpe_pretokens_hand_computed(spark):
+    """Golden splits against the published GPT-2 pre-tokenizer
+    behavior (minus the documented lookahead deviation)."""
+    cases = {
+        # contractions split as GPT-2 does: don|'t
+        0: ("I don't think 42 is the answer...  really", 11),
+        1: ("", 0),
+        2: ("   ", 1),                      # one whitespace run
+        3: ("hello", 1),
+        4: ("a b", 2),                      # 'a', ' b'
+        5: ("x2y", 3),                      # 'x', '2', 'y'
+        6: ("it's we're I'll you've he'd I'm", 12),
+    }
+    got = {r["doc_id"]: r["n_pretokens"]
+           for r in bpe_pretokens(
+               _docs(spark, [(k, v[0]) for k, v in cases.items()])
+           ).collect()}
+    assert got == {k: v[1] for k, v in cases.items()}
+
+
+def test_bpe_pretokens_matches_python_regex(spark):
+    """The engine count equals Python's re over the same pattern on
+    hostile inputs (unicode, punctuation runs, digits glued to words).
+    Python re is a third engine — agreement here plus the DuckDB
+    parity gate pins all three."""
+    texts = [
+        "你好 world — naïve café 3.14159 x86_64!!",
+        "tabs\tand\nnewlines  mixed   runs",
+        "'''quoted''' 'lone and 'twas",
+        "ALL-CAPS HY-PHEN-ATED e.g. i.e. etc.",
+    ]
+    docs = _docs(spark, list(enumerate(texts)))
+    rows = {r["doc_id"]: (r["n_pretokens"], r["chars"],
+                          r["chars_per_pretoken"])
+            for r in bpe_pretokens(docs).collect()}
+    pat = re.compile(BPE_PRETOKEN_RE)
+    for i, t in enumerate(texts):
+        n = len(pat.findall(t))
+        assert rows[i][0] == n, (t, pat.findall(t))
+        assert rows[i][1] == len(t)
+        assert rows[i][2] == len(t) / max(n, 1)
