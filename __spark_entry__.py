@@ -593,6 +593,7 @@ IVF_CENTROIDS_PATH = os.path.join(_STAGE_DIR, "ivf_centroids.parquet")
 SEMDEDUP_CENTROIDS_PATH = os.path.join(_STAGE_DIR, "semdedup_centroids.parquet")
 LM_TABLE_PATH = os.path.join(_STAGE_DIR, "trigram_lm.parquet")
 NB_MODEL_PATH = os.path.join(_STAGE_DIR, "nb_model.parquet")
+PQ_CODEBOOKS_PATH = os.path.join(_STAGE_DIR, "pq_codebooks.parquet")
 
 
 def _staged(path: str) -> str:
@@ -614,6 +615,30 @@ def ann_ivf_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     staged = _stage_centroids(spark, emb, IVF_CENTROIDS_PATH)
     return S.ivf_topk_served(emb, staged, list(range(8)), k=5, nprobe=4)
+
+
+def ann_pq_topk(spark, sf):
+    """Product-quantization approximate top-k (similarity.pq_topk,
+    Jegou et al. 2011): the corpus compresses to M=8 one-byte codes per
+    vector, queries rank by an INTEGER asymmetric-distance sum (the
+    terms are floor-quantized micro-units, so the associative integer
+    sum — unlike a float sum — is identical under any partitioning and
+    in DuckDB), top-50 candidates re-rank with exact cosine.  Training
+    is the iterative driver loop (not SQL-expressible); its codebook
+    table is staged and the oracle re-derives codes, LUTs, and the ADC
+    ranking from the staged floats bit-for-bit."""
+    emb = _t(spark, sf, "embeddings")
+    staged = _stage_pq_codebooks(spark, emb, PQ_CODEBOOKS_PATH)
+    return S.pq_topk(emb, staged, list(range(8)), k=5, refine=50)
+
+
+def _stage_pq_codebooks(spark, emb, path):
+    """Train the 8x16 PQ codebooks (5 Lloyd iterations per subspace,
+    all subspaces per job) and stage (sub, code, centroid, c_sq)."""
+    cb = S.train_pq_codebooks(emb, iters=5)
+    cdf = S.pq_codebooks_df(spark, cb)
+    cdf.coalesce(1).write.mode("overwrite").parquet(_staged(path))
+    return spark.read.parquet(path)
 
 
 def _stage_centroids(spark, emb, path):
@@ -1211,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_pq_topk": ann_pq_topk,
         "text_token_stats": text_token_stats,
         "text_bpe_pretokens": text_bpe_pretokens,
         "text_lm_quality": text_lm_quality,
@@ -2449,6 +2475,59 @@ def oracle_sql() -> dict[str, str]:
                  round(CAST(list_cosine_similarity(qvec, embedding)
                        AS DOUBLE), 4) AS cosine
           FROM cand),
+        r2 AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
+          FROM sc)
+        SELECT query_id, vec_id, cosine, rk FROM r2 WHERE rk <= 5"""
+    # PQ over the staged codebooks (ann_pq_topk stages them before
+    # returning): DuckDB re-derives per-(vec, subspace) INTEGER distance
+    # terms — floor((c_sq - 2*dot)*1e6 + 0.5), the dot a left-to-right
+    # list_sum fold exactly like the kernel's _seq_dot — takes the
+    # argmin code, sums the query's term lookups (associative integer
+    # sum == the kernel's), cuts the top-50, and re-ranks exactly
+    sql["ann_pq_topk"] = f"""
+        WITH cb AS (
+          SELECT sub, code, centroid, c_sq
+          FROM '{PQ_CODEBOOKS_PATH}/*.parquet'),
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        terms AS (
+          SELECT e.vec_id, cb.sub, cb.code,
+                 CAST(floor((cb.c_sq - 2.0 * list_sum(
+                   [CAST(e.embedding[cb.sub * 8 + i] AS DOUBLE)
+                    * cb.centroid[i] for i in range(1, 9)]))
+                   * 1000000.0 + 0.5) AS BIGINT) AS t
+          FROM e CROSS JOIN cb),
+        codes AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY t, code) AS rn
+            FROM terms) WHERE rn = 1),
+        qlut AS (
+          SELECT vec_id AS query_id, sub, code, t
+          FROM terms WHERE vec_id < 8),
+        adc AS (
+          SELECT q.query_id, c.vec_id, CAST(sum(q.t) AS BIGINT) AS dist_q
+          FROM codes c
+          JOIN qlut q ON c.sub = q.sub AND c.code = q.code
+                     AND c.vec_id <> q.query_id
+          GROUP BY q.query_id, c.vec_id),
+        cand AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist_q, vec_id) AS crk
+            FROM adc) WHERE crk <= 50),
+        qv AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM e WHERE vec_id < 8),
+        sc AS (
+          SELECT cand.query_id, cand.vec_id,
+                 round(CAST(list_cosine_similarity(q.qvec, e.embedding)
+                       AS DOUBLE), 4) AS cosine
+          FROM cand
+          JOIN e ON e.vec_id = cand.vec_id
+          JOIN qv q ON q.query_id = cand.query_id),
         r2 AS (
           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk

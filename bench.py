@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "host_stats",
     "url_blocklist",
     "text_classifier_score",
+    "ann_pq_topk",
 ]
 
 

@@ -246,3 +246,77 @@ def test_semantic_dedup_pairs_matches_bruteforce_within_cluster(spark):
     assert dropped > 0
     comp_members = {v for ab in got for v in ab}
     assert dropped <= len(comp_members)
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ ADC + exact refine: recall@5 vs the exact scan at refine=50
+    (10% of the sf0.001 corpus scanned raw)."""
+    from origami_spark.operators.similarity import (pq_codebooks_df,
+                                                    pq_topk,
+                                                    train_pq_codebooks)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    cb = train_pq_codebooks(emb, iters=5)
+    cdf = pq_codebooks_df(spark, cb)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, QUERIES, k=K).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_topk(emb, cdf, QUERIES, k=K, refine=50).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # measured 0.80 here (0.925 at refine=100); deterministic init +
+    # fixed iters make the trained codebooks run-stable
+    assert recall >= 0.75, recall
+
+
+def test_pq_topk_partition_independent(spark):
+    """The partial top-k inside Arrow batches is EXACT under the total
+    (dist_q, vec_id) order: any repartitioning yields the identical
+    final ranking."""
+    from origami_spark.operators.similarity import (pq_codebooks_df,
+                                                    pq_topk,
+                                                    train_pq_codebooks)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    cb = train_pq_codebooks(emb, iters=2)
+    cdf = pq_codebooks_df(spark, cb)
+    a = sorted(map(tuple, pq_topk(emb, cdf, QUERIES, k=K).collect()))
+    b = sorted(map(tuple,
+                   pq_topk(emb.repartition(13), cdf, QUERIES, k=K).collect()))
+    assert a == b and len(a) == len(QUERIES) * K
+
+
+def test_pq_encode_matches_python_reference(spark):
+    """Codes are the integer-term argmin — pinned against an
+    independent Python formulation over the same staged floats."""
+    import numpy as np
+
+    from origami_spark.operators.similarity import (_pq_csq, pq_encode,
+                                                    train_pq_codebooks)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(64).cache()
+    cb = train_pq_codebooks(emb, iters=1)
+    got = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(
+               emb.selectExpr(
+                   "vec_id",
+                   "transform(embedding, x -> cast(x as double)) as embedding"),
+               cb).collect()}
+    c_sq = _pq_csq(cb)
+    for r in emb.collect():
+        x = np.asarray(list(r["embedding"]), dtype=np.float64)
+        codes = []
+        for s in range(8):
+            best = None
+            for c in range(16):
+                acc = 0.0
+                for d in range(8):
+                    acc += x[s * 8 + d] * cb[s, c, d]
+                t = int(np.floor((c_sq[s, c] - 2.0 * acc) * 1e6 + 0.5))
+                if best is None or t < best[0]:
+                    best = (t, c)
+            codes.append(best[1])
+        assert got[r["vec_id"]] == codes, r["vec_id"]
