@@ -613,6 +613,22 @@ def _pq_terms(x_sub, cb_sub, c_sq_sub):
     return np.floor(d * 1e6 + 0.5).astype(np.int64)
 
 
+def _pq_codes(x, cb, c_sq):
+    """(n, m) int codes: per subspace, the integer-term argmin (numpy
+    first-minimum over code order = the lowest-code tie-break).  THE
+    encode step — one implementation shared by training, pq_encode,
+    and the pq_topk serve kernel, so quantization/tie-break can never
+    desynchronize training-time codes from serving-time codes."""
+    import numpy as np
+
+    m, ksub, dsub = cb.shape
+    codes = np.empty((len(x), m), dtype=np.int64)
+    for s in range(m):
+        t = _pq_terms(x[:, s * dsub:(s + 1) * dsub], cb[s], c_sq[s])
+        codes[:, s] = t.argmin(axis=1)
+    return codes
+
+
 def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
     """+ ``codes`` (array<int>, length M): per subspace, the integer-
     term argmin code (lowest code on ties — numpy first-minimum over
@@ -631,11 +647,7 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
         if len(col) == 0:
             return pd.Series([], dtype="object")
         x = np.asarray(col.tolist(), dtype=np.float64)  # (n, dim)
-        codes = np.empty((len(x), m), dtype=np.int32)
-        for s in range(m):
-            t = _pq_terms(x[:, s * dsub:(s + 1) * dsub], cb[s], c_sq[s])
-            codes[:, s] = t.argmin(axis=1)
-        return pd.Series(list(codes))
+        return pd.Series(list(_pq_codes(x, cb, c_sq).astype(np.int32)))
 
     return emb.withColumn("codes", encode("embedding"))
 
@@ -680,6 +692,12 @@ def _load_pq_codebooks(codebooks_df: DataFrame):
     )
     m = 1 + max(r["sub"] for r in rows)
     ksub = 1 + max(r["code"] for r in rows)
+    if len(rows) != m * ksub:
+        # a partial/corrupt staged table must fail LOUDLY — np.empty
+        # would rank against uninitialized garbage for the holes
+        raise ValueError(
+            f"staged PQ codebooks incomplete: {len(rows)} rows for "
+            f"m={m} ksub={ksub} (expected {m * ksub})")
     cb = np.empty((m, ksub, len(rows[0]["centroid"])), dtype=np.float64)
     for r in rows:
         cb[r["sub"], r["code"]] = list(r["centroid"])
@@ -731,11 +749,9 @@ def pq_topk(emb: DataFrame, codebooks_df: DataFrame, query_ids,
                 continue
             x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
             vec = pdf["vec_id"].to_numpy()
-            # ADC = integer sum of per-subspace LUT lookups
-            codes = np.empty((len(x), m), dtype=np.int64)
-            for s in range(m):
-                t = _pq_terms(x[:, s * dsub:(s + 1) * dsub], cb[s], c_sq[s])
-                codes[:, s] = t.argmin(axis=1)
+            # ADC = integer sum of per-subspace LUT lookups over the
+            # SHARED encode step (bit-identical to pq_encode's codes)
+            codes = _pq_codes(x, cb, c_sq)
             for i, qid in enumerate(qids):
                 dist = np.zeros(len(x), dtype=np.int64)
                 for s in range(m):

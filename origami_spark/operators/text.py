@@ -88,13 +88,18 @@ def token_stats(docs: DataFrame) -> DataFrame:
 # the GPT-2 pre-tokenizer pattern (Radford et al. 2019, public
 # `gpt2` encoder regex) in an RE2-SAFE subset: the `\s+(?!\S)`
 # lookahead branch is dropped (RE2 — hence DuckDB — has no lookahead),
-# so a whitespace run before a word is consumed by `\s+` instead of
-# being split ` ` + ` word`; and `\p{L}`/`\p{N}` narrow to ASCII
-# classes so Java (UTF-16) and RE2 (UTF-8) agree on every BMP corpus.
-# Both engines use leftmost-first alternation, so the split — not just
-# the count — is identical (asserted in tests).
+# so a whitespace run before a word is consumed by the whitespace
+# branch instead of being split ` ` + ` word`; `\p{L}`/`\p{N}` narrow
+# to ASCII classes so Java (UTF-16) and RE2 (UTF-8) agree on every BMP
+# corpus; and whitespace is an EXPLICIT class — bare `\s` means
+# different sets per engine (Java includes U+000B, RE2 does not,
+# Python adds all unicode spaces), which would silently split
+# vertical-tab/NBSP text differently between the engine and its
+# oracles.  Both engines use leftmost-first alternation, so the split
+# — not just the count — is identical (asserted in tests).
+_WS = " \\t\\n\\r\\f\\x0b"
 BPE_PRETOKEN_RE = ("'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
-                   "| ?[^a-zA-Z0-9\\s]+|\\s+")
+                   f"| ?[^a-zA-Z0-9{_WS}]+|[{_WS}]+")
 
 
 def bpe_pretokens(docs: DataFrame) -> DataFrame:

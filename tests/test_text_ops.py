@@ -41,14 +41,28 @@ def test_bpe_pretokens_matches_python_regex(spark):
         "tabs\tand\nnewlines  mixed   runs",
         "'''quoted''' 'lone and 'twas",
         "ALL-CAPS HY-PHEN-ATED e.g. i.e. etc.",
+        # the \s landmines: U+000B is \s in Java but not RE2, NBSP and
+        # LINE SEPARATOR are \s in (unicode) Python only — the explicit
+        # whitespace class makes all three engines agree
+        "a\x0bb ! \x0b!",
+        "nbsp\xa0glued\u2028lines",
     ]
     docs = _docs(spark, list(enumerate(texts)))
     rows = {r["doc_id"]: (r["n_pretokens"], r["chars"],
                           r["chars_per_pretoken"])
             for r in bpe_pretokens(docs).collect()}
     pat = re.compile(BPE_PRETOKEN_RE)
+    import duckdb
+
+    sql_pat = BPE_PRETOKEN_RE.replace("'", "''")
     for i, t in enumerate(texts):
         n = len(pat.findall(t))
         assert rows[i][0] == n, (t, pat.findall(t))
         assert rows[i][1] == len(t)
         assert rows[i][2] == len(t) / max(n, 1)
+        # and the DuckDB/RE2 split itself — not just the count — on the
+        # very inputs where bare \s would diverge per engine
+        duck = duckdb.sql(
+            "select regexp_extract_all(?, '" + sql_pat + "')", params=[t]
+        ).fetchone()[0]
+        assert duck == pat.findall(t), (t, duck)
