@@ -791,6 +791,15 @@ def text_bpe_pretokens(spark, sf):
     return T.bpe_pretokens(_t(spark, sf, "documents"))
 
 
+def text_chunks(spark, sf):
+    """Sliding-window chunking (operators/text.chunk_documents): the
+    embedding/RAG primitive — 200-char windows, 40-char overlap; chunk
+    boundaries are pure integer arithmetic, so the DuckDB oracle emits
+    the identical windows from a generate_series."""
+    return T.chunk_documents(_t(spark, sf, "documents"), size=200,
+                             overlap=40)
+
+
 def text_quality(spark, sf):
     return T.quality_score(_t(spark, sf, "documents"))
 
@@ -1248,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": ann_pq_topk,
         "text_token_stats": text_token_stats,
         "text_bpe_pretokens": text_bpe_pretokens,
+        "text_chunks": text_chunks,
         "text_lm_quality": text_lm_quality,
         "text_lm_buckets": text_lm_buckets,
         "text_classifier_score": text_classifier_score,
@@ -2656,6 +2666,22 @@ def oracle_sql() -> dict[str, str]:
                  / greatest(len(regexp_extract_all(text, {_BPE_RE_SQL})), 1)
                  AS chars_per_pretoken
         FROM documents"""
+    # sliding-window chunking: size=200, overlap=40 -> stride=160; the
+    # chunk count and starts are the same integer arithmetic as
+    # text.chunk_documents, windows via generate_series
+    sql["text_chunks"] = """
+        WITH n AS (
+          SELECT doc_id, text, length(text) AS ln,
+                 CASE WHEN length(text) = 0 THEN 0
+                      WHEN length(text) <= 200 THEN 1
+                      ELSE 1 + (length(text) - 200 + 159) // 160
+                 END AS n_chunks
+          FROM documents)
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS chunk_id,
+               CAST(k * 160 + 1 AS BIGINT) AS chunk_start,
+               substr(text, CAST(k * 160 + 1 AS INT), 200) AS chunk_text
+        FROM n, LATERAL unnest(range(0, n_chunks)) AS r(k)"""
     # SemDeDup over the staged k-means partition (dedup_semantic stages
     # its own centroid table before returning): the same bit-compatible
     # floor-quantized argmin assignment, then exact rounded cosine over

@@ -203,3 +203,42 @@ def fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
         F.when(F.size("hs") > 0, F.array_min("hs")).otherwise(F.lit(None)).alias("fp"),
         F.size("hs").cast("bigint").alias("n_shingles"),
     )
+
+
+def chunk_documents(docs: DataFrame, size: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Sliding-window document chunking — the embedding/RAG-pipeline
+    primitive: fixed ``size``-char windows advancing by ``size -
+    overlap``, so consecutive chunks share ``overlap`` chars and no
+    character is lost.  Returns ``(doc_id, chunk_id, chunk_start,
+    chunk_text)`` with 1-based ``chunk_start`` and ``chunk_id`` dense
+    from 0 in document order; ``n = 1 + ceil((len - size) / stride)``
+    chunks per doc (one short tail chunk allowed, empty docs emit
+    nothing).  Pure Catalyst — a per-row sequence + posexplode, zero
+    exchanges at any scale; chunk boundaries are pure integer
+    arithmetic, so the identical windows fall out of the DuckDB oracle
+    and of any re-run regardless of partitioning.
+
+    Reference parity note: the same windowed re-segmentation shape as
+    origami's tile split of oversized pages (``batch/segment.py``
+    Tiles), applied to byte ranges instead of pixel grids."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    stride = size - overlap
+    ln = F.length("text")
+    n = F.when(ln <= size, F.when(ln > 0, 1).otherwise(0)).otherwise(
+        1 + F.floor((ln - size + stride - 1) / stride).cast("int"))
+    # gram_positions' load-bearing guard, same gotcha: sequence(0, -1)
+    # on an empty doc is a DESCENDING [0, -1], not empty
+    ks = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>"))
+    return (
+        docs.select("doc_id", "text", F.explode(ks).alias("_k"))
+        .select(
+            "doc_id",
+            F.col("_k").cast("bigint").alias("chunk_id"),
+            (F.col("_k") * stride + 1).cast("bigint").alias("chunk_start"),
+            F.expr(f"substring(text, _k * {stride} + 1, {size})")
+            .alias("chunk_text"),
+        )
+    )

@@ -66,3 +66,62 @@ def test_bpe_pretokens_matches_python_regex(spark):
             "select regexp_extract_all(?, '" + sql_pat + "')", params=[t]
         ).fetchone()[0]
         assert duck == pat.findall(t), (t, duck)
+
+
+def test_chunk_documents_hand_computed(spark):
+    """Window arithmetic goldens: boundary lengths around size and
+    stride, tail chunks, empty docs."""
+    from origami_spark.operators.text import chunk_documents
+
+    docs = _docs(spark, [
+        (0, ""),                 # no chunks
+        (1, "ab"),               # one short chunk
+        (2, "a" * 10),           # exactly size -> one chunk
+        (3, "a" * 11),           # size+1 -> two chunks (tail len 3)
+        (4, "abcdefghijKLMNOPQR"),  # 18 chars, stride 8 -> 2 chunks
+    ])
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk_text"])
+        for r in chunk_documents(docs, size=10, overlap=2).collect())
+    assert rows == [
+        (1, 0, 1, "ab"),
+        (2, 0, 1, "a" * 10),
+        (3, 0, 1, "a" * 10), (3, 1, 9, "a" * 3),
+        (4, 0, 1, "abcdefghij"), (4, 1, 9, "ijKLMNOPQR"),
+    ]
+
+
+def test_chunk_documents_covers_every_char_with_exact_overlap(spark):
+    """Property: concatenating chunks with the overlap removed
+    reconstructs the document byte-for-byte; consecutive chunks share
+    exactly `overlap` chars (except a tail shorter than overlap)."""
+    from origami_spark.operators.text import chunk_documents
+
+    import string
+
+    texts = [(i, (string.ascii_letters * 40)[: 37 * i + 5])
+             for i in range(12)]
+    size, overlap = 50, 7
+    out = {}
+    for r in chunk_documents(_docs(spark, texts), size, overlap).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["chunk_text"]))
+    for i, t in texts:
+        chunks = sorted(out.get(i, []))
+        if not t:
+            assert chunks == []
+            continue
+        rebuilt = chunks[0][2] + "".join(c[2][overlap:] for c in chunks[1:])
+        assert rebuilt == t, i
+        for (k1, s1, c1), (k2, s2, c2) in zip(chunks, chunks[1:]):
+            assert k2 == k1 + 1 and s2 - s1 == size - overlap
+            assert c1[s2 - s1:] == c2[: len(c1) - (s2 - s1)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from origami_spark.operators.text import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(0, "x")]), size=10, overlap=10)
