@@ -1086,12 +1086,9 @@ def host_quality(spark, sf):
     from origami_spark.operators.hosts import host_quality_gate
 
     docs = _skewed_url_docs(spark, sf)
-    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
     sig = docs.select(
         "doc_id", "url",
-        F.size(F.filter(T.tokens_col(),
-                        lambda x: F.array_contains(stop_arr, x)))
-        .alias("stops"),
+        T.stop_count(T.tokens_col()).alias("stops"),
         F.size(T.tokens_col()).alias("toks"),
     )
     return host_quality_gate(sig, "stops", "toks", 0.04).select(

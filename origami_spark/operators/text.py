@@ -67,6 +67,17 @@ def shingles_expr(toks_col: str, n: int):
     )
 
 
+def stop_count(toks_col):
+    """Occurrence count of STOPWORDS tokens in a token-array column —
+    the Spark half of every stopword-OCCURRENCE signal (quality_score,
+    the host quality gate), single-sourced so the count and its DuckDB
+    mirrors cannot drift per call site.  (clean.py's Gopher gate counts
+    DISTINCT stopword types — a different quantity, not this one.)"""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    c = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    return F.size(F.filter(c, lambda x: F.array_contains(stop_arr, x)))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Tokens / distinct tokens / chars / mean token length per doc."""
     t = docs.select("doc_id", tokens_col().alias("toks"),
@@ -141,10 +152,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
             / F.greatest(F.length("text"), F.lit(1))
         ).alias("digit_ratio"),
     )
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     t = t.withColumn(
         "stop_ratio",
-        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))).cast("double")
+        stop_count("toks").cast("double")
         / F.greatest(F.size("toks"), F.lit(1)),
     )
     return t.select(
@@ -214,8 +224,8 @@ def chunk_documents(docs: DataFrame, size: int = 512,
     chunk_text)`` with 1-based ``chunk_start`` and ``chunk_id`` dense
     from 0 in document order; ``n = 1 + ceil((len - size) / stride)``
     chunks per doc (one short tail chunk allowed, empty docs emit
-    nothing).  Pure Catalyst — a per-row sequence + posexplode, zero
-    exchanges at any scale; chunk boundaries are pure integer
+    nothing).  Pure Catalyst — an explode of a per-row start sequence,
+    zero exchanges at any scale; chunk boundaries are pure integer
     arithmetic, so the identical windows fall out of the DuckDB oracle
     and of any re-run regardless of partitioning.
 

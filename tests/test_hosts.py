@@ -180,16 +180,16 @@ def test_host_quality_gate_salted_equals_direct(spark):
         .collect()
     }
     got = host_quality_gate(_sig(spark, rows).repartition(11),
-                            "stops", "toks", min_ratio=0.2)
+                            "stops", "toks", min_ratio=0.2).collect()
     # reconstruct the per-host ratio from the survivors: every host
     # with ratio >= 0.2 must survive with ALL its pages
-    surv = {r["host"] for r in got.collect()}
+    surv = {r["host"] for r in got}
     expect = {h for h, n, d in direct if d == 0 or n / d >= 0.2}
     assert surv == expect
     n_pages = {h: sum(1 for r_ in rows
                       if f"//{h}/" in r_[0]) for h in expect}
     from collections import Counter
-    per_host = Counter(r["host"] for r in got.collect())
+    per_host = Counter(r["host"] for r in got)
     assert dict(per_host) == {h: n_pages[h] for h in expect}
 
 
