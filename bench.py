@@ -66,13 +66,14 @@ BENCH_QUERIES = [
     "url_blocklist",
     "text_classifier_score",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 # queries whose first call trains + stages a model artifact that the
 # entry memoizes per process: warmed once untimed so the stamped
 # number is the serving path (training is the documented
 # run-on-a-sample step at real scale)
-WARM_FIRST = {"ann_pq_topk"}
+WARM_FIRST = {"ann_pq_topk", "ann_ivfpq_topk"}
 
 
 # this sandbox is a shared-host VM: /proc/stat's steal field counts

@@ -720,7 +720,6 @@ def pq_topk(emb: DataFrame, codebooks_df: DataFrame, query_ids,
     exact refinement); the DuckDB oracle runs the relational
     formulation over all n rows and must match exactly."""
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
 
     cb = _load_pq_codebooks(codebooks_df)
     m, ksub, dsub = cb.shape
@@ -733,15 +732,7 @@ def pq_topk(emb: DataFrame, codebooks_df: DataFrame, query_ids,
         e.filter(F.col("vec_id").isin(list(query_ids))).collect(),
         key=lambda r: r["vec_id"],
     )
-    # per-query integer LUT, same float ops as the SQL fold: sequential
-    # dot per dimension, then the shared floor quantization
-    luts = np.empty((len(q_rows), m, ksub), dtype=np.int64)
-    for i, r in enumerate(q_rows):
-        x = np.asarray(list(r["embedding"]), dtype=np.float64)[None, :]
-        for s in range(m):
-            luts[i, s] = _pq_terms(
-                x[:, s * dsub:(s + 1) * dsub], cb[s], c_sq[s])[0]
-    qids = np.asarray([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    luts, qids = _pq_luts(q_rows, cb, c_sq)
 
     def rank(batches):
         for pdf in batches:
@@ -773,6 +764,32 @@ def pq_topk(emb: DataFrame, codebooks_df: DataFrame, query_ids,
         .filter(F.col("crk") <= refine)
         .select("query_id", "vec_id")
     )
+    return _refine_exact(e, cand_ids, query_ids, k)
+
+
+def _pq_luts(q_rows, cb, c_sq):
+    """(Q, m, ksub) int64 query lookup tables + the (Q,) query ids,
+    computed driver-side with the SAME float ops as the SQL fold
+    (sequential per-dimension dot, shared floor quantization) — one
+    implementation for pq_topk and ivfpq_topk."""
+    import numpy as np
+
+    m, ksub, dsub = cb.shape
+    luts = np.empty((len(q_rows), m, ksub), dtype=np.int64)
+    for i, r in enumerate(q_rows):
+        x = np.asarray(list(r["embedding"]), dtype=np.float64)[None, :]
+        for s in range(m):
+            luts[i, s] = _pq_terms(
+                x[:, s * dsub:(s + 1) * dsub], cb[s], c_sq[s])[0]
+    qids = np.asarray([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    return luts, qids
+
+
+def _refine_exact(e: DataFrame, cand_ids: DataFrame, query_ids,
+                  k: int) -> DataFrame:
+    """Shared refine tail: join the small (query_id, vec_id) candidate
+    relation back to raw vectors — both sides broadcast, the corpus
+    never shuffles — and exact-cosine re-rank to the final top-k."""
     qv = e.filter(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
     cand = (
@@ -780,3 +797,91 @@ def pq_topk(emb: DataFrame, codebooks_df: DataFrame, query_ids,
         .join(F.broadcast(qv), "query_id")
     )
     return _exact_rerank(cand, k)
+
+
+def ivfpq_topk(emb: DataFrame, centroids_df: DataFrame,
+               codebooks_df: DataFrame, query_ids, k: int = 5,
+               nprobe: int = 4, refine: int = 50) -> DataFrame:
+    """IVF-PQ — the composed billion-scale index (Jegou et al. 2011
+    §V; the FAISS IVFPQ architecture, here with by_residual=False,
+    i.e. PQ over raw vectors, a supported FAISS variant that lets the
+    coarse quantizer and the codebooks train independently): the
+    corpus partitions into IVF lists by the broadcast Arrow argmin
+    (zero Exchange), a query probes its ``nprobe`` nearest lists, and
+    only rows of probed lists are ADC-ranked — each candidate is
+    scored against EXACTLY the query that probed its list, so the
+    kernel does one LUT-gather per row, not per (row x query).  The
+    integer-term design makes every ranking quantity bit-identical
+    across the kernel, the relational form, and DuckDB (same staged
+    tables).  Top ``refine`` per query re-rank with exact cosine.
+
+    At 10^12 rows: the IVF lists are the partitioning of a bucketed
+    table, a query reads nprobe/n_clusters of the CODE table (8 bytes
+    a row), and raw vectors surface only for refine rows."""
+    import numpy as np
+
+    cmat, csq, cids = _load_centroids(centroids_df)
+    cb = _load_pq_codebooks(codebooks_df)
+    m, ksub, dsub = cb.shape
+    c_sq = _pq_csq(cb)
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    assigned = assign_ivf(e, cmat, csq, cids)
+
+    q = e.filter(F.col("vec_id").isin(list(query_ids)))
+    q_rows = sorted(q.collect(), key=lambda r: r["vec_id"])
+    luts, qids = _pq_luts(q_rows, cb, c_sq)
+    lut_ix = {int(v): i for i, v in enumerate(qids)}
+
+    # probe selection over the tiny query side (the ivf_topk_served
+    # shape: its exchange carries len(query_ids) * k rows, never the
+    # corpus)
+    dot = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored_q = q.crossJoin(F.broadcast(centroids_df)).select(
+        F.col("vec_id").alias("query_id"), "cluster",
+        _round6(F.col("c_sq") - 2.0 * dot).alias("dist"),
+    )
+    aw = Window.partitionBy("query_id").orderBy("dist", "cluster")
+    probes = (
+        scored_q.withColumn("ark", F.row_number().over(aw))
+        .filter(F.col("ark") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding")
+    )
+
+    def rank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = _pq_codes(x, cb, c_sq)
+            qi = np.asarray([lut_ix[int(v)] for v in pdf["query_id"]],
+                            dtype=np.int64)
+            dist = np.zeros(len(x), dtype=np.int64)
+            for s in range(m):
+                dist += luts[qi, s, codes[:, s]]
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(),
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "dist_q": dist,
+            })
+
+    scored = cand.mapInPandas(
+        rank, schema="query_id bigint, vec_id bigint, dist_q bigint")
+    w = Window.partitionBy("query_id").orderBy("dist_q", "vec_id")
+    cand_ids = (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= refine)
+        .select("query_id", "vec_id")
+    )
+    return _refine_exact(e, cand_ids, query_ids, k)
