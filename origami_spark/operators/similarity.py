@@ -288,6 +288,31 @@ def _load_centroids(centroids_df: DataFrame):
     return cmat, csq, cids
 
 
+def _probe_lists(q: DataFrame, centroids_df: DataFrame,
+                 nprobe: int) -> DataFrame:
+    """``nprobe`` nearest centroids per query vector — relational by
+    design: the window's exchange carries len(queries) x k rows, never
+    the corpus.  ONE implementation shared by ivf_topk_served and
+    ivfpq_topk: the probe-distance expression (left-to-right fold +
+    _round6 + lowest-cluster tie-break) is part of the three-way
+    kernel/relational/DuckDB bit-parity contract and must not fork."""
+    dot = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored_q = q.crossJoin(F.broadcast(centroids_df)).select(
+        F.col("vec_id").alias("query_id"), "cluster",
+        _round6(F.col("c_sq") - 2.0 * dot).alias("dist"),
+    )
+    aw = Window.partitionBy("query_id").orderBy("dist", "cluster")
+    return (
+        scored_q.withColumn("ark", F.row_number().over(aw))
+        .filter(F.col("ark") <= nprobe)
+        .select("query_id", "cluster")
+    )
+
+
 def ivf_topk_served(emb: DataFrame, centroids_df: DataFrame, query_ids,
                     k: int = 5, nprobe: int = 4,
                     engine: str = "kernel") -> DataFrame:
@@ -325,25 +350,9 @@ def ivf_topk_served(emb: DataFrame, centroids_df: DataFrame, query_ids,
     )
     assigned = assign_ivf(e, cmat, csq, cids)
 
-    # probe selection touches ONLY the filtered query rows (a handful),
-    # so the relational window is the right tool here — its exchange
-    # carries len(query_ids) * k rows, not the corpus
+    # probe selection touches ONLY the filtered query rows (a handful)
     q = e.filter(F.col("vec_id").isin(list(query_ids)))
-    dot = F.aggregate(
-        F.zip_with("embedding", "centroid", lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    scored_q = q.crossJoin(F.broadcast(centroids_df)).select(
-        F.col("vec_id").alias("query_id"), "cluster",
-        _round6(F.col("c_sq") - 2.0 * dot).alias("dist"),
-    )
-    aw = Window.partitionBy("query_id").orderBy("dist", "cluster")
-    probes = (
-        scored_q.withColumn("ark", F.row_number().over(aw))
-        .filter(F.col("ark") <= nprobe)
-        .select("query_id", "cluster")
-    )
+    probes = _probe_lists(q, centroids_df, nprobe)
     qv = q.select(F.col("vec_id").alias("query_id"),
                   F.col("embedding").alias("qv"))
     cand = (
@@ -835,24 +844,7 @@ def ivfpq_topk(emb: DataFrame, centroids_df: DataFrame,
     luts, qids = _pq_luts(q_rows, cb, c_sq)
     lut_ix = {int(v): i for i, v in enumerate(qids)}
 
-    # probe selection over the tiny query side (the ivf_topk_served
-    # shape: its exchange carries len(query_ids) * k rows, never the
-    # corpus)
-    dot = F.aggregate(
-        F.zip_with("embedding", "centroid", lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    scored_q = q.crossJoin(F.broadcast(centroids_df)).select(
-        F.col("vec_id").alias("query_id"), "cluster",
-        _round6(F.col("c_sq") - 2.0 * dot).alias("dist"),
-    )
-    aw = Window.partitionBy("query_id").orderBy("dist", "cluster")
-    probes = (
-        scored_q.withColumn("ark", F.row_number().over(aw))
-        .filter(F.col("ark") <= nprobe)
-        .select("query_id", "cluster")
-    )
+    probes = _probe_lists(q, centroids_df, nprobe)
     cand = (
         assigned.join(F.broadcast(probes), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))

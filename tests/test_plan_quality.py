@@ -95,7 +95,7 @@ def test_no_per_row_python_in_any_query(spark):
             # pandas_udf-backed LSH/IVF signatures are Arrow-batched
             # (the sanctioned kind), not per-row
             "dedup_embedding_lsh", "ann_lsh_topk", "ann_ivf_topk",
-            "dedup_semantic",
+            "dedup_semantic", "ann_ivfpq_topk",
         ), name
 
 
