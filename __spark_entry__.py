@@ -1172,6 +1172,30 @@ def multimodal_payload(spark, sf):
     )
 
 
+def multimodal_near_dup(spark, sf):
+    """Perceptual payload near-dup (multimodal.media_near_dups,
+    block-mean hashing — Yang et al. 2006): every 17th document's
+    payload is re-served with ONE substituted byte (the planted
+    near-dup, media_id + 10^8), the banded 60-bit blockhash surfaces
+    the pairs, and the true hamming verifies them.  Every bit of the
+    hash is an integer cross-product, so the DuckDB oracle re-derives
+    the identical hashes from hex(payload)."""
+    docs = _t(spark, sf, "documents")
+    media = M.media_from_documents(docs).select(
+        "media_id", "kind", "payload")
+    spiked = docs.filter(
+        (F.col("doc_id") % 17 == 0) & (F.length("text") >= 12)
+    ).select(
+        (F.col("doc_id") + 100000000).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(
+            F.concat(F.expr("substring(text, 1, 10)"), F.lit("X"),
+                     F.expr("substring(text, 12)")), "utf-8"
+        ).alias("payload"),
+    )
+    return M.media_near_dups(media.unionByName(spiked), max_hamming=4)
+
+
 # ---------------------------------------------------------------------------
 # extraction pipeline (rows-only: DuckDB cannot parse HTML; byte-identity
 # is gated by the pytest golden suite instead)
@@ -1330,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean_lines": text_clean_lines,
         "text_pii_scrub": text_pii_scrub,
         "multimodal_payload": multimodal_payload,
+        "multimodal_near_dup": multimodal_near_dup,
         "extract_compose": extract_compose,
         "extract_blocks": extract_blocks,
         "lines_confidence": lines_confidence,
@@ -2415,6 +2440,58 @@ def oracle_sql() -> dict[str, str]:
                    u.host
             FROM u
             WHERE u.host NOT IN (SELECT host FROM rej)""",
+        # perceptual payload near-dup: DuckDB re-derives the 60-bit
+        # block-mean hash from hex(payload) — byte i -> segment
+        # i*60//n, bit = integer cross-product, identical to the kernel
+        "multimodal_near_dup": """
+            WITH base AS (
+              SELECT doc_id AS media_id, encode(text) AS payload
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 100000000,
+                     encode(substr(text, 1, 10) || 'X' || substr(text, 12))
+              FROM documents
+              WHERE doc_id % 17 = 0 AND length(text) >= 12),
+            p AS (SELECT media_id, hex(payload) AS hx,
+                         CAST(octet_length(payload) AS BIGINT) AS n
+                  FROM base WHERE octet_length(payload) > 0),
+            bytes AS (
+              SELECT media_id, n,
+                     CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2))
+                          AS BIGINT) AS v,
+                     i * 60 // n AS k
+              FROM p, LATERAL unnest(range(0, n)) AS r(i)),
+            agg AS (
+              SELECT media_id, any_value(n) AS n, k,
+                     CAST(sum(v) AS BIGINT) AS seg_sum,
+                     CAST(count(*) AS BIGINT) AS seg_len
+              FROM bytes GROUP BY media_id, k),
+            tot AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS total
+                    FROM bytes GROUP BY media_id),
+            bh0 AS (
+              SELECT a.media_id,
+                     CAST(sum(CASE WHEN a.seg_sum * a.n > t.total * a.seg_len
+                                   THEN CAST(1 AS BIGINT) << CAST(a.k AS INT)
+                                   ELSE 0 END) AS BIGINT) AS bh
+              FROM agg a JOIN tot t USING (media_id)
+              GROUP BY a.media_id),
+            allbh AS (
+              SELECT base.media_id, coalesce(bh0.bh, 0) AS bh
+              FROM base LEFT JOIN bh0 USING (media_id)),
+            banded AS (
+              SELECT media_id, bh, band,
+                     (bh >> CAST(band * 12 AS INT)) & 4095 AS bval
+              FROM allbh, LATERAL unnest(range(0, 5)) AS r(band)),
+            pairs AS (
+              SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                     a.bh AS ha, b.bh AS hb
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bval = b.bval
+               AND a.media_id < b.media_id)
+            SELECT media_a, media_b,
+                   CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+            FROM pairs
+            WHERE bit_count(xor(ha, hb)) <= 4""",
         # url blocklist: same url synthesis, suffix chain unrolled via
         # generate_series, reasons resolved to the lexicographic min
         "url_blocklist": """

@@ -180,3 +180,114 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select("media_id", "payload", "meta")
         .mapInPandas(kern, schema=FRAMES_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup over binary payloads: block-mean hashing (Yang,
+# Gao, Tian 2006, "Block Mean Value Based Image Perceptual Hashing" —
+# public; blockhash.io is the open implementation).  The real method
+# hashes pixel-block means; with codecs stubbed the SAME algorithm runs
+# over payload BYTE segments (swap the segment source for pixel rows
+# when REAL_DECODE lands) — a one-byte edit changes one segment's sum,
+# so near-identical payloads land within a few bits of each other.
+#
+# Engine-portability: every bit is an INTEGER CROSS-MULTIPLICATION —
+# bit k = (seg_sum[k] * n_bytes > total_sum * seg_len[k]) — no
+# division, no floats, so the kernel and a DuckDB oracle reconstructing
+# bytes from hex(payload) agree exactly.  60 bits (not 64) keeps the
+# hash positive in a BIGINT, the hash60 convention.
+# ---------------------------------------------------------------------------
+
+BH_BITS = 60
+BH_BANDS = 5           # 5 bands x 12 bits: hamming <= 4 is GUARANTEED
+                       # to share a band (pigeonhole)
+
+BLOCKHASH_SCHEMA = "media_id bigint, kind string, bh bigint"
+
+
+def media_blockhash(media: DataFrame) -> DataFrame:
+    """(media_id, kind, bh): the 60-bit block-mean hash of each
+    payload.  Byte ``i`` of an n-byte payload belongs to segment
+    ``i * 60 // n`` (an equal-ish partition whose inverse needs no
+    boundary arithmetic — the identical expression runs in the DuckDB
+    oracle); bit k is set when segment k's byte mean exceeds the
+    payload mean, compared as the integer cross-product
+    ``seg_sum * n > total_sum * seg_len``.  Payloads shorter than 60
+    bytes leave their unassigned segments at 0 by the same rule.  One
+    Arrow batch per call, one bincount per payload — zero Exchange
+    before the hash column."""
+    import numpy as np
+
+    def kern(batches):
+        for pdf in batches:
+            ids, kinds, hashes = [], [], []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n = len(data)
+                h = 0
+                if n:
+                    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                    seg_ids = np.arange(n, dtype=np.int64) * BH_BITS // n
+                    seg_sum = np.bincount(
+                        seg_ids, weights=b,
+                        minlength=BH_BITS).astype(np.int64)
+                    seg_len = np.bincount(
+                        seg_ids, minlength=BH_BITS).astype(np.int64)
+                    total = int(b.sum())
+                    bits = seg_sum * n > total * seg_len
+                    h = int((bits.astype(np.int64)
+                             << np.arange(BH_BITS, dtype=np.int64)).sum())
+                ids.append(int(mid))
+                kinds.append(kind)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "bh": hashes})
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kern, schema=BLOCKHASH_SCHEMA)
+
+
+def media_near_dups(media: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate payload pairs: banded blockhash candidate join
+    (the SimHash recipe — 5 bands of 12 bits; any pair within
+    ``max_hamming`` <= 4 bits shares at least one band by pigeonhole,
+    so recall is exact at the default), verified by the TRUE hamming
+    distance (xor + bit_count) before any pair is emitted.  Returns
+    ``(media_a, media_b, hamming)`` with media_a < media_b.  Plan: one
+    kernel pass for hashes, one shuffle on the (band, value) key,
+    candidate-bounded verify — nothing all-pairs.
+
+    Precision caveat (measured in tests): payloads that repeat a short
+    low-entropy cycle (a tiled thumbnail, a constant-tone clip) sample
+    every segment at the same phase and can collide across UNRELATED
+    media within a few bits — the block-mean family's documented
+    weakness on flat content; gate on payload entropy first when the
+    corpus has such degenerate media."""
+    bh = media_blockhash(media)
+    width = BH_BITS // BH_BANDS
+    banded = bh.select(
+        "media_id", "bh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("bh", b * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("bval"),
+            )
+            for b in range(BH_BANDS)
+        ])).alias("bb"),
+    ).select("media_id", "bh", F.col("bb.band").alias("band"),
+             F.col("bb.bval").alias("bval"))
+    a = banded.select(F.col("media_id").alias("media_a"),
+                      F.col("bh").alias("ha"), "band", "bval")
+    b = banded.select(F.col("media_id").alias("media_b"),
+                      F.col("bh").alias("hb"), "band", "bval")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                .cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["media_a", "media_b"])
+    )

@@ -58,3 +58,100 @@ def test_frame_sampling_time_grid(spark):
         assert all(t == i * 500 for (i, t) in fr)
         assert fr[-1][1] < max(vids[mid], 1)
     assert set(per_vid) == set(vids)
+
+
+def _ref_blockhash(data: bytes) -> int:
+    """Independent Python formulation of media_blockhash."""
+    n = len(data)
+    if not n:
+        return 0
+    seg_sum = [0] * 60
+    seg_len = [0] * 60
+    for i, v in enumerate(data):
+        k = i * 60 // n
+        seg_sum[k] += v
+        seg_len[k] += 1
+    total = sum(data)
+    h = 0
+    for k in range(60):
+        if seg_sum[k] * n > total * seg_len[k]:
+            h |= 1 << k
+    return h
+
+
+def test_blockhash_matches_python_reference(spark):
+    from origami_spark.operators.multimodal import media_blockhash
+
+    payloads = [
+        (0, b""),
+        (1, b"a"),
+        (2, bytes(range(256)) * 3),
+        (3, b"the quick brown fox jumps over the lazy dog" * 5),
+        (4, b"\x00" * 59),              # shorter than 60 bytes
+        (5, b"\xff\x00" * 400),
+    ]
+    media = spark.createDataFrame(
+        [(i, "image", p) for i, p in payloads],
+        "media_id bigint, kind string, payload binary")
+    got = {r["media_id"]: r["bh"] for r in media_blockhash(media).collect()}
+    assert got == {i: _ref_blockhash(p) for i, p in payloads}
+
+
+def test_media_near_dups_finds_single_byte_edits(spark):
+    """One substituted byte leaves the pair within the banding
+    guarantee; unrelated payloads (distinct random-ish digests) emit
+    no pair."""
+    import hashlib
+
+    from origami_spark.operators.multimodal import media_near_dups
+
+    # NON-repeating pseudo-random bytes: a repeating short cycle (e.g.
+    # a hex digest * 20) makes every segment sample the same phase and
+    # unrelated payloads collide within a few bits — the block-mean
+    # hash needs full-width variation to separate, like real pixels
+    base = [b"".join(hashlib.sha256(f"{i}|{j}".encode()).digest()
+                     for j in range(40))
+            for i in range(12)]
+    rows = [(i, "image", p) for i, p in enumerate(base)]
+    # plant edits of originals 0..3 as ids 100..103
+    for i in range(4):
+        edited = bytearray(base[i])
+        edited[7] = edited[7] ^ 0x5A
+        rows.append((100 + i, "image", bytes(edited)))
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary")
+    pairs = {(r["media_a"], r["media_b"])
+             for r in media_near_dups(media, max_hamming=4).collect()}
+    assert {(i, 100 + i) for i in range(4)} <= pairs
+    # nothing links two distinct originals
+    assert not [p for p in pairs if p[0] < 100 and p[1] < 100]
+
+
+def test_media_near_dups_pigeonhole_recall_is_exact(spark):
+    """Any pair within hamming <= 4 of a 5x12 banding MUST be found:
+    plant controlled k-bit flips directly against the banding by
+    editing payload segments."""
+    from origami_spark.operators.multimodal import (media_blockhash,
+                                                    media_near_dups)
+
+    base = bytes((i * 37) % 256 for i in range(600))
+    variants = [(0, base)]
+    # flip bytes in 4 widely-separated segments (k*10 bytes apart) to
+    # perturb up to 4 hash bits
+    for j in range(1, 5):
+        b = bytearray(base)
+        for seg in range(j):
+            off = seg * 150 + 3
+            b[off] = (b[off] + 200) % 256
+        variants.append((j, bytes(b)))
+    media = spark.createDataFrame(
+        [(i, "image", p) for i, p in variants],
+        "media_id bigint, kind string, payload binary")
+    hashes = {r["media_id"]: r["bh"]
+              for r in media_blockhash(media).collect()}
+    pairs = {(r["media_a"], r["media_b"]): r["hamming"]
+             for r in media_near_dups(media, max_hamming=4).collect()}
+    for j in range(1, 5):
+        d = bin(hashes[0] ^ hashes[j]).count("1")
+        if d <= 4:
+            assert (0, j) in pairs and pairs[(0, j)] == d, (j, d)
