@@ -2470,7 +2470,11 @@ def oracle_sql() -> dict[str, str]:
                     FROM bytes GROUP BY media_id),
             bh0 AS (
               SELECT a.media_id,
-                     CAST(sum(CASE WHEN a.seg_sum * a.n > t.total * a.seg_len
+                     -- HUGEINT: the cross-products pass int64 at
+                     -- ~1.4 GB payloads (the kernel compares in
+                     -- Python big ints for the same reason)
+                     CAST(sum(CASE WHEN CAST(a.seg_sum AS HUGEINT) * a.n
+                                        > CAST(t.total AS HUGEINT) * a.seg_len
                                    THEN CAST(1 AS BIGINT) << CAST(a.k AS INT)
                                    ELSE 0 END) AS BIGINT) AS bh
               FROM agg a JOIN tot t USING (media_id)

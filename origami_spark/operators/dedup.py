@@ -667,31 +667,41 @@ def simhash_kernel(docs: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
-def simhash_near_dups(docs: DataFrame, bits: int = 32, bands: int = 4,
-                      max_hamming: int = 3,
-                      use_kernel: bool = True) -> DataFrame:
-    """Banded simhash near-dup pairs: any equal band (pigeonhole for
-    hamming <= bands-1) -> candidate; verify hamming distance."""
+def banded_hamming_pairs(hashed: DataFrame, id_col: str, hash_col: str,
+                         bits: int, bands: int,
+                         max_hamming: int) -> DataFrame:
+    """Banded hamming near-dup pairs over a precomputed integer hash:
+    any equal band -> candidate (EXACT recall for hamming <= bands-1
+    by pigeonhole; probabilistic beyond — callers promising exact
+    recall must enforce the bound themselves), verified by the true
+    xor+bit_count distance before any pair is emitted.  Returns
+    ``(id_a, id_b, hamming)`` with id_a < id_b.
+
+    The hashed relation is CACHED: it feeds both self-join sides, and
+    without the cache its producer — often a kernel over every payload
+    byte — executes twice.  ONE implementation shared by
+    simhash_near_dups and multimodal.media_near_dups, so the pigeonhole
+    recipe cannot fork."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sh = (simhash_kernel if use_kernel else simhash)(docs, bits)
+    sh = _tracked_cache(hashed.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")))
     banded = sh.select(
-        "doc_id",
-        "simhash",
+        "_id", "_h",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
     ).withColumn(
         "bucket",
-        F.expr(f"shiftright(simhash, cast(band * {band_bits} as int)) & {mask}"),
+        F.expr(f"shiftright(_h, cast(band * {band_bits} as int)) & {mask}"),
     )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a._id") < F.col("b._id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("ha"),
+            F.col("b._h").alias("hb"),
         )
         .distinct()
     )
@@ -701,7 +711,22 @@ def simhash_near_dups(docs: DataFrame, bits: int = 32, bands: int = 4,
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_dups(docs: DataFrame, bits: int = 32, bands: int = 4,
+                      max_hamming: int = 3,
+                      use_kernel: bool = True) -> DataFrame:
+    """Banded simhash near-dup pairs: any equal band (pigeonhole for
+    hamming <= bands-1) -> candidate; verify hamming distance."""
+    sh = (simhash_kernel if use_kernel else simhash)(docs, bits)
+    return banded_hamming_pairs(
+        sh, "doc_id", "simhash", bits, bands, max_hamming,
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
     )
 
 

@@ -235,9 +235,14 @@ def media_blockhash(media: DataFrame) -> DataFrame:
                     seg_len = np.bincount(
                         seg_ids, minlength=BH_BITS).astype(np.int64)
                     total = int(b.sum())
-                    bits = seg_sum * n > total * seg_len
-                    h = int((bits.astype(np.int64)
-                             << np.arange(BH_BITS, dtype=np.int64)).sum())
+                    # the cross-products reach 255*n^2/60 — past int64
+                    # at ~1.4 GB payloads, where numpy would WRAP
+                    # silently; 60 Python big-int comparisons per
+                    # payload are exact at any size (the oracle
+                    # compares in HUGEINT for the same reason)
+                    for k in range(BH_BITS):
+                        if int(seg_sum[k]) * n > total * int(seg_len[k]):
+                            h |= 1 << k
                 ids.append(int(mid))
                 kinds.append(kind)
                 hashes.append(h)
@@ -264,30 +269,18 @@ def media_near_dups(media: DataFrame, max_hamming: int = 4) -> DataFrame:
     media within a few bits — the block-mean family's documented
     weakness on flat content; gate on payload entropy first when the
     corpus has such degenerate media."""
-    bh = media_blockhash(media)
-    width = BH_BITS // BH_BANDS
-    banded = bh.select(
-        "media_id", "bh",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright("bh", b * width)
-                .bitwiseAND(F.lit((1 << width) - 1)).alias("bval"),
-            )
-            for b in range(BH_BANDS)
-        ])).alias("bb"),
-    ).select("media_id", "bh", F.col("bb.band").alias("band"),
-             F.col("bb.bval").alias("bval"))
-    a = banded.select(F.col("media_id").alias("media_a"),
-                      F.col("bh").alias("ha"), "band", "bval")
-    b = banded.select(F.col("media_id").alias("media_b"),
-                      F.col("bh").alias("hb"), "band", "bval")
-    return (
-        a.join(b, ["band", "bval"])
-        .filter(F.col("media_a") < F.col("media_b"))
-        .select("media_a", "media_b",
-                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-                .cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["media_a", "media_b"])
+    from .dedup import banded_hamming_pairs
+
+    if max_hamming > BH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the exact-recall "
+            f"guarantee of {BH_BANDS} bands (pigeonhole holds only to "
+            f"{BH_BANDS - 1}); raise BH_BANDS or lower the threshold")
+    return banded_hamming_pairs(
+        media_blockhash(media), "media_id", "bh",
+        BH_BITS, BH_BANDS, max_hamming,
+    ).select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        F.col("hamming").cast("int").alias("hamming"),
     )

@@ -134,15 +134,18 @@ def test_media_near_dups_pigeonhole_recall_is_exact(spark):
     from origami_spark.operators.multimodal import (media_blockhash,
                                                     media_near_dups)
 
-    base = bytes((i * 37) % 256 for i in range(600))
+    # base alternates all-0x00 / all-0xff segments (10 bytes each), so
+    # every segment mean sits FAR from the payload mean and a bit flips
+    # iff its whole segment is rewritten — edits are decisive, never
+    # boundary-rounded away
+    base = bytes(
+        (0x00 if (i // 10) % 2 == 0 else 0xFF) for i in range(600))
     variants = [(0, base)]
-    # flip bytes in 4 widely-separated segments (k*10 bytes apart) to
-    # perturb up to 4 hash bits
     for j in range(1, 5):
         b = bytearray(base)
         for seg in range(j):
-            off = seg * 150 + 3
-            b[off] = (b[off] + 200) % 256
+            lo = seg * 2 * 10            # rewrite an all-0x00 segment
+            b[lo:lo + 10] = b"\xff" * 10
         variants.append((j, bytes(b)))
     media = spark.createDataFrame(
         [(i, "image", p) for i, p in variants],
@@ -151,7 +154,9 @@ def test_media_near_dups_pigeonhole_recall_is_exact(spark):
               for r in media_blockhash(media).collect()}
     pairs = {(r["media_a"], r["media_b"]): r["hamming"]
              for r in media_near_dups(media, max_hamming=4).collect()}
-    for j in range(1, 5):
-        d = bin(hashes[0] ^ hashes[j]).count("1")
-        if d <= 4:
-            assert (0, j) in pairs and pairs[(0, j)] == d, (j, d)
+    dists = [bin(hashes[0] ^ hashes[j]).count("1") for j in range(1, 5)]
+    # the edits are decisive: exactly j bits flip — distances 1..4 are
+    # ALL exercised (a vacuous guard here once hid an untested range)
+    assert dists == [1, 2, 3, 4], dists
+    for j, d in zip(range(1, 5), dists):
+        assert (0, j) in pairs and pairs[(0, j)] == d, (j, d)
