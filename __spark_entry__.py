@@ -596,6 +596,7 @@ NB_MODEL_PATH = os.path.join(_STAGE_DIR, "nb_model.parquet")
 PQ_CODEBOOKS_PATH = os.path.join(_STAGE_DIR, "pq_codebooks.parquet")
 IVFPQ_CENTROIDS_PATH = os.path.join(_STAGE_DIR, "ivfpq_centroids.parquet")
 IVFPQ_CODEBOOKS_PATH = os.path.join(_STAGE_DIR, "ivfpq_codebooks.parquet")
+BM25_STATS_PATH = os.path.join(_STAGE_DIR, "bm25_stats.parquet")
 
 
 def _staged(path: str) -> str:
@@ -835,6 +836,25 @@ def text_chunks(spark, sf):
     the identical windows from a generate_series."""
     return T.chunk_documents(_t(spark, sf, "documents"), size=200,
                              overlap=40)
+
+
+def text_bm25_topk(spark, sf):
+    """BM25 ranked retrieval (operators/retrieval.py, Robertson &
+    Zaragoza 2009) for a pinned 3-term query: the idf/avgdl floats are
+    computed once at index time and STAGED (the lm.py recipe — no
+    cross-engine libm in the gate); per-(doc, term) contributions come
+    from a fixed exact-IEEE expression tree over the staged values,
+    quantized to integer micro-units and integer-summed per doc; top-10
+    via the two-level hash-group window (no corpus-wide single-task
+    sort)."""
+    from origami_spark.operators.retrieval import bm25_stats, bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    stats = bm25_stats(docs, ["spark", "window", "merge"])
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        _staged(BM25_STATS_PATH))
+    staged = spark.read.parquet(BM25_STATS_PATH)
+    return bm25_topk(docs, staged, k=10)
 
 
 def text_quality(spark, sf):
@@ -1341,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats,
         "text_bpe_pretokens": text_bpe_pretokens,
         "text_chunks": text_chunks,
+        "text_bm25_topk": text_bm25_topk,
         "text_lm_quality": text_lm_quality,
         "text_lm_buckets": text_lm_buckets,
         "text_classifier_score": text_classifier_score,
@@ -2899,6 +2920,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source
         FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM s WHERE s_in < 0)"""
+
+    # BM25 over the staged per-term stats: the oracle re-derives tf/dl
+    # from the shared tokenizer, reuses the STAGED qidf/avgdl floats,
+    # computes the identical fixed expression tree, quantizes to the
+    # same integer micro-units, and integer-sums — then the serial
+    # row_number proves the engine's two-level top-k equal
+    sql["text_bm25_topk"] = f"""
+        WITH s AS (SELECT term, qidf, avgdl
+                   FROM '{BM25_STATS_PATH}/*.parquet'),
+        t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        x AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                     unnest(toks) AS term
+              FROM t),
+        m AS (SELECT x.doc_id, x.term, x.dl, s.qidf, s.avgdl
+              FROM x JOIN s USING (term)),
+        c AS (
+          SELECT doc_id, term,
+                 CAST(floor(
+                   (CAST(any_value(qidf) AS DOUBLE) / 1000000.0)
+                   * (CAST(count(*) AS DOUBLE) * 2.2
+                      / (CAST(count(*) AS DOUBLE)
+                         + 1.2 * (0.25
+                                  + 0.75 * CAST(any_value(dl) AS DOUBLE)
+                                    / any_value(avgdl))))
+                   * 1000000.0 + 0.5) AS BIGINT) AS cq
+          FROM m GROUP BY doc_id, term),
+        sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+                      CAST(sum(cq) AS BIGINT) AS score_q
+               FROM c GROUP BY doc_id),
+        r AS (SELECT *, CAST(row_number() OVER
+                     (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rk
+              FROM sc)
+        SELECT doc_id, n_terms_matched, score_q,
+               score_q / 1000000.0 AS score, rk
+        FROM r WHERE rk <= 10"""
     # GPT-2 pre-tokenizer piece count: the IDENTICAL RE2-safe pattern
     # runs in DuckDB — derived mechanically from the single source of
     # truth (operators/text.BPE_PRETOKEN_RE), never respelled;

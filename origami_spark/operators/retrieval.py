@@ -1,0 +1,143 @@
+"""Corpus retrieval: BM25 ranked search over the token inverted index.
+
+BM25 (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+Framework: BM25 and Beyond" — public) is the standard lexical ranking
+function; a training-data pipeline uses it to audit a corpus ("which
+documents answer X"), to mine hard negatives, and to build retrieval
+eval sets.
+
+Engine-portability design (the lm.py / PQ recipe): the only
+corpus-derived floats are ``idf`` (a log over two integers) and
+``avgdl`` (one integer division) — both computed ONCE at index time
+and STAGED, so cross-engine libm differences never enter the gate.
+Scoring re-derives each (doc, term) contribution from integers and the
+staged doubles through a FIXED expression tree (every step exact IEEE
+in both engines), quantizes it to integer micro-units, and integer-sums
+per document — associative, hence identical under any partitioning and
+in DuckDB.
+
+Plan shape at 100 TB: the stats pass is the wordcount shape (one
+shuffle on the token key, map-side combine); scoring explodes tokens,
+keeps only query terms (a broadcast hash-set filter — the corpus never
+shuffles on anything wider than the per-doc tf groupBy of MATCHED
+rows), joins the staged per-term stats broadcast, and aggregates once
+per doc.  Top-k is a window over docs that matched at least one term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+__all__ = ["bm25_stats", "bm25_topk"]
+
+_Q = 1_000_000          # micro-unit quantization of per-term scores
+K1 = 1.2
+B = 0.75
+
+
+def bm25_stats(docs: DataFrame, terms, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-term index statistics for the given query terms, plus the
+    corpus constants every row carries (the lm.py convention):
+    ``(term, df bigint, qidf bigint, n_docs bigint, avgdl double)``
+    where ``qidf = floor(ln((N - df + 0.5) / (df + 0.5) + 1) * 1e6 +
+    0.5)`` — the Robertson-Sparck-Jones idf with the +1 floor that
+    keeps it positive — and ``avgdl = total_tokens / N`` (one exact
+    IEEE division of two integers).  Terms absent from the corpus get
+    df = 0 (idf at its maximum).  Stage this table; the floats inside
+    never recompute downstream."""
+    terms = [t.lower() for t in terms]
+    spark = docs.sparkSession
+    t = docs.select(F.col(id_col), tokens_col(text_col).alias("toks"))
+    consts = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+    ).collect()[0]
+    n_docs = int(consts["n_docs"])
+    total = int(consts["total_tokens"] or 0)
+    if not n_docs or not total:
+        raise ValueError("bm25_stats needs a non-empty tokenized corpus")
+    avgdl = total / n_docs
+    tdf = spark.createDataFrame([(x,) for x in terms], "term string")
+    df_rows = (
+        t.select(F.col(id_col), F.explode("toks").alias("term"))
+        .join(F.broadcast(tdf), "term")
+        .groupBy("term")
+        .agg(F.count_distinct(id_col).alias("df"))
+    )
+    import math
+
+    rows = {r["term"]: int(r["df"]) for r in df_rows.collect()}
+    out = []
+    for term in terms:
+        df = rows.get(term, 0)
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        out.append((term, df, math.floor(idf * _Q + 0.5), n_docs,
+                    float(avgdl)))
+    return spark.createDataFrame(
+        out, "term string, df bigint, qidf bigint, n_docs bigint, "
+             "avgdl double")
+
+
+def bm25_topk(docs: DataFrame, stats: DataFrame, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k documents for the staged query-term stats: per (doc,
+    term), ``contrib = idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl
+    / avgdl))`` with idf = qidf/1e6 — a fixed expression tree over one
+    staged double, one staged bigint, and two per-doc integers, so
+    both engines compute the identical double — quantized to
+    ``floor(contrib * 1e6 + 0.5)`` and INTEGER-summed per document.
+    Returns ``(doc_id, n_terms_matched, score_q bigint, score double,
+    rk)``, rk <= k by (score_q desc, doc_id).  Only documents matching
+    at least one term appear."""
+    t = docs.select(
+        F.col(id_col),
+        tokens_col(text_col).alias("toks"),
+    ).select(
+        id_col,
+        F.size("toks").cast("bigint").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    matched = t.join(F.broadcast(stats), "term")
+    contrib = (
+        matched.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"),
+             F.first("dl").alias("dl"),
+             F.first("qidf").alias("qidf"),
+             F.first("avgdl").alias("avgdl"))
+        .select(
+            id_col,
+            F.floor(
+                (F.col("qidf").cast("double") / _Q)
+                * (F.col("tf").cast("double") * (K1 + 1.0)
+                   / (F.col("tf").cast("double")
+                      + K1 * (1.0 - B
+                              + B * F.col("dl").cast("double")
+                              / F.col("avgdl"))))
+                * _Q + F.lit(0.5)
+            ).cast("bigint").alias("cq"),
+        )
+    )
+    # two-level deterministic top-k (the host_cap recipe): a single
+    # global window would sort EVERY matched doc on one task — for a
+    # stopword-ish query term that is the corpus.  Phase 1 keeps k per
+    # hash group (any global top-k member is its group's top-k member
+    # under the total (score_q desc, id) order), phase 2 ranks the
+    # <= 64*k survivors.
+    w1 = Window.partitionBy("_g").orderBy(F.desc("score_q"), F.asc(id_col))
+    w2 = Window.orderBy(F.desc("score_q"), F.asc(id_col))
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+             F.sum("cq").cast("bigint").alias("score_q"))
+        .withColumn("_g", F.pmod(F.xxhash64(id_col), F.lit(64)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("score", F.col("score_q") / F.lit(float(_Q)))
+        .withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .drop("_g", "_r1")
+    )
