@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "text_classifier_score",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "multimodal_near_dup",
+    "text_bm25_topk",
 ]
 
 # queries whose first call trains + stages a model artifact that the
