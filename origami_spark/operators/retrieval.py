@@ -47,11 +47,18 @@ def bm25_stats(docs: DataFrame, terms, text_col: str = "text",
     0.5)`` — the Robertson-Sparck-Jones idf with the +1 floor that
     keeps it positive — and ``avgdl = total_tokens / N`` (one exact
     IEEE division of two integers).  Terms absent from the corpus get
-    df = 0 (idf at its maximum).  Stage this table; the floats inside
-    never recompute downstream."""
-    terms = [t.lower() for t in terms]
+    df = 0 (idf at its maximum).  Terms are DEDUPED after lowercasing
+    — a duplicate stats row would double every matching token in
+    bm25_topk's join and silently inflate tf.  The tokenized corpus is
+    cached: both aggregates (corpus constants, per-term df) read one
+    tokenization pass.  Stage this table; the floats inside never
+    recompute downstream."""
+    from .dedup import _tracked_cache
+
+    terms = list(dict.fromkeys(t.lower() for t in terms))
     spark = docs.sparkSession
-    t = docs.select(F.col(id_col), tokens_col(text_col).alias("toks"))
+    t = _tracked_cache(
+        docs.select(F.col(id_col), tokens_col(text_col).alias("toks")))
     consts = t.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("toks")).alias("total_tokens"),

@@ -37,7 +37,8 @@ def _ref_bm25(rows, terms, k1=1.2, b=0.75):
                 continue
             matched += 1
             contrib = ((qidf[t] / Q)
-                       * (tf * 2.2 / (tf + k1 * (0.25 + b * len(v) / avgdl))))
+                       * (tf * (k1 + 1.0)
+                          / (tf + k1 * ((1.0 - b) + b * len(v) / avgdl))))
             s += math.floor(contrib * Q + 0.5)
         if matched:
             scores[i] = (matched, s)
@@ -104,3 +105,17 @@ def test_bm25_two_level_topk_equals_serial_cut(spark):
 def test_bm25_empty_corpus_raises(spark):
     with pytest.raises(ValueError, match="non-empty"):
         bm25_stats(_docs(spark, [(0, "...")]), TERMS)
+
+
+def test_bm25_duplicate_query_terms_deduped(spark):
+    """Duplicate (or case-colliding) query terms must not inflate tf
+    via duplicated stats rows."""
+    docs = _docs(spark, ROWS)
+    clean = sorted(map(tuple,
+                       bm25_topk(docs, bm25_stats(docs, TERMS), k=10)
+                       .collect()))
+    dup = sorted(map(tuple,
+                     bm25_topk(docs,
+                               bm25_stats(docs, ["Spark", "spark", "SPARK"]
+                                          + TERMS), k=10).collect()))
+    assert clean == dup
