@@ -75,7 +75,8 @@ BENCH_QUERIES = [
 # entry memoizes per process: warmed once untimed so the stamped
 # number is the serving path (training is the documented
 # run-on-a-sample step at real scale)
-WARM_FIRST = {"ann_pq_topk", "ann_ivfpq_topk", "text_bm25_topk"}
+WARM_FIRST = {"ann_pq_topk", "ann_ivfpq_topk", "text_bm25_topk",
+              "text_classifier_score"}
 
 
 # this sandbox is a shared-host VM: /proc/stat's steal field counts

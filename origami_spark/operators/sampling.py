@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from .text import portable_hash60, tokens_col
 
 __all__ = ["hash_sample", "stratified_sample", "token_budget",
-           "token_budget_global", "shuffle_order", "interleave_sources"]
+           "token_budget_global", "shuffle_order", "interleave_sources",
+           "split_assign"]
 
 _SCALE = 1_000_000
 
@@ -340,3 +341,34 @@ def interleave_sources(docs: DataFrame, weights: dict, by: str = "source",
         .withColumn("emit_key", F.col("src_pos") / F.col("_w"))
         .select(id_col, by, "src_pos", "emit_key")
     )
+
+
+def split_assign(docs: DataFrame, splits=None, seed: str = "s0",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/validation/test assignment — every eval
+    pipeline's first step: each doc gets the split whose cumulative
+    weight interval contains its hash bucket, so the assignment is a
+    pure function of (seed, id) — stable across runs, partitionings,
+    engines, and corpus GROWTH (a new doc never moves an old one, the
+    property a random split lacks).  ``splits``: ordered (name,
+    weight) pairs, weights summing to 1 (validated; thresholds use the
+    rounded-integer rule so the last split absorbs the rounding
+    remainder).  Returns input + ``split``.  Zero exchanges — a
+    scan-time projection at any scale.  Changing ``seed`` redraws
+    independently; use a different seed than any sampler gating the
+    same corpus or the split inherits that sampler's selection bias."""
+    splits = list(splits or (("train", 0.98), ("val", 0.01),
+                             ("test", 0.01)))
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = _bucket(id_col, seed)
+    cum = 0.0
+    expr = None
+    for name, w in splits[:-1]:
+        cum += w
+        cond = b < F.lit(_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)

@@ -336,3 +336,36 @@ def test_pack_sequences_excludes_null_ids(spark):
         [(1, "a b c"), (None, "d e f")], "doc_id long, text string")
     out = pack_sequences(docs, seq_len=4).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_split_assign_is_stable_under_growth_and_partitioning(spark):
+    """Every doc keeps its split when the corpus grows or repartitions;
+    weights land near-exact; bad weights raise."""
+    import pytest
+
+    from origami_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(4000)], "doc_id bigint, text string")
+    small = {r["doc_id"]: r["split"]
+             for r in split_assign(docs.limit(1000),
+                                   [("train", 0.8), ("val", 0.1),
+                                    ("test", 0.1)]).collect()}
+    full = {r["doc_id"]: r["split"]
+            for r in split_assign(docs.repartition(13),
+                                  [("train", 0.8), ("val", 0.1),
+                                   ("test", 0.1)]).collect()}
+    assert all(full[i] == s for i, s in small.items())
+    from collections import Counter
+    c = Counter(full.values())
+    assert 0.77 < c["train"] / 4000 < 0.83
+    assert 0.07 < c["val"] / 4000 < 0.13
+    assert 0.07 < c["test"] / 4000 < 0.13
+    # a different seed redraws; identical seed reproduces exactly
+    redraw = {r["doc_id"]: r["split"]
+              for r in split_assign(docs, [("train", 0.8), ("val", 0.1),
+                                           ("test", 0.1)],
+                                    seed="s1").collect()}
+    assert redraw != full
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(docs, [("a", 0.5), ("b", 0.2)])
