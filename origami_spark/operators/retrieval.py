@@ -50,15 +50,23 @@ def bm25_stats(docs: DataFrame, terms, text_col: str = "text",
     df = 0 (idf at its maximum).  Terms are DEDUPED after lowercasing
     — a duplicate stats row would double every matching token in
     bm25_topk's join and silently inflate tf.  The tokenized corpus is
-    cached: both aggregates (corpus constants, per-term df) read one
-    tokenization pass.  Stage this table; the floats inside never
-    recompute downstream."""
-    from .dedup import _tracked_cache
-
+    cached LOCALLY for the two aggregates (corpus constants, per-term
+    df — one tokenization pass) and unpersisted before returning: a
+    registry-tracked cache would both leak in drivers that never call
+    release_caches and get plan-matched by bm25_topk's identical
+    projection, silently turning the benched query path into a
+    cache-serve.  Stage this table; the floats inside never recompute
+    downstream."""
     terms = list(dict.fromkeys(t.lower() for t in terms))
     spark = docs.sparkSession
-    t = _tracked_cache(
-        docs.select(F.col(id_col), tokens_col(text_col).alias("toks")))
+    t = docs.select(F.col(id_col), tokens_col(text_col).alias("toks")).cache()
+    try:
+        return _bm25_stats_from(t, terms, spark, id_col)
+    finally:
+        t.unpersist()
+
+
+def _bm25_stats_from(t: DataFrame, terms, spark, id_col: str) -> DataFrame:
     consts = t.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("toks")).alias("total_tokens"),

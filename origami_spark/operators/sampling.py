@@ -362,6 +362,15 @@ def split_assign(docs: DataFrame, splits=None, seed: str = "s0",
     total = sum(w for _, w in splits)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(w <= 0 for _, w in splits):
+        # a negative weight sums to 1 just fine while scrambling every
+        # cumulative interval — reject the nonsensical spec loudly
+        raise ValueError(f"split weights must be positive, got {splits}")
+    # the module's NULL-id convention (_bucket): a NULL id yields a
+    # NULL bucket and the row FILTERS OUT — without this, the
+    # when-chain's otherwise() would silently dump every undefined-
+    # identity row into the last split
+    docs = docs.filter(F.col(id_col).isNotNull())
     b = _bucket(id_col, seed)
     cum = 0.0
     expr = None

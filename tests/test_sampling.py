@@ -369,3 +369,18 @@ def test_split_assign_is_stable_under_growth_and_partitioning(spark):
     assert redraw != full
     with pytest.raises(ValueError, match="sum to 1"):
         split_assign(docs, [("a", 0.5), ("b", 0.2)])
+
+
+def test_split_assign_rejects_bad_weights_and_drops_null_ids(spark):
+    import pytest
+
+    from origami_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (None, "ghost"), (2, "b")],
+        "doc_id bigint, text string")
+    out = split_assign(docs).collect()
+    # NULL-id convention: the row filters out, never lands in a split
+    assert {r["doc_id"] for r in out} == {1, 2}
+    with pytest.raises(ValueError, match="positive"):
+        split_assign(docs, [("a", 1.1), ("b", -0.2), ("c", 0.1)])
