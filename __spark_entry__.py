@@ -813,16 +813,22 @@ def text_classifier_score(spark, sf):
 
 def text_classifier_keep(spark, sf):
     """The classifier as a corpus gate (classifier.nb_keep): keep
-    documents whose length-normalized log-odds is >= 0 (reference-like)
-    plus zero-token documents the model has no opinion on.  The corpus
-    side never shuffles — the reject set joins left-anti.  Sign of the
-    threshold comparison is integer-derived (sum of qllr), so the gate
-    cannot flip on a float boundary in either engine."""
+    documents whose length-normalized log-odds clears -0.52 bits/token,
+    plus zero-token documents the model has no opinion on.  With 4 of
+    20 sources as positives every shared token carries net-negative
+    evidence, so scores center near -0.52 at both gate SFs (measured
+    quantiles: p25 -0.535 / p75 -0.506) — the threshold splits the
+    corpus ~half/half instead of degenerating to keep-none at 0.0.
+    The corpus side never shuffles — the reject set joins left-anti.
+    The comparison divides the same integers by the same staged q in
+    both engines (exact IEEE), so the gate cannot flip between
+    them."""
     from origami_spark.operators.classifier import nb_keep, nb_score
 
     docs = _t(spark, sf, "documents")
     staged = _stage_nb_model(spark, sf)
-    kept = nb_keep(docs, nb_score(docs, staged), min_llr_per_token=0.0)
+    kept = nb_keep(docs, nb_score(docs, staged),
+                   min_llr_per_token=-0.52)
     return kept.select("doc_id", "source")
 
 
@@ -2950,12 +2956,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(c.p + s.s_in AS BIGINT) AS score_q,
                s.s_in / (n_tokens * CAST(c.q AS DOUBLE)) AS llr_per_token
         FROM s CROSS JOIN c"""
-    # the gate: reject iff the scored llr is negative (sign of an
-    # integer sum); zero-token docs have no scored row and survive
+    # the gate: reject iff llr/token < -0.52 — the identical
+    # integer-by-staged-q division in both engines (exact IEEE);
+    # zero-token docs have no scored row and survive
     sql["text_classifier_keep"] = f"""{_NB_SCORE_CTE}
         SELECT d.doc_id, d.source
         FROM documents d
-        WHERE d.doc_id NOT IN (SELECT doc_id FROM s WHERE s_in < 0)"""
+        WHERE d.doc_id NOT IN (
+          SELECT doc_id FROM s CROSS JOIN c
+          WHERE s.s_in / (s.n_tokens * CAST(c.q AS DOUBLE)) < -0.52)"""
 
     # BM25 over the staged per-term stats: the oracle re-derives tf/dl
     # from the shared tokenizer, reuses the STAGED qidf/avgdl floats,
