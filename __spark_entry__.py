@@ -597,6 +597,7 @@ PQ_CODEBOOKS_PATH = os.path.join(_STAGE_DIR, "pq_codebooks.parquet")
 IVFPQ_CENTROIDS_PATH = os.path.join(_STAGE_DIR, "ivfpq_centroids.parquet")
 IVFPQ_CODEBOOKS_PATH = os.path.join(_STAGE_DIR, "ivfpq_codebooks.parquet")
 BM25_STATS_PATH = os.path.join(_STAGE_DIR, "bm25_stats.parquet")
+DSIR_MODEL_PATH = os.path.join(_STAGE_DIR, "dsir_model.parquet")
 
 
 def _staged(path: str) -> str:
@@ -830,6 +831,67 @@ def text_classifier_keep(spark, sf):
     kept = nb_keep(docs, nb_score(docs, staged),
                    min_llr_per_token=-0.52)
     return kept.select("doc_id", "source")
+
+
+def _stage_dsir_model(spark, sf):
+    """Train the DSIR importance-weight model once per corpus and stage
+    it (memoized per (path, sf) like every trained artifact): target =
+    the pinned reference sources, raw = the full crawl (the paper's
+    setup — the raw side is the distribution documents are drawn from,
+    so the reference docs appear on both sides)."""
+    from origami_spark.operators.dsir import dsir_train
+
+    if _TRAIN_STAGED.get(DSIR_MODEL_PATH) != sf:
+        docs = _t(spark, sf, "documents")
+        target = docs.where(F.col("source").isin(*_REF_SOURCES))
+        model = dsir_train(target, docs)
+        model.coalesce(1).write.mode("overwrite").parquet(
+            _staged(DSIR_MODEL_PATH))
+        _TRAIN_STAGED[DSIR_MODEL_PATH] = sf
+    return spark.read.parquet(DSIR_MODEL_PATH)
+
+
+def text_dsir_score(spark, sf):
+    """DSIR importance weights (operators/dsir.py, Xie et al. 2023):
+    the quantized log likelihood-ratio of the target (reference
+    sources) vs raw (full crawl) hashed unigram+bigram distributions,
+    summed per document as partition-order-independent integers.  The
+    dense model — the only float-log surface — is staged to parquet
+    and the DuckDB oracle re-reads it, redoing the feature explode,
+    bucket hash, broadcast join, and integer aggregation."""
+    from origami_spark.operators.dsir import dsir_score
+
+    docs = _t(spark, sf, "documents")
+    return dsir_score(docs, _stage_dsir_model(spark, sf))
+
+
+def sample_dsir_topk(spark, sf):
+    """DSIR hard top-k selection (operators/dsir.dsir_topk): keep the
+    50 most reference-like documents by quantized importance weight.
+    The engine rank is the decomposed bin-prefix top-k (bins that
+    cannot reach rank k are pruned before any window runs); the oracle
+    is the SERIAL row_number over the identical staged-model weights —
+    decomposed == serial is exactly the claim under test."""
+    from origami_spark.operators.dsir import dsir_score, dsir_topk
+
+    docs = _t(spark, sf, "documents")
+    scored = dsir_score(docs, _stage_dsir_model(spark, sf))
+    return dsir_topk(scored, 50)
+
+
+def sample_dsir_gumbel(spark, sf):
+    """DSIR Gumbel-top-k importance resampling (dsir.dsir_sample):
+    sampling-without-replacement ∝ w, made deterministic — each doc's
+    Gumbel variate derives from a seeded hash of its id, quantized to
+    the model's integer units (floor-quantized, the `_round6`
+    portability recipe), so the draw is reproducible across runs,
+    partitionings, and engines.  The oracle recomputes the identical
+    perturbed keys from the staged weights and serial-ranks them."""
+    from origami_spark.operators.dsir import dsir_sample, dsir_score
+
+    docs = _t(spark, sf, "documents")
+    scored = dsir_score(docs, _stage_dsir_model(spark, sf))
+    return dsir_sample(scored, 50, seed="g0")
 
 
 def text_token_stats(spark, sf):
@@ -1377,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_pack_sequences": sample_pack_sequences,
         "sample_shuffle": sample_shuffle,
         "sample_interleave": sample_interleave,
+        "sample_dsir_topk": sample_dsir_topk,
+        "sample_dsir_gumbel": sample_dsir_gumbel,
         "host_stats": host_stats,
         "host_cap": host_cap,
         "host_quality": host_quality,
@@ -1398,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_buckets": text_lm_buckets,
         "text_classifier_score": text_classifier_score,
         "text_classifier_keep": text_classifier_keep,
+        "text_dsir_score": text_dsir_score,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
@@ -3089,4 +3154,68 @@ def oracle_sql() -> dict[str, str]:
                          node_col="vec_id")}
         SELECT vec_id, component, vec_id = component AS keep
         FROM comp"""
+    # DSIR importance weights over the staged dense model table
+    # (text_dsir_score stages it before returning): DuckDB redoes the
+    # unigram+bigram explode, the bucket hash, the dense-model join,
+    # and the INTEGER log-ratio sum — associative, no float-
+    # accumulation portability gap
+    _DSIR_SCORE_CTE = f"""
+        WITH m AS (SELECT feat, qlw, q, b
+                   FROM '{DSIR_MODEL_PATH}/*.parquet'),
+        c AS (
+          -- the staged table carries its own constants: the
+          -- quantization q and the bucket count b
+          SELECT CAST(max(q) AS BIGINT) AS q,
+                 CAST(max(b) AS BIGINT) AS b
+          FROM m),
+        t AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_concat(t,
+                       list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])))
+                       AS g
+              FROM t),
+        f AS (SELECT doc_id,
+                     {_H60.format(x="g")} % (SELECT max(b) FROM m) AS feat
+              FROM g),
+        s AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(qlw) AS BIGINT) AS s_in
+          FROM f JOIN m USING (feat)
+          GROUP BY doc_id)"""
+    sql["text_dsir_score"] = f"""{_DSIR_SCORE_CTE}
+        SELECT doc_id, n_feats,
+               s_in AS qlw_sum,
+               CAST(c.q AS INT) AS q,
+               s_in / (n_feats * CAST(c.q AS DOUBLE)) AS log2w_per_feat
+        FROM s CROSS JOIN c"""
+    # DSIR top-k against the SERIAL rank: the engine's pruned-bin
+    # decomposed top-k must equal one global row_number over
+    # (qlw_sum DESC, doc_id)
+    sql["sample_dsir_topk"] = f"""{_DSIR_SCORE_CTE},
+        r AS (
+          SELECT doc_id, s_in AS qlw_sum,
+                 CAST(row_number() OVER (ORDER BY s_in DESC, doc_id)
+                      AS BIGINT) AS dsir_rank
+          FROM s)
+        SELECT doc_id, qlw_sum, dsir_rank FROM r WHERE dsir_rank <= 50"""
+    # DSIR Gumbel-top-k: the identical deterministic perturbation —
+    # a dyadic uniform from the seeded hash, the quantized Gumbel
+    # floor(-log2(-log2(u)) * q + 0.5) — recomputed in DuckDB over the
+    # staged integer weights, then the serial rank
+    _DSIR_U = ("((" + _H60.format(x="'g0|' || doc_id")
+               + " % 1048576) + 0.5) / 1048576.0")
+    sql["sample_dsir_gumbel"] = f"""{_DSIR_SCORE_CTE},
+        gk AS (
+          SELECT doc_id, s_in AS qlw_sum,
+                 CAST(s_in + CAST(floor(
+                     -log2(-log2({_DSIR_U})) * c.q + 0.5) AS BIGINT)
+                   AS BIGINT) AS gkey
+          FROM s CROSS JOIN c),
+        r AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY gkey DESC, doc_id)
+                         AS BIGINT) AS dsir_rank
+          FROM gk)
+        SELECT doc_id, qlw_sum, gkey, dsir_rank
+        FROM r WHERE dsir_rank <= 50"""
     return sql
