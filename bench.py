@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     "multimodal_near_dup",
     "text_bm25_topk",
+    "text_dsir_score",
 ]
 
 # queries whose first call trains + stages a model artifact that the
@@ -76,7 +77,7 @@ BENCH_QUERIES = [
 # number is the serving path (training is the documented
 # run-on-a-sample step at real scale)
 WARM_FIRST = {"ann_pq_topk", "ann_ivfpq_topk", "text_bm25_topk",
-              "text_classifier_score"}
+              "text_classifier_score", "text_dsir_score"}
 
 
 # this sandbox is a shared-host VM: /proc/stat's steal field counts

@@ -33,6 +33,8 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
                  shard_mb: int = 256,
                  lm_max_bits: float = 0.0,
                  quality_ref=None, quality_min_llr: float = 0.0,
+                 dsir_ref=None, dsir_top: int = 0,
+                 dsir_gumbel: bool = False, dsir_seed: str = "s0",
                  block_domains=None, block_terms=None,
                  shuffle_output: bool = False,
                  shuffle_seed: str = "s0") -> dict:
@@ -49,7 +51,8 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
         return _build_corpus(spark, pages, out_dir, min_tokens, near_dup,
                              dedup_spans, dedup_paragraphs, host_cap,
                              shard_mb, lm_max_bits, quality_ref,
-                             quality_min_llr, block_domains,
+                             quality_min_llr, dsir_ref, dsir_top,
+                             dsir_gumbel, dsir_seed, block_domains,
                              block_terms, shuffle_output, shuffle_seed,
                              cached)
     finally:
@@ -70,6 +73,7 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
 def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
                   dedup_paragraphs, host_cap, shard_mb, lm_max_bits,
                   quality_ref, quality_min_llr,
+                  dsir_ref, dsir_top, dsir_gumbel, dsir_seed,
                   block_domains, block_terms, shuffle_output, shuffle_seed,
                   cached) -> dict:
     from pyspark.sql import functions as F
@@ -265,6 +269,41 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
         cached.append(uniq)
         counts["after_para_dedup"] = uniq.count()
 
+    if dsir_top:
+        # DSIR selection (operators/dsir.py, Xie et al. 2023): keep the
+        # dsir_top documents whose hashed-n-gram distribution looks most
+        # like the reference corpus (importance weight = target/raw
+        # likelihood ratio; raw = the survivors themselves, the paper's
+        # setup).  Runs LAST among the content stages so it scores the
+        # text that actually ships (span/paragraph surgery included).
+        # Unlike the classifier GATE this is a SELECTION: zero-token
+        # docs carry no weight evidence and cannot be selected.
+        # --dsir-gumbel switches hard top-k to the deterministic
+        # Gumbel-top-k draw (sampling without replacement ∝ w).
+        from origami_spark.operators.dsir import (dsir_sample, dsir_score,
+                                                  dsir_topk, dsir_train)
+
+        if dsir_ref is None:
+            raise ValueError("dsir_top requires dsir_ref (the reference "
+                             "corpus the selection should resemble)")
+        try:
+            model = dsir_train(dsir_ref, uniq)
+        except ValueError as e:
+            # degenerate corpus (no token evidence on a side): land the
+            # unselected corpus, record the skip — the classifier-gate
+            # convention
+            counts["dsir_skipped"] = str(e)
+        else:
+            scored = dsir_score(uniq, model)
+            sel = (dsir_sample(scored, dsir_top, seed=dsir_seed)
+                   if dsir_gumbel else dsir_topk(scored, dsir_top))
+            # left-semi: the selected set (<= dsir_top rows) is the
+            # small side; AQE broadcasts it at real scale
+            uniq = uniq.join(sel.select("doc_id"), "doc_id",
+                             "left_semi").cache()
+            cached.append(uniq)
+            counts["after_dsir"] = uniq.count()
+
     # recompute the exported metrics over the text actually exported —
     # span removal may have changed it (the original q fed the first
     # gate) — and RE-APPLY the gate: a doc stripped below min_tokens or
@@ -339,6 +378,20 @@ def main(argv=None):
     ap.add_argument("--quality-min-llr", type=float, default=0.0,
                     help="classifier gate threshold on length-normalized "
                          "log-odds (bits/token); docs below it drop")
+    ap.add_argument("--dsir-ref",
+                    help="parquet dir of reference documents (text "
+                         "column) for DSIR importance resampling: keep "
+                         "the --dsir-top docs most like this corpus")
+    ap.add_argument("--dsir-top", type=int, default=0,
+                    help="DSIR selection size (0 = off; requires "
+                         "--dsir-ref)")
+    ap.add_argument("--dsir-gumbel", action="store_true",
+                    help="DSIR: Gumbel-top-k draw (sampling without "
+                         "replacement ∝ importance weight) instead of "
+                         "hard top-k")
+    ap.add_argument("--dsir-seed", default="s0",
+                    help="seed string for --dsir-gumbel (a different "
+                         "seed is an independent draw)")
     ap.add_argument("--block-domains",
                     help="text file of blocked domains, one per line "
                          "(each blocks the host and all subdomains)")
@@ -404,6 +457,11 @@ def main(argv=None):
                           quality_ref=(spark.read.parquet(args.quality_ref)
                                        if args.quality_ref else None),
                           quality_min_llr=args.quality_min_llr,
+                          dsir_ref=(spark.read.parquet(args.dsir_ref)
+                                    if args.dsir_ref else None),
+                          dsir_top=args.dsir_top,
+                          dsir_gumbel=args.dsir_gumbel,
+                          dsir_seed=args.dsir_seed,
                           block_domains=block_domains,
                           block_terms=block_terms,
                           shuffle_output=args.shuffle_output,

@@ -381,3 +381,45 @@ def test_corpus_build_classifier_gate_drops_spam(spark, tmp_path):
     landed = spark.read.json(out)
     assert landed.filter(F.col("url").contains("spam")).count() == 0
     assert landed.count() == counts["exported"] > 0
+
+
+def test_corpus_build_dsir_selection(spark, tmp_path):
+    """--dsir-ref/--dsir-top: DSIR importance resampling keeps the
+    top-k docs most like the reference distribution; planted
+    spam-vocabulary pages carry strongly negative importance weights
+    and never make the cut.  --dsir-top without --dsir-ref raises."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from origami_spark.sources.corpus import pages_df
+
+    pages = pages_df(spark, 30)
+    spam_text = " ".join(
+        ["click here to buy cheap pills win free prizes now limited "
+         "offer casino jackpot bonus claim your reward instantly"] * 3)
+    spam_pages = spark.createDataFrame(
+        [(f"https://spam{i}.example.com/x", spam_text) for i in range(3)],
+        "url string, text string").selectExpr(
+        "url",
+        "timestamp'2024-01-01' as warc_ts",
+        "cast(concat('<html><body><p>', text, '</p></body></html>') "
+        "as binary) as html",
+        "text", "'en' as lang",
+        "null as spans_json").select(pages.columns)
+    src = pages.unionByName(spam_pages)
+
+    ref_dir = str(tmp_path / "dsir_ref")
+    pages_df(spark, 30).select("text").write.parquet(ref_dir)
+
+    out = str(tmp_path / "dsir_corpus")
+    counts = build_corpus(spark, src, out, min_tokens=5,
+                          dsir_ref=spark.read.parquet(ref_dir),
+                          dsir_top=10)
+    assert counts["after_dsir"] == 10
+    landed = spark.read.json(out)
+    assert landed.filter(F.col("url").contains("spam")).count() == 0
+    assert landed.count() == counts["exported"] <= 10
+
+    with pytest.raises(ValueError, match="dsir_ref"):
+        build_corpus(spark, src, str(tmp_path / "x"), min_tokens=5,
+                     dsir_top=10)
