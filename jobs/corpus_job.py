@@ -269,7 +269,7 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
         cached.append(uniq)
         counts["after_para_dedup"] = uniq.count()
 
-    if dsir_top:
+    if dsir_top or dsir_ref is not None:
         # DSIR selection (operators/dsir.py, Xie et al. 2023): keep the
         # dsir_top documents whose hashed-n-gram distribution looks most
         # like the reference corpus (importance weight = target/raw
@@ -283,9 +283,17 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
         from origami_spark.operators.dsir import (dsir_sample, dsir_score,
                                                   dsir_topk, dsir_train)
 
-        if dsir_ref is None:
-            raise ValueError("dsir_top requires dsir_ref (the reference "
-                             "corpus the selection should resemble)")
+        if dsir_ref is None or not dsir_top:
+            # both halves or neither: a --dsir-ref without --dsir-top
+            # must not silently ship the full unselected corpus (the
+            # classifier gate activates on the ref alone — same muscle
+            # memory), and --dsir-top without --dsir-ref has nothing to
+            # resemble
+            raise ValueError(
+                "DSIR selection needs BOTH dsir_ref (the reference "
+                "corpus to resemble) and dsir_top > 0 (the selection "
+                f"size); got dsir_ref={'set' if dsir_ref is not None else None} "
+                f"dsir_top={dsir_top}")
         try:
             model = dsir_train(dsir_ref, uniq)
         except ValueError as e:

@@ -55,12 +55,15 @@ from pyspark.sql import functions as F
 
 from .text import portable_hash60, shingles_expr, tokens_col
 
-__all__ = ["dsir_train", "dsir_score", "dsir_topk", "dsir_sample"]
+__all__ = ["dsir_train", "dsir_score", "dsir_topk", "dsir_sample",
+           "gumbel_table"]
 
 _Q = 4096
 _B = 4096
-# resolution of the dyadic uniform feeding the deterministic Gumbel
-_U_BITS = 20
+# resolution of the dyadic uniform feeding the deterministic Gumbel;
+# 16 bits keeps the staged lookup table at 65,536 rows (broadcastable)
+# while leaving ties far rarer than the id tie-break already handles
+_U_BITS = 16
 
 
 def _features(docs: DataFrame, text_col: str, *cols) -> DataFrame:
@@ -191,11 +194,21 @@ def _decomposed_topk(keyed: DataFrame, k: int, key_col: str,
     already reaches k are PRUNED before any window runs, and ranks
     within the surviving ~k rows come from per-bin windows.  The serial
     ``row_number() OVER (ORDER BY key DESC, id)`` formulation is the
-    DuckDB-oracle twin."""
+    DuckDB-oracle twin.
+
+    Rows with a NULL id or key DROP (sampling.py's convention: no
+    deterministic position exists, and a NULL bin would land NULLS
+    FIRST in the prefix window — inflating every real bin's offset —
+    while DuckDB's serial rank puts NULLS LAST: the pair must encode
+    one function)."""
     from .dedup import _tracked_cache
 
-    t = _tracked_cache(keyed.withColumn(
-        "_g", F.floor(-F.col(key_col) / F.lit(bin_width)).cast("bigint")))
+    t = _tracked_cache(
+        keyed.filter(F.col(id_col).isNotNull()
+                     & F.col(key_col).isNotNull())
+        .withColumn(
+            "_g", F.floor(-F.col(key_col) / F.lit(bin_width))
+            .cast("bigint")))
     gs = t.groupBy("_g").agg(F.count(F.lit(1)).alias("gn"))
     wp = (
         Window.orderBy("_g")
@@ -230,34 +243,61 @@ def dsir_topk(scored: DataFrame, k: int, id_col: str = "doc_id",
         [id_col, "qlw_sum"], bin_width)
 
 
+def gumbel_table(spark, q: int = _Q, u_bits: int = _U_BITS) -> DataFrame:
+    """The quantized-Gumbel lookup: for every dyadic uniform value
+    ``u = (h2 + 0.5) / 2^u_bits`` over ``h2 in [0, 2^u_bits)``, the
+    variate ``qg = floor(-log2(-log2(u)) * q + 0.5)`` — 65,536 rows at
+    the default, a pure function of (q, u_bits).  Returns ``(h2 int,
+    qg bigint)``.
+
+    This table is the ONLY transcendental surface of
+    :func:`dsir_sample`, isolated here so it can be STAGED like every
+    float-log model artifact (lm.py recipe): the driver query writes
+    it to parquet and the DuckDB oracle re-reads the identical
+    integers — no engine ever recomputes a log2 inside the gate, so a
+    last-ulp libm divergence can never flip a floor at a quantization
+    boundary.  ``q`` must match the weight model's quantization
+    (dsir_train's ``_Q`` — the shared module constant)."""
+    denom = float(1 << u_bits)
+    u = (F.col("id").cast("double") + 0.5) / F.lit(denom)
+    return spark.range(1 << u_bits).select(
+        F.col("id").cast("int").alias("h2"),
+        F.floor(-F.log2(-F.log2(u)) * q + F.lit(0.5))
+        .cast("bigint").alias("qg"),
+    )
+
+
 def dsir_sample(scored: DataFrame, k: int, seed: str = "s0",
-                id_col: str = "doc_id", bin_width: int = _Q) -> DataFrame:
+                id_col: str = "doc_id", bin_width: int = _Q,
+                noise: DataFrame | None = None) -> DataFrame:
     """Gumbel-top-k importance resampling — the DSIR paper's sampled
     selection (sampling without replacement with probability ∝ w),
-    made deterministic: each doc draws a reproducible uniform
-    ``u = (hash60(seed|id) mod 2^20 + 0.5) / 2^20`` and perturbs its
-    quantized log weight by the quantized Gumbel variate
-    ``qg = floor(-log2(-log2(u)) * q + 0.5)``; the top ``k`` by
+    made deterministic: each doc draws a reproducible uniform index
+    ``h2 = hash60(seed|id) mod 2^16`` and perturbs its quantized log
+    weight by the looked-up quantized Gumbel variate
+    (:func:`gumbel_table`, joined broadcast); the top ``k`` by
     ``gkey = qlw_sum + qg`` are exactly a Gumbel-top-k draw over the
     quantized weights (base-2 logs are the natural-log Gumbel machinery
     scaled by 1/ln2 — a monotone transform, so the selection
     distribution is unchanged).  Returns (``id_col``, qlw_sum bigint,
     gkey bigint, dsir_rank bigint).  Changing ``seed`` redraws
     independently; the draw is a pure function of (seed, id), so it is
-    stable across runs, partitionings, and engines."""
-    denom = float(1 << _U_BITS)
-    u = (
-        F.pmod(
-            portable_hash60(
-                F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))),
-            F.lit(1 << _U_BITS),
-        ).cast("double") + 0.5
-    ) / F.lit(denom)
-    keyed = scored.select(
-        id_col, "qlw_sum",
-        (F.col("qlw_sum")
-         + F.floor(-F.log2(-F.log2(u)) * F.col("q") + F.lit(0.5))
-         .cast("bigint")).alias("gkey"),
+    stable across runs, partitionings, and engines.  Pass ``noise`` to
+    reuse a staged :func:`gumbel_table` (the driver-query pattern: the
+    oracle re-reads the same staged integers); rows with NULL ids drop
+    (no deterministic draw exists)."""
+    if noise is None:
+        noise = gumbel_table(scored.sparkSession)
+    h2 = F.pmod(
+        portable_hash60(
+            F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))),
+        F.lit(1 << _U_BITS),
+    ).cast("int")
+    keyed = (
+        scored.select(id_col, "qlw_sum", h2.alias("h2"))
+        .join(F.broadcast(noise), "h2")
+        .select(id_col, "qlw_sum",
+                (F.col("qlw_sum") + F.col("qg")).alias("gkey"))
     )
     return _decomposed_topk(keyed, k, "gkey", id_col,
                             [id_col, "qlw_sum", "gkey"], bin_width)

@@ -420,6 +420,23 @@ def test_corpus_build_dsir_selection(spark, tmp_path):
     assert landed.filter(F.col("url").contains("spam")).count() == 0
     assert landed.count() == counts["exported"] <= 10
 
+    # --dsir-gumbel: the sampled-selection dispatch + seed threading;
+    # the spam doc's importance weight is so far below the naturals
+    # that no Gumbel draw rescues it
+    out_g = str(tmp_path / "dsir_gumbel_corpus")
+    counts_g = build_corpus(spark, src, out_g, min_tokens=5,
+                            dsir_ref=spark.read.parquet(ref_dir),
+                            dsir_top=10, dsir_gumbel=True,
+                            dsir_seed="epoch1")
+    assert counts_g["after_dsir"] == 10
+    landed_g = spark.read.json(out_g)
+    assert landed_g.filter(F.col("url").contains("spam")).count() == 0
+
+    # both halves or neither: a ref without a selection size (and vice
+    # versa) must raise, not silently ship the unselected corpus
     with pytest.raises(ValueError, match="dsir_ref"):
         build_corpus(spark, src, str(tmp_path / "x"), min_tokens=5,
                      dsir_top=10)
+    with pytest.raises(ValueError, match="dsir_top"):
+        build_corpus(spark, src, str(tmp_path / "x"), min_tokens=5,
+                     dsir_ref=spark.read.parquet(ref_dir))

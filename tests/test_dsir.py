@@ -130,7 +130,7 @@ def test_gumbel_sample_exact_and_seeded(spark):
     base = {r["doc_id"]: r["qlw_sum"] for r in scored.collect()}
 
     def ref_key(i, seed):
-        u = (_h60(f"{seed}|{i}") % (1 << 20) + 0.5) / float(1 << 20)
+        u = (_h60(f"{seed}|{i}") % (1 << 16) + 0.5) / float(1 << 16)
         return base[i] + math.floor(-math.log2(-math.log2(u)) * Q + 0.5)
 
     got = dsir_sample(scored, 2, seed="sA").collect()
@@ -155,9 +155,39 @@ def test_gumbel_frequencies_follow_weights():
     wins = {i: 0 for i in base}
     for s in range(400):
         def key(i):
-            u = (_h60(f"s{s}|{i}") % (1 << 20) + 0.5) / float(1 << 20)
+            u = (_h60(f"s{s}|{i}") % (1 << 16) + 0.5) / float(1 << 16)
             return base[i] + math.floor(-math.log2(-math.log2(u)) * Q + 0.5)
         pick = sorted(base, key=lambda i: (-key(i), i))[:1][0]
         wins[pick] += 1
     assert wins[1] > 300          # w ratio 2^(48000/4096) ~ 3400x
     assert wins[0] + wins[2] < 40
+
+
+def test_gumbel_table_matches_python_and_is_staged_shape(spark):
+    """The staged-lookup contract: gumbel_table is the ONLY
+    transcendental surface — 2^16 rows, qg = the python-float
+    reference exactly; dsir_sample(noise=staged copy) equals the
+    default in-engine build."""
+    from origami_spark.operators.dsir import gumbel_table
+
+    tbl = gumbel_table(spark)
+    rows = tbl.filter(F.col("h2").isin(0, 1, 32767, 65534, 65535)).collect()
+    for r in rows:
+        u = (r["h2"] + 0.5) / float(1 << 16)
+        assert r["qg"] == math.floor(-math.log2(-math.log2(u)) * Q + 0.5)
+    assert tbl.count() == 1 << 16
+
+
+def test_topk_and_sample_drop_null_ids(spark):
+    """sampling.py's NULL convention: a NULL id has no deterministic
+    position/draw — it must DROP, not win rank 1 through a NULLS FIRST
+    bin (the oracle's serial rank sorts NULLS LAST, so a kept NULL
+    would also break engine/oracle parity)."""
+    scored = spark.createDataFrame(
+        [(None, 99999, Q, 1.0), (1, 500, Q, 0.5), (2, -100, Q, -0.1)],
+        "doc_id bigint, qlw_sum bigint, q int, log2w_per_feat double")
+    got = dsir_topk(scored, 2).orderBy("dsir_rank").collect()
+    assert [r["doc_id"] for r in got] == [1, 2]
+    assert [r["dsir_rank"] for r in got] == [1, 2]
+    got = dsir_sample(scored, 3, seed="sN").collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 2]
