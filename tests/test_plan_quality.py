@@ -156,3 +156,50 @@ def test_contamination_broadcasts_benchmarks(spark):
     plan = plan_of(E.dedup_contamination(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dsir_score_single_corpus_exchange(spark):
+    """DSIR scoring (the classifier plan contract): the dense model
+    joins BROADCAST against the feature explode, so the only real
+    exchange on the corpus side is the per-doc integer groupBy."""
+    from origami_spark.operators.dsir import dsir_score, dsir_train
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    model = dsir_train(target, docs)
+    plan = plan_of(dsir_score(docs, model))
+    assert "BroadcastHashJoin" in plan, plan
+    # corpus-side shuffles: the groupBy's partial+final pair counts as
+    # ONE hash exchange; broadcast exchanges are the model/consts
+    hash_ex = plan.count("Exchange hashpartitioning")
+    assert hash_ex == 1, f"{hash_ex} hash exchanges\n{plan}"
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_topk_prunes_before_window(spark):
+    """The decomposed top-k must (a) never sort the corpus globally —
+    every row_number window is partitioned by the weight bin — and
+    (b) carry the prefix < k prune so non-candidate bins drop before
+    the per-bin windows run."""
+    from origami_spark.operators.dsir import (dsir_score, dsir_topk,
+                                              dsir_train)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    scored = dsir_score(docs, dsir_train(target, docs))
+    df = dsir_topk(scored, 5)
+    plan = plan_of(df)
+    import re
+
+    # every row_number window is partitioned by the weight bin _g —
+    # no global corpus sort exists anywhere in the plan
+    rn = re.findall(r"row_number\(\) windowspecdefinition\((\w+)#", plan)
+    assert rn and all(c == "_g" for c in rn), (rn, plan)
+    # the only unpartitioned window is the <= #bins prefix aggregate
+    assert "sum(gn" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the prune predicate (prefix < k, physically the pre-alias
+    # running-sum-minus-group expression) survives into the plan
+    assert re.search(r"\(\(_we\d+#\d+L - gn#\d+L\) < 5\)", plan) \
+        or re.search(r"prefix#\d+L < 5", plan), plan
