@@ -911,6 +911,28 @@ def sample_dsir_gumbel(spark, sf):
                        noise=_stage_gumbel(spark, sf))
 
 
+def text_bpe_encode(spark, sf):
+    """Distributed BPE tokenizer training + encoding (operators/bpe.py,
+    Sennrich et al. 2016): 40 merges learned from the corpus word-count
+    table (one bounded pair-count aggregate + a one-row argmax + a
+    pure-Catalyst fold per round — the iterative-trainer shape), then
+    every document encoded through an Arrow kernel applying the staged
+    merges.  Training is iterative and argmax-dependent, hence not
+    SQL-expressible — this is a rows-only gate row (the
+    extract_compose precedent); exactness is pinned by
+    tests/test_bpe.py against a pure-Python reference implementation
+    (merge-sequence equality incl. tie-breaks, encode-count equality,
+    partition independence)."""
+    from origami_spark.operators.bpe import (bpe_encode, bpe_merges_df,
+                                             bpe_train)
+
+    docs = _t(spark, sf, "documents")
+    key = ("bpe", sf)
+    if key not in _TRAIN_CACHE:
+        _TRAIN_CACHE[key] = bpe_train(docs, n_merges=40)
+    return bpe_encode(docs, bpe_merges_df(spark, _TRAIN_CACHE[key]))
+
+
 def text_token_stats(spark, sf):
     return T.token_stats(_t(spark, sf, "documents"))
 
@@ -1473,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "text_token_stats": text_token_stats,
         "text_bpe_pretokens": text_bpe_pretokens,
+        "text_bpe_encode": text_bpe_encode,
         "text_chunks": text_chunks,
         "text_bm25_topk": text_bm25_topk,
         "text_lm_quality": text_lm_quality,
