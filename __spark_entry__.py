@@ -1314,6 +1314,29 @@ def url_blocklist(spark, sf):
     return ub(pages, dom, trm)
 
 
+def graph_degrees(spark, sf):
+    """Link-graph degree/strength table (operators/graph.py): the
+    transition graph is derived from the events log (per-user
+    consecutive props.k values, one lag window), then in/out degree and
+    strength fold in ONE aggregation shuffle via the two-sided
+    projection union.  The oracle is the direct per-side formulation."""
+    from origami_spark.operators.graph import degrees, event_edges
+
+    return degrees(event_edges(_t(spark, sf, "events")))
+
+
+def graph_pagerank(spark, sf):
+    """Damped PageRank, 6 synchronous iterations of fixed-point BIGINT
+    arithmetic (operators/graph.py) over the events transition graph.
+    Integer sums are order-independent, so the oracle — the SAME
+    recurrence unrolled as 6 chained CTEs in DuckDB — must hash-match
+    bit-for-bit: the claim under test is that a K-iteration distributed
+    graph algorithm can be made engine-exact."""
+    from origami_spark.operators.graph import event_edges, pagerank
+
+    return pagerank(event_edges(_t(spark, sf, "events")), iters=6)
+
+
 def multimodal_payload(spark, sf):
     media = M.media_from_documents(_t(spark, sf, "documents"))
     feats = M.media_features(media)
@@ -1484,6 +1507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": host_cap,
         "host_quality": host_quality,
         "url_blocklist": url_blocklist,
+        "graph_degrees": graph_degrees,
+        "graph_pagerank": graph_pagerank,
         "dedup_embedding": dedup_embedding,
         "dedup_semantic": dedup_semantic,
         "dedup_semantic_keep": dedup_semantic_keep,
@@ -1540,6 +1565,60 @@ shingles AS (
   WHERE len(t) >= {n}
 )"""
 
+
+
+# the events transition graph shared by the graph_* oracles (mirrors
+# operators/graph.event_edges: per-user lag over (ts, event_id),
+# self-loops dropped)
+_GRAPH_EDGE_CTE = """ev AS (
+              SELECT event_id, ts, user_id,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS dst
+              FROM events),
+            seq AS (
+              SELECT dst,
+                     lag(dst) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS src
+              FROM ev),
+            edges AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+              FROM seq WHERE src IS NOT NULL AND src <> dst
+              GROUP BY 1, 2)"""
+
+
+def _pagerank_oracle_sql(iters: int = 6, scale: int = 1 << 20,
+                         d_num: int = 85, d_den: int = 100) -> str:
+    """The engine's integer PageRank recurrence unrolled as chained
+    CTEs (one per iteration).  `//` is DuckDB floor division — equal to
+    Spark's `div` on the all-positive operands here; the teleport base
+    is inlined as an exact integer literal on both sides
+    (operators/graph.pagerank_base)."""
+    from origami_spark.operators.graph import pagerank_base
+
+    base = pagerank_base(scale, d_num, d_den)
+    ctes = [
+        _GRAPH_EDGE_CTE,
+        """nodes AS (
+              SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        """outw AS (
+              SELECT src, CAST(sum(weight) AS BIGINT) AS out_w
+              FROM edges GROUP BY 1)""",
+        f"""s0 AS (SELECT node, CAST({scale} AS BIGINT) AS score
+                   FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""s{i} AS (
+              SELECT n.node,
+                     CAST({base} + coalesce(c.recv, 0) AS BIGINT) AS score
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((s.score * e.weight * {d_num})
+                           // (o.out_w * {d_den})) AS recv
+                FROM edges e
+                JOIN outw o ON o.src = e.src
+                JOIN s{i - 1} s ON s.node = e.src
+                GROUP BY e.dst) c ON c.node = n.node)""")
+    return ("WITH " + ",\n            ".join(ctes)
+            + f"\n            SELECT node, score FROM s{iters}")
 
 
 def _simhash_cand_cte() -> str:
@@ -2608,6 +2687,21 @@ def oracle_sql() -> dict[str, str]:
                    u.host
             FROM u
             WHERE u.host NOT IN (SELECT host FROM rej)""",
+        "graph_degrees": f"""
+            WITH {_GRAPH_EDGE_CTE},
+            sides AS (
+              SELECT src AS node, 1 AS o, weight FROM edges
+              UNION ALL
+              SELECT dst AS node, 0 AS o, weight FROM edges)
+            SELECT node,
+                   CAST(sum(o) AS BIGINT) AS out_deg,
+                   CAST(sum(1 - o) AS BIGINT) AS in_deg,
+                   CAST(sum(CASE WHEN o = 1 THEN weight ELSE 0 END)
+                        AS BIGINT) AS out_weight,
+                   CAST(sum(CASE WHEN o = 0 THEN weight ELSE 0 END)
+                        AS BIGINT) AS in_weight
+            FROM sides GROUP BY node""",
+        "graph_pagerank": _pagerank_oracle_sql(iters=6),
         # perceptual payload near-dup: DuckDB re-derives the 60-bit
         # block-mean hash from hex(payload) — byte i -> segment
         # i*60//n, bit = integer cross-product, identical to the kernel

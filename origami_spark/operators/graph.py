@@ -1,0 +1,195 @@
+"""Link-graph operators: edge derivation, degree statistics, PageRank.
+
+Crawl-scale corpus pipelines weight pages and hosts by link-graph
+centrality (Common Crawl publishes host-level harmonic-centrality /
+PageRank tables that quality filters join against), so the engine needs
+a graph family next to dedup/sampling:
+
+* :func:`event_edges` — derive a weighted directed transition graph
+  from an ordered event log (per-entity consecutive pairs via one
+  ``lag`` window; the standard sessionization shape).
+* :func:`degrees` — in/out degree and strength per node in ONE shuffle
+  (a two-sided projection union, not two aggregations + outer join).
+* :func:`pagerank` — damped PageRank over ``K`` synchronous iterations.
+
+Determinism contract (the property the DuckDB oracle checks): scores
+are **fixed-point BIGINTs** (``scale`` = one unit of mass) and every
+per-edge contribution is computed with *integer* floor division
+``(score * weight * d_num) div (out_w * d_den)``.  Integer sums are
+associative/commutative, so the result is bit-identical at any
+partitioning, any engine — the oracle unrolls the same K iterations as
+chained CTEs and must hash-match exactly.  (A float PageRank would
+differ across engines in the last ulp through sum ordering.)
+
+Dangling nodes (no out-edges) keep receiving the teleport ``base`` but
+their damped mass leaves the system — the classic "remove dangling
+mass" variant; total mass therefore shrinks monotonically toward
+``n * base / (1 - d)`` instead of being conserved.  Flooring also
+leaks < 1 unit per edge per iteration.  Both are deliberate: this is a
+*ranking* signal, not a probability, and exactness-of-reproduction
+beats exactness-of-normalization for a corpus-curation join key.
+
+Scale design (100 TB / 10^9-node bar): the edge relation is the big
+side and is hash-partitioned by ``src`` ONCE and persisted; each
+iteration shuffles only the (node, score) relation — |V| rows — into
+that fixed partitioning, then one ``groupBy(dst)`` reduce per
+iteration (partial aggregation map-side).  K iterations = 2K exchanges
+of the *small* relation, zero re-exchanges of the edge relation.
+``localCheckpoint`` cuts the lineage so the plan does not grow with K.
+
+Reference parity: origami has no graph stage (its XY-cut ordering is a
+page-local recursion, ``core/xycut.py``); this family extends the
+engine for crawl-grade curation like operators/hosts.py does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["event_edges", "degrees", "pagerank", "pagerank_base"]
+
+
+def event_edges(events: DataFrame, entity_col: str = "user_id",
+                order_cols: tuple = ("ts", "event_id"),
+                node_expr: str = "CAST(get_json_object(props, '$.k') AS BIGINT)",
+                ) -> DataFrame:
+    """Weighted transition graph from an ordered event log.
+
+    Consecutive events of one entity form a directed edge
+    ``prev_node -> node`` (self-loops dropped — they carry no ranking
+    information and would let a node launder mass to itself); edge
+    weight = number of such transitions corpus-wide.
+
+    Output: ``src, dst, weight`` (all BIGINT).
+
+    One window shuffle keyed on the entity.  Entities are the natural
+    skew-safe key for event logs (a session/user has bounded length);
+    for power-law entities apply the two-level split of
+    :func:`~origami_spark.operators.hosts.host_cap` first.
+    """
+    w = Window.partitionBy(entity_col).orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    t = events.select(F.expr(node_expr).alias("dst"),
+                      F.col(entity_col), *[F.col(c) for c in order_cols])
+    seq = t.withColumn("src", F.lag("dst").over(w))
+    return (
+        seq.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree/strength table in ONE aggregation shuffle.
+
+    Output: ``node, out_deg, in_deg, out_weight, in_weight``.
+
+    Instead of aggregating twice (once by src, once by dst) and
+    full-outer-joining — two shuffles plus a join — each edge is
+    projected into two half-rows (its src side and its dst side) and a
+    single ``groupBy(node)`` folds both.  The union is map-side only.
+    """
+    src_side = edges.select(
+        F.col("src").alias("node"),
+        F.lit(1).cast("bigint").alias("out_deg"),
+        F.lit(0).cast("bigint").alias("in_deg"),
+        F.col("weight").cast("bigint").alias("out_weight"),
+        F.lit(0).cast("bigint").alias("in_weight"),
+    )
+    dst_side = edges.select(
+        F.col("dst").alias("node"),
+        F.lit(0).cast("bigint").alias("out_deg"),
+        F.lit(1).cast("bigint").alias("in_deg"),
+        F.lit(0).cast("bigint").alias("out_weight"),
+        F.col("weight").cast("bigint").alias("in_weight"),
+    )
+    return (
+        src_side.unionByName(dst_side)
+        .groupBy("node")
+        .agg(F.sum("out_deg").cast("bigint").alias("out_deg"),
+             F.sum("in_deg").cast("bigint").alias("in_deg"),
+             F.sum("out_weight").cast("bigint").alias("out_weight"),
+             F.sum("in_weight").cast("bigint").alias("in_weight"))
+    )
+
+
+def pagerank_base(scale: int, d_num: int, d_den: int) -> int:
+    """Teleport mass per node per iteration, in fixed-point units.
+
+    ``floor(scale * (1 - d))`` computed in exact integer arithmetic —
+    inlined as a literal on both engine and oracle sides so neither
+    ever evaluates a float."""
+    return (scale * (d_den - d_num)) // d_den
+
+
+def pagerank(edges: DataFrame, iters: int = 6, scale: int = 1 << 20,
+             d_num: int = 85, d_den: int = 100) -> DataFrame:
+    """Damped PageRank, ``iters`` synchronous integer iterations.
+
+    ``edges``: (src, dst, weight) — weight > 0.  Damping factor is the
+    exact rational ``d_num / d_den`` (default 0.85).  Every node starts
+    with ``scale`` units of mass; each iteration a node keeps the
+    teleport ``base`` (see :func:`pagerank_base`) and receives
+    ``(score_src * weight * d_num) div (out_w_src * d_den)`` from each
+    in-edge.  All arithmetic is BIGINT; see the module docstring for
+    the determinism/overflow contract (products stay < 2^63 for
+    |V| * scale * max_weight * d_num < 2^63 — 10^9 nodes at the default
+    scale leaves weights up to ~10^5).
+
+    Output: ``node, score`` (BIGINT fixed-point; divide by ``scale``
+    for the conventional per-node mass).
+    """
+    if iters < 1:
+        raise ValueError("pagerank needs iters >= 1")
+    base = pagerank_base(scale, d_num, d_den)
+
+    e = edges.select(F.col("src").cast("bigint"),
+                     F.col("dst").cast("bigint"),
+                     F.col("weight").cast("bigint"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # the big relation, partitioned by the join key ONCE and reused by
+    # every iteration (persist pins the output partitioning, so the
+    # per-iteration join re-shuffles only the small score relation)
+    ew = (
+        e.join(outw, "src")
+        .repartition(F.col("src"))
+        .persist()
+    )
+    nodes = nodes.persist()
+
+    scores = nodes.withColumn("score", F.lit(scale).cast("bigint"))
+    contrib_expr = F.expr(
+        f"(score * weight * {d_num}L) div (out_w * {d_den}L)")
+    for _ in range(iters):
+        contribs = (
+            ew.join(scores.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"),
+                    contrib_expr.alias("contrib"))
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("received"))
+        )
+        scores = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base).cast("bigint")
+                 + F.coalesce(F.col("received"), F.lit(0)).cast("bigint")
+                 ).alias("score"),
+            )
+            # Materialize each iteration and cut lineage: the plan stays
+            # O(1) in K, and the persisted edge relation is actually hit
+            # K times instead of being re-derived inside one giant DAG.
+            # (localCheckpoint trades executor-loss recomputability for
+            # speed — swap for reliable checkpoint() on a lossy cluster.)
+            .localCheckpoint(eager=True)
+        )
+    out = scores.select("node", F.col("score").cast("bigint").alias("score"))
+    ew.unpersist()
+    nodes.unpersist()
+    return out

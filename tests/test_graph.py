@@ -1,0 +1,127 @@
+"""Graph operators (operators/graph.py) vs an independent pure-Python
+integer reference.
+
+The engine's PageRank is fixed-point BIGINT arithmetic; the reference
+below re-implements the same recurrence with Python ints, so agreement
+is exact dict equality, not approximate."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from origami_spark.operators.graph import (
+    degrees,
+    event_edges,
+    pagerank,
+    pagerank_base,
+)
+
+SCALE = 1 << 20
+
+
+def _py_pagerank(edges, iters, scale=SCALE, d_num=85, d_den=100):
+    """Independent reference: same integer recurrence, plain dicts."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    base = (scale * (d_den - d_num)) // d_den
+    score = {n: scale for n in nodes}
+    for _ in range(iters):
+        recv = dict.fromkeys(nodes, 0)
+        for s, d, w in edges:
+            recv[d] += (score[s] * w * d_num) // (outw[s] * d_den)
+        score = {n: base + recv[n] for n in nodes}
+    return score
+
+
+# asymmetric weights, a hub (1), and a dangling sink (4: dst only)
+EDGES = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 5), (2, 4, 1), (3, 4, 2)]
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long, weight long")
+
+
+def test_pagerank_matches_integer_reference(spark, edges_df):
+    got = {r["node"]: r["score"] for r in pagerank(edges_df, iters=5).collect()}
+    assert got == _py_pagerank(EDGES, iters=5)
+
+
+def test_pagerank_single_iteration(spark, edges_df):
+    got = {r["node"]: r["score"] for r in pagerank(edges_df, iters=1).collect()}
+    assert got == _py_pagerank(EDGES, iters=1)
+    # node 1's only in-edge is 3->1 (weight 5 of 3's total 7)
+    base = pagerank_base(SCALE, 85, 100)
+    assert got[1] == base + (SCALE * 5 * 85) // (7 * 100)
+
+
+def test_pagerank_ring_is_uniform(spark):
+    ring = [(i, (i + 1) % 5, 1) for i in range(5)]
+    df = spark.createDataFrame(ring, "src long, dst long, weight long")
+    scores = {r["score"] for r in pagerank(df, iters=7).collect()}
+    assert len(scores) == 1  # symmetry => identical fixed-point scores
+
+
+def test_pagerank_mass_bound(spark, edges_df):
+    """Mass only leaks (dangling node + per-edge flooring): the total
+    stays within [n*base, n*scale] at every iteration count."""
+    n = 4
+    base = pagerank_base(SCALE, 85, 100)
+    for it in (1, 3, 6):
+        total = sum(r["score"] for r in pagerank(edges_df, iters=it).collect())
+        assert n * base <= total <= n * SCALE
+
+
+def test_pagerank_plan_constant_in_iterations(spark, edges_df):
+    """localCheckpoint cuts lineage: the final plan must not grow with
+    (or even reference) the K-times-unrolled join chain."""
+    plan = (
+        pagerank(edges_df, iters=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan  # just the checkpointed RDD scan
+
+
+def test_pagerank_rejects_zero_iters(spark, edges_df):
+    with pytest.raises(ValueError):
+        pagerank(edges_df, iters=0)
+
+
+def test_degrees(spark, edges_df):
+    got = {
+        r["node"]: (r["out_deg"], r["in_deg"], r["out_weight"], r["in_weight"])
+        for r in degrees(edges_df).collect()
+    }
+    assert got == {
+        1: (2, 1, 4, 5),
+        2: (2, 1, 3, 3),
+        3: (2, 2, 7, 3),
+        4: (0, 2, 0, 3),
+    }
+
+
+def test_event_edges(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 7 -> 7 (self-loop, dropped) -> 9; same-ts tie broken
+        # by event_id (events 2,3 share ts: 7 -> 9, not 9 -> 7)
+        (0, t0, 1, '{"k": 7}'),
+        (1, t0 + dt.timedelta(seconds=1), 1, '{"k": 7}'),
+        (2, t0 + dt.timedelta(seconds=2), 1, '{"k": 7}'),
+        (3, t0 + dt.timedelta(seconds=2), 1, '{"k": 9}'),
+        # user 2: 9 -> 7 -> 5 (one chain, two distinct edges)
+        (4, t0, 2, '{"k": 9}'),
+        (5, t0 + dt.timedelta(seconds=1), 2, '{"k": 7}'),
+        (6, t0 + dt.timedelta(seconds=2), 2, '{"k": 5}'),
+        # user 3: another 9 -> 7 (weight accumulates across users)
+        (7, t0, 3, '{"k": 9}'),
+        (8, t0 + dt.timedelta(seconds=1), 3, '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, props string")
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in event_edges(df).collect()}
+    assert got == {(7, 9): 1, (9, 7): 2, (7, 5): 1}
