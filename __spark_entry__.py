@@ -1337,6 +1337,64 @@ def graph_pagerank(spark, sf):
     return pagerank(event_edges(_t(spark, sf, "events")), iters=6)
 
 
+def sketch_kmv_distinct(spark, sf):
+    """Per-source distinct-token cardinality via the K-minimum-values
+    sketch (operators/sketch.py, Bar-Yossef et al. 2002 / Beyer et al.
+    2007): keep the 128 smallest portable 60-bit hashes per source,
+    estimate = floor(127·2^60 / kth) — one exact-IEEE division over
+    exactly-representable operands, so DuckDB reproduces the estimate
+    bit-for-bit.  The top-k runs decomposed (64 hash sub-groups) so no
+    task sorts a whole source's vocabulary."""
+    from origami_spark.operators.sketch import kmv_distinct
+    from origami_spark.operators.text import tokens_col
+
+    toks = _t(spark, sf, "documents").select(
+        "source", F.explode(tokens_col("text")).alias("tok"))
+    return kmv_distinct(toks, "tok", k=128, by=["source"])
+
+
+def sketch_countmin(spark, sf):
+    """Count-min frequency sketch (operators/sketch.py, Cormode &
+    Muthukrishnan 2005) over the corpus token stream: 4 hash rows x
+    512 BIGINT counters, probed for the 20 most frequent tokens.
+    Returns (item, true_cnt, cm_est) — the oracle re-derives every
+    counter; the overestimate-only guarantee is pytest-checked."""
+    from origami_spark.operators.sketch import (countmin_build,
+                                                countmin_estimate)
+    from origami_spark.operators.text import tokens_col
+
+    toks = _t(spark, sf, "documents").select(
+        F.explode(tokens_col("text")).alias("tok"))
+    sk = countmin_build(toks, "tok", width=512, depth=4)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("tok"))
+        .limit(20)
+        .withColumnRenamed("tok", "item")
+    )
+    est = countmin_estimate(sk, top, "item", width=512, depth=4)
+    return top.join(est, "item").select("item", "true_cnt", "cm_est")
+
+
+def sketch_bloom(spark, sf):
+    """Bloom membership probe (operators/sketch.py): build the filter
+    over orders.o_custkey (m=4096 bits, d=5 seeded md5 hashes — the
+    bit set is a <= m-row broadcast relation), probe every customer
+    key.  No false negatives by construction (pytest-checked); the
+    gate checks both engines derive the identical bit set and
+    verdicts."""
+    from origami_spark.operators.sketch import bloom_build, bloom_probe
+
+    orders = _t(spark, sf, "orders").select("o_custkey")
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    bloom = bloom_build(orders, "o_custkey", m=4096, d=5)
+    return (
+        bloom_probe(bloom, cust, "c_custkey", m=4096, d=5)
+        .withColumnRenamed("item", "c_custkey")
+    )
+
+
 def multimodal_payload(spark, sf):
     media = M.media_from_documents(_t(spark, sf, "documents"))
     feats = M.media_features(media)
@@ -1509,6 +1567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": url_blocklist,
         "graph_degrees": graph_degrees,
         "graph_pagerank": graph_pagerank,
+        "sketch_kmv_distinct": sketch_kmv_distinct,
+        "sketch_countmin": sketch_countmin,
+        "sketch_bloom": sketch_bloom,
         "dedup_embedding": dedup_embedding,
         "dedup_semantic": dedup_semantic,
         "dedup_semantic_keep": dedup_semantic_keep,
@@ -2702,6 +2763,77 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS in_weight
             FROM sides GROUP BY node""",
         "graph_pagerank": _pagerank_oracle_sql(iters=6),
+        # KMV estimate: floor(127 * 2^60 / kth) in one exact-IEEE
+        # double division (127.0 * 2^60.0 is an exact product; int ->
+        # double rounding and the division are IEEE-identical in both
+        # engines — the bm25 fixed-expression-tree precedent).
+        "sketch_kmv_distinct": f"""
+            WITH toks AS (
+              SELECT source, unnest({_TOKENS}) AS tok FROM documents),
+            h AS (
+              SELECT DISTINCT source, {_H60.format(x="tok")} AS h
+              FROM toks),
+            r AS (
+              SELECT source, h,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY h ASC) AS rn
+              FROM h),
+            agg AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                     CAST(max(h) AS BIGINT) AS kth_hash
+              FROM r WHERE rn <= 128 GROUP BY source)
+            SELECT source, n_kept, kth_hash,
+                   CAST(CASE WHEN n_kept < 128 THEN n_kept
+                        ELSE floor(127.0 * 1152921504606846976.0
+                                   / CAST(kth_hash AS DOUBLE))
+                        END AS BIGINT) AS est_distinct
+            FROM agg""",
+        "sketch_countmin": f"""
+            WITH toks AS (
+              SELECT unnest({_TOKENS}) AS tok FROM documents),
+            sk AS (
+              SELECT CAST(i AS INT) AS row,
+                     {_H60.format(x="'cm' || CAST(i AS VARCHAR) || '|' || tok")}
+                       % 512 AS bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM toks, LATERAL unnest(range(0, 4)) AS r(i)
+              GROUP BY 1, 2),
+            top AS (
+              SELECT tok AS item, CAST(count(*) AS BIGINT) AS true_cnt
+              FROM toks GROUP BY 1
+              ORDER BY true_cnt DESC, item ASC LIMIT 20),
+            probe AS (
+              SELECT item, CAST(i AS INT) AS row,
+                     {_H60.format(x="'cm' || CAST(i AS VARCHAR) || '|' || item")}
+                       % 512 AS bucket
+              FROM top, LATERAL unnest(range(0, 4)) AS r(i)),
+            est AS (
+              SELECT p.item, CAST(min(s.cnt) AS BIGINT) AS cm_est
+              FROM probe p JOIN sk s
+                ON s.row = p.row AND s.bucket = p.bucket
+              GROUP BY 1)
+            SELECT t.item, t.true_cnt, e.cm_est
+            FROM top t JOIN est e ON e.item = t.item""",
+        "sketch_bloom": f"""
+            WITH pos AS (
+              SELECT DISTINCT
+                {_H60.format(x="'bf' || CAST(i AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)")}
+                  % 4096 AS pos
+              FROM orders, LATERAL unnest(range(0, 5)) AS r(i)),
+            probe AS (
+              SELECT c_custkey,
+                {_H60.format(x="'bf' || CAST(i AS VARCHAR) || '|' || CAST(c_custkey AS VARCHAR)")}
+                  % 4096 AS pos
+              FROM customer, LATERAL unnest(range(0, 5)) AS r(i)),
+            hits AS (
+              SELECT p.c_custkey,
+                     sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS hits
+              FROM probe p LEFT JOIN pos b ON b.pos = p.pos
+              GROUP BY 1)
+            SELECT c_custkey,
+                   CAST(CASE WHEN hits = 5 THEN 1 ELSE 0 END AS BIGINT)
+                     AS is_member
+            FROM hits""",
         # perceptual payload near-dup: DuckDB re-derives the 60-bit
         # block-mean hash from hex(payload) — byte i -> segment
         # i*60//n, bit = integer cross-product, identical to the kernel

@@ -1,0 +1,254 @@
+"""Deterministic streaming sketches: KMV distinct count, count-min
+frequency estimation, Bloom membership.
+
+Corpus curation at 100 TB needs cardinality and frequency answers that
+a full groupBy cannot afford (distinct urls per host across a crawl,
+heavy-hitter n-grams for contamination screens, membership probes
+against a blocklist too large to broadcast raw).  Spark ships
+approx_count_distinct / Bloom joins, but their HLL/XXH64 internals are
+not reproducible in another engine — and this repo's correctness gate
+is *cross-engine hash equality*.  These sketches are therefore built
+from the repo's portable md5-based 60-bit hash and integer/exact-IEEE
+arithmetic only, so DuckDB re-derives every register bit-for-bit:
+
+* :func:`kmv_distinct` — K-minimum-values distinct-count estimator
+  (Bar-Yossef et al. 2002; the unbiased (k-1)·M/h_k form of Beyer et
+  al., SIGMOD 2007).  The k smallest hashes are found with the
+  repo's decomposed two-level top-k (no single global sort task).
+* :func:`countmin_build` / :func:`countmin_estimate` — count-min
+  sketch (Cormode & Muthukrishnan 2005): d hash rows × w buckets of
+  BIGINT counters; point query = min over the d counters.  Build is
+  one wordcount-shaped shuffle over a key space bounded by d·w; the
+  sketch itself is a d·w-row relation — broadcastable state, the same
+  persistable-artifact pattern as dedup.digest_index.
+* :func:`bloom_build` / :func:`bloom_probe` — Bloom filter as a
+  relation of set bit positions (≤ m rows); probe is a broadcast join
+  counting matched positions (member ⇔ all d present).  No false
+  negatives, measured false-positive rate.
+
+Determinism contract: every hash is ``portable_hash60`` (md5 prefix →
+BIGINT, identical in Spark and DuckDB); every counter is an integer
+sum (associative — partition-order independent); the single division
+in the KMV estimate is one exact-IEEE double expression over exactly
+representable operands (the bm25_topk precedent), floored to BIGINT.
+
+Scale design: KMV shuffles the distinct (group, hash) relation once,
+then ranks inside 64 hash sub-groups so no task ever sorts more than
+one sub-group (the host_cap/bm25 recipe); count-min's aggregation key
+space is d·w regardless of input size (map-side combine collapses
+everything else); Bloom build emits ≤ m distinct positions and the
+probe side broadcasts them.
+
+Reference parity: origami has no sketch stage (its batch pipeline
+never needs cardinality estimates — page-local geometry throughout);
+this family extends the engine for crawl-grade curation the way
+operators/graph.py and operators/hosts.py do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import portable_hash60
+
+__all__ = [
+    "kmv_distinct",
+    "countmin_build",
+    "countmin_estimate",
+    "bloom_build",
+    "bloom_probe",
+]
+
+# the hash domain of portable_hash60: 15 hex chars = 60 bits.
+HASH_DOMAIN = 1 << 60
+
+
+def _kmv_estimate_col(k: int):
+    """``floor((k-1) * 2^60 / kth_hash)`` as one exact-IEEE double
+    expression.  (k-1)·2^60 overflows BIGINT for useful k, so the
+    division runs in double: both factors are exactly representable
+    (k-1 < 2^53; 2^60 is a power of two), the product is exact, the
+    int→double conversion of kth and the division are IEEE
+    round-to-nearest — bit-identical in Spark and DuckDB."""
+    return F.floor(
+        F.lit(float(k - 1)) * F.lit(float(HASH_DOMAIN))
+        / F.col("kth_hash").cast("double")
+    ).cast("bigint")
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256,
+                 by: list[str] | None = None,
+                 groups: int = 64) -> DataFrame:
+    """K-minimum-values distinct-count estimate per group.
+
+    Hash every value with the portable 60-bit hash, keep the ``k``
+    smallest *distinct* hashes per group; if fewer than k survive the
+    count is exact (``n_kept``), else ``est = floor((k-1)·2^60 /
+    kth_smallest)`` — the unbiased KMV estimator.  Hash collisions
+    merge two values (a one-sided undercount of ~n²/2^61 — negligible
+    below ~10^9 distinct per group).
+
+    Output: ``by..., n_kept, kth_hash, est_distinct`` (all BIGINT).
+
+    Scale shape: ONE distinct shuffle on (group, hash) with map-side
+    partial aggregation, then the decomposed two-level top-k — rank
+    inside ``pmod(hash, groups)`` sub-groups first (any global top-k
+    member is its sub-group's top-k member under the total hash
+    order), so the final per-group rank sees ≤ groups·k rows.  No
+    single task ever sorts a whole group.
+    """
+    by = list(by or [])
+    vals = df.select(
+        *by, portable_hash60(F.col(col).cast("string")).alias("h")
+    ).distinct()
+    sub = F.pmod(F.col("h"), F.lit(groups))
+    w1 = Window.partitionBy(*by, "_g").orderBy(F.asc("h"))
+    w2 = Window.partitionBy(*by).orderBy(F.asc("h"))
+    kept = (
+        vals.withColumn("_g", sub)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+    )
+    agg = kept.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h").cast("bigint").alias("kth_hash"),
+    )
+    return agg.select(
+        *by,
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(_kmv_estimate_col(k))
+        .cast("bigint")
+        .alias("est_distinct"),
+    )
+
+
+def _cm_bucket(item_col, row_col, width: int):
+    """Row-seeded bucket: ``hash60('cm<row>|' || item) mod width``.
+    Seeding the hash with the row index gives d independent hash
+    functions from the one portable primitive."""
+    return F.pmod(
+        portable_hash60(
+            F.concat(F.lit("cm"), row_col.cast("string"), F.lit("|"),
+                     item_col.cast("string"))
+        ),
+        F.lit(width),
+    )
+
+
+def countmin_build(df: DataFrame, col: str, width: int = 1024,
+                   depth: int = 4,
+                   weight_col: str | None = None) -> DataFrame:
+    """Build a count-min sketch over a column of items.
+
+    Output: ``(row, bucket, cnt)`` — at most ``depth·width`` rows, the
+    persistable sketch state (mergeable across shards by summing cnt:
+    integer addition is the sketch's union).
+
+    The aggregation key space is d·w regardless of corpus size, so the
+    shuffle after map-side combine is bounded by d·w·partitions rows.
+    """
+    w = (F.col(weight_col).cast("bigint") if weight_col
+         else F.lit(1).cast("bigint"))
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    return (
+        df.select(F.col(col).alias("item"), w.alias("w"))
+        .select("item", "w", F.explode(rows).alias("row"))
+        .select("row", _cm_bucket(F.col("item"), F.col("row"), width)
+                .alias("bucket"), "w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("w").cast("bigint").alias("cnt"))
+    )
+
+
+def countmin_estimate(sketch: DataFrame, items: DataFrame, col: str,
+                      width: int = 1024, depth: int = 4) -> DataFrame:
+    """Point-query the sketch for each item: ``est = min over the d
+    counters`` (CM guarantee: est ≥ true count; est ≤ true + εN with
+    ε = e/width at δ = e^-depth).
+
+    The sketch side (≤ d·w rows) is broadcast; the item side never
+    shuffles beyond its own groupBy, whose key space is the probe set.
+    Items whose bucket was never touched read counter 0.
+    """
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    probes = (
+        items.select(F.col(col).alias("item")).distinct()
+        .select("item", F.explode(rows).alias("row"))
+        .select("item", "row",
+                _cm_bucket(F.col("item"), F.col("row"), width)
+                .alias("bucket"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+             .cast("bigint").alias("cm_est"))
+    )
+
+
+def _bloom_pos(item_col, i_col, m: int):
+    """i-th bit position for an item: ``hash60('bf<i>|' || item) mod
+    m`` — the same seeded-hash construction as count-min."""
+    return F.pmod(
+        portable_hash60(
+            F.concat(F.lit("bf"), i_col.cast("string"), F.lit("|"),
+                     item_col.cast("string"))
+        ),
+        F.lit(m),
+    )
+
+
+def bloom_build(df: DataFrame, col: str, m: int = 8192,
+                d: int = 5) -> DataFrame:
+    """Bloom filter over a key column, as a relation of set bit
+    positions.
+
+    Output: ``(pos)`` — distinct, ≤ m rows.  The relational form keeps
+    the filter mergeable (UNION = bitwise OR) and persistable like any
+    stage table; at m ≤ a few million the probe side broadcasts it.
+    """
+    idx = F.array(*[F.lit(i) for i in range(d)])
+    return (
+        df.select(F.col(col).alias("item"))
+        .select("item", F.explode(idx).alias("i"))
+        .select(_bloom_pos(F.col("item"), F.col("i"), m).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(bloom: DataFrame, df: DataFrame, col: str,
+                m: int = 8192, d: int = 5,
+                keep_cols: list[str] | None = None) -> DataFrame:
+    """Membership probe: a candidate is a member iff ALL d of its bit
+    positions are set.  No false negatives (every inserted key probes
+    the exact positions it set); false positives at the classic
+    ``(1 - e^{-dn/m})^d`` rate, measured in the tests.
+
+    Output: ``keep_cols..., item, is_member`` (is_member BIGINT 0/1 —
+    integer for gate-hash portability).
+
+    The bloom relation is broadcast; the candidate side incurs one
+    groupBy on its own key only.
+    """
+    keep_cols = list(keep_cols or [])
+    idx = F.array(*[F.lit(i) for i in range(d)])
+    probes = (
+        df.select(*keep_cols, F.col(col).alias("item"))
+        .select(*keep_cols, "item", F.explode(idx).alias("i"))
+        .select(*keep_cols, "item",
+                _bloom_pos(F.col("item"), F.col("i"), m).alias("pos"))
+    )
+    marked = probes.join(
+        F.broadcast(bloom.select("pos").withColumn("_set", F.lit(1))),
+        "pos", "left")
+    return (
+        marked.groupBy(*keep_cols, "item")
+        .agg(F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_hits"))
+        .select(*keep_cols, "item",
+                (F.col("_hits") == d).cast("bigint").alias("is_member"))
+    )

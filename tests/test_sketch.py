@@ -1,0 +1,212 @@
+"""Sketch operators (operators/sketch.py) vs independent pure-Python
+references.
+
+Every sketch is integer / exact-IEEE arithmetic over the portable md5
+hash, so agreement with the Python reference is EXACT equality (same
+registers, same estimates), not approximate — the same standard the
+graph/LM families are held to.  Accuracy bounds (KMV relative error,
+CM overestimate-only, Bloom no-false-negative) are tested separately
+as the sketch-theoretic contract."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from origami_spark.operators.sketch import (
+    HASH_DOMAIN,
+    bloom_build,
+    bloom_probe,
+    countmin_build,
+    countmin_estimate,
+    kmv_distinct,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- KMV
+
+def _py_kmv(values, k):
+    hs = sorted({_h60(str(v)) for v in values})[:k]
+    if len(hs) < k:
+        return len(hs), (hs[-1] if hs else None), len(hs)
+    kth = hs[-1]
+    est = math.floor(float(k - 1) * float(HASH_DOMAIN) / float(kth))
+    return k, kth, est
+
+
+@pytest.fixture(scope="module")
+def words_df(spark):
+    # 5000 distinct values, each duplicated a varying number of times
+    rows = [(f"w{i % 5000}",) for i in range(12_000)]
+    return spark.createDataFrame(rows, "v string")
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(f"x{i}",) for i in range(37)], "v string")
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row["n_kept"] == 37
+    assert row["est_distinct"] == 37
+
+
+def test_kmv_matches_python_reference_exactly(spark, words_df):
+    row = kmv_distinct(words_df, "v", k=256).collect()[0]
+    n_kept, kth, est = _py_kmv([f"w{i}" for i in range(5000)], 256)
+    assert (row["n_kept"], row["kth_hash"], row["est_distinct"]) == (
+        n_kept, kth, est)
+
+
+def test_kmv_relative_error_bound(spark, words_df):
+    # KMV std error ~ 1/sqrt(k-1) = 6.3% at k=256; 20% is a >3-sigma
+    # bound on a fixed (hash-deterministic, not random) instance.
+    est = kmv_distinct(words_df, "v", k=256).collect()[0]["est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.20
+
+
+def test_kmv_partition_independent(spark, words_df):
+    a = kmv_distinct(words_df.repartition(7), "v", k=64).collect()[0]
+    b = kmv_distinct(words_df.coalesce(1), "v", k=64).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_kmv_grouped(spark):
+    rows = [("a", f"x{i}") for i in range(10)] + [
+        ("b", f"y{i % 3}") for i in range(9)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = {r["grp"]: r["est_distinct"]
+           for r in kmv_distinct(df, "v", k=16, by=["grp"]).collect()}
+    assert got == {"a": 10, "b": 3}
+
+
+# ---------------------------------------------------------- count-min
+
+def _py_cm_build(items, width, depth):
+    sk = {}
+    for it in items:
+        for r in range(depth):
+            b = _h60(f"cm{r}|{it}") % width
+            sk[(r, b)] = sk.get((r, b), 0) + 1
+    return sk
+
+
+def _py_cm_est(sk, item, width, depth):
+    return min(sk.get((r, _h60(f"cm{r}|{item}") % width), 0)
+               for r in range(depth))
+
+
+@pytest.fixture(scope="module")
+def zipf_items():
+    # item f"t{i}" appears 200 // (i + 1) times: a heavy head
+    out = []
+    for i in range(400):
+        out.extend([f"t{i}"] * max(200 // (i + 1), 1))
+    return out
+
+
+def test_countmin_matches_python_reference(spark, zipf_items):
+    df = spark.createDataFrame([(v,) for v in zipf_items], "v string")
+    sk = countmin_build(df, "v", width=128, depth=4)
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    assert got == _py_cm_build(zipf_items, 128, 4)
+
+
+def test_countmin_overestimates_only(spark, zipf_items):
+    df = spark.createDataFrame([(v,) for v in zipf_items], "v string")
+    sk = countmin_build(df, "v", width=128, depth=4)
+    est = countmin_estimate(sk, df, "v", width=128, depth=4)
+    true = {v: zipf_items.count(v) for v in set(zipf_items)}
+    n = len(zipf_items)
+    eps_bound = math.ceil(math.e / 128 * n)
+    for r in est.collect():
+        t = true[r["item"]]
+        assert r["cm_est"] >= t, r["item"]
+        assert r["cm_est"] <= t + eps_bound, r["item"]
+
+
+def test_countmin_exact_when_wide(spark):
+    items = [f"q{i}" for i in range(50)] * 3
+    df = spark.createDataFrame([(v,) for v in items], "v string")
+    sk = countmin_build(df, "v", width=4096, depth=4)
+    est = countmin_estimate(sk, df, "v", width=4096, depth=4)
+    assert all(r["cm_est"] == 3 for r in est.collect())
+
+
+def test_countmin_merge_is_sum(spark, zipf_items):
+    """Sketch union = summing counters (the shard-merge contract)."""
+    half = len(zipf_items) // 2
+    a = spark.createDataFrame([(v,) for v in zipf_items[:half]], "v string")
+    b = spark.createDataFrame([(v,) for v in zipf_items[half:]], "v string")
+    merged = (
+        countmin_build(a, "v", width=64, depth=3)
+        .unionByName(countmin_build(b, "v", width=64, depth=3))
+        .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = countmin_build(
+        spark.createDataFrame([(v,) for v in zipf_items], "v string"),
+        "v", width=64, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect()))
+
+
+def test_countmin_weighted(spark):
+    df = spark.createDataFrame([("a", 5), ("a", 2), ("b", 1)],
+                               "v string, w int")
+    sk = countmin_build(df, "v", width=512, depth=4, weight_col="w")
+    est = {r["item"]: r["cm_est"] for r in countmin_estimate(
+        sk, df, "v", width=512, depth=4).collect()}
+    assert est == {"a": 7, "b": 1}
+
+
+# -------------------------------------------------------------- bloom
+
+def _py_bloom(keys, m, d):
+    return {_h60(f"bf{i}|{k}") % m for k in keys for i in range(d)}
+
+
+def test_bloom_positions_match_python(spark):
+    keys = [f"k{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "v string")
+    got = {r["pos"] for r in bloom_build(df, "v", m=1024, d=5).collect()}
+    assert got == _py_bloom(keys, 1024, 5)
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = [f"k{i}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "v string")
+    bloom = bloom_build(df, "v", m=4096, d=5)
+    probed = bloom_probe(bloom, df, "v", m=4096, d=5)
+    assert probed.count() == 500
+    assert all(r["is_member"] == 1 for r in probed.collect())
+
+
+def test_bloom_false_positive_rate(spark):
+    ins = spark.createDataFrame([(f"in{i}",) for i in range(500)],
+                                "v string")
+    out = spark.createDataFrame([(f"out{i}",) for i in range(1000)],
+                                "v string")
+    bloom = bloom_build(ins, "v", m=8192, d=5)
+    fp = sum(r["is_member"] for r in
+             bloom_probe(bloom, out, "v", m=8192, d=5).collect())
+    # theoretical rate (1 - e^{-dn/m})^d ~ 0.22% at n=500,m=8192,d=5;
+    # allow 10x slack on this fixed instance
+    assert fp / 1000 <= 0.022
+
+
+def test_bloom_probe_is_broadcast(spark):
+    ins = spark.createDataFrame([("a",), ("b",)], "v string")
+    bloom = bloom_build(ins, "v", m=64, d=3)
+    plan = bloom_probe(bloom, ins, "v", m=64, d=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_countmin_probe_is_broadcast(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    sk = countmin_build(df, "v", width=32, depth=2)
+    plan = countmin_estimate(sk, df, "v", width=32, depth=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
