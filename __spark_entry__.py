@@ -599,6 +599,7 @@ IVFPQ_CODEBOOKS_PATH = os.path.join(_STAGE_DIR, "ivfpq_codebooks.parquet")
 BM25_STATS_PATH = os.path.join(_STAGE_DIR, "bm25_stats.parquet")
 DSIR_MODEL_PATH = os.path.join(_STAGE_DIR, "dsir_model.parquet")
 DSIR_GUMBEL_PATH = os.path.join(_STAGE_DIR, "dsir_gumbel.parquet")
+HTML_PAGES_PATH = os.path.join(_STAGE_DIR, "html_pages.parquet")
 
 
 def _staged(path: str) -> str:
@@ -1337,6 +1338,48 @@ def graph_pagerank(spark, sf):
     return pagerank(event_edges(_t(spark, sf, "events")), iters=6)
 
 
+def _stage_html_pages(spark, sf):
+    """Stage the deterministic corpus pages (url, html decoded to
+    string) once per sf, so the html-link-graph oracles can run the
+    identical regexp extraction over the identical bytes."""
+    if _TRAIN_STAGED.get(HTML_PAGES_PATH) != sf:
+        pages = _pages_from_documents(spark, sf).select(
+            "url", F.col("html").cast("string").alias("html"))
+        pages.write.mode("overwrite").parquet(_staged(HTML_PAGES_PATH))
+        _TRAIN_STAGED[HTML_PAGES_PATH] = sf
+    return spark.read.parquet(HTML_PAGES_PATH)
+
+
+def graph_html_links(spark, sf):
+    """Page-level link graph straight from raw HTML
+    (operators/graph.html_link_edges): one Catalyst regexp projection
+    pulls every href, fragments strip, root-relative targets resolve
+    against the page origin, self-loops drop; (src, dst, weight) with
+    one bounded groupBy.  The crawl-native edge derivation (Common
+    Crawl's host graphs start here); the oracle runs the identical
+    RE2-safe regexp over the staged pages."""
+    from origami_spark.operators.graph import html_link_edges
+
+    return html_link_edges(_stage_html_pages(spark, sf))
+
+
+def graph_html_pagerank(spark, sf):
+    """Fixed-point integer PageRank over the html link graph: url
+    nodes hashed with the portable hash60, 4 synchronous iterations —
+    the full html -> edges -> centrality chain, hash-checked (the
+    oracle re-derives edges from the staged pages and unrolls the same
+    4 iterations)."""
+    from origami_spark.operators.graph import html_link_edges, pagerank
+    from origami_spark.operators.text import portable_hash60
+
+    e = html_link_edges(_stage_html_pages(spark, sf)).select(
+        portable_hash60(F.col("src")).alias("src"),
+        portable_hash60(F.col("dst")).alias("dst"),
+        "weight",
+    )
+    return pagerank(e, iters=4)
+
+
 def sketch_kmv_distinct(spark, sf):
     """Per-source distinct-token cardinality via the K-minimum-values
     sketch (operators/sketch.py, Bar-Yossef et al. 2002 / Beyer et al.
@@ -1567,6 +1610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": url_blocklist,
         "graph_degrees": graph_degrees,
         "graph_pagerank": graph_pagerank,
+        "graph_html_links": graph_html_links,
+        "graph_html_pagerank": graph_html_pagerank,
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_countmin": sketch_countmin,
         "sketch_bloom": sketch_bloom,
@@ -1646,18 +1691,52 @@ _GRAPH_EDGE_CTE = """ev AS (
               GROUP BY 1, 2)"""
 
 
+def _html_edge_cte(hashed: bool) -> str:
+    """The html link-graph edge CTE (mirrors
+    operators/graph.html_link_edges over the staged pages), ending at
+    ``edges(src, dst, weight)`` — url strings, or hash60 node ids when
+    ``hashed`` (the pagerank form)."""
+    sel = (f"SELECT {_H60.format(x='src')} AS src, "
+           f"{_H60.format(x='dst')} AS dst, weight FROM eres"
+           if hashed else "SELECT src, dst, weight FROM eres")
+    return f"""pages AS (
+              SELECT url, html FROM '{HTML_PAGES_PATH}/*.parquet'),
+            links AS (
+              SELECT url AS src,
+                     regexp_extract(url, '^(https?://[^/]+)', 1) AS origin,
+                     unnest(regexp_extract_all(html,
+                       'href="([^"]*)"', 1)) AS href
+              FROM pages),
+            resolved AS (
+              SELECT src,
+                     CASE WHEN h LIKE 'http://%' OR h LIKE 'https://%'
+                            THEN h
+                          WHEN h LIKE '/%' THEN origin || h
+                          ELSE NULL END AS dst
+              FROM (SELECT src, origin, str_split(href, '#')[1] AS h
+                    FROM links)),
+            eres AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+              FROM resolved WHERE dst IS NOT NULL AND dst <> src
+              GROUP BY 1, 2),
+            edges AS ({sel})"""
+
+
 def _pagerank_oracle_sql(iters: int = 6, scale: int = 1 << 20,
-                         d_num: int = 85, d_den: int = 100) -> str:
+                         d_num: int = 85, d_den: int = 100,
+                         edge_cte: str | None = None) -> str:
     """The engine's integer PageRank recurrence unrolled as chained
     CTEs (one per iteration).  `//` is DuckDB floor division — equal to
     Spark's `div` on the all-positive operands here; the teleport base
     is inlined as an exact integer literal on both sides
-    (operators/graph.pagerank_base)."""
+    (operators/graph.pagerank_base).  ``edge_cte`` must end at
+    ``edges(src, dst, weight)``; default is the events transition
+    graph."""
     from origami_spark.operators.graph import pagerank_base
 
     base = pagerank_base(scale, d_num, d_den)
     ctes = [
-        _GRAPH_EDGE_CTE,
+        edge_cte or _GRAPH_EDGE_CTE,
         """nodes AS (
               SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
         """outw AS (
@@ -2763,6 +2842,11 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS in_weight
             FROM sides GROUP BY node""",
         "graph_pagerank": _pagerank_oracle_sql(iters=6),
+        "graph_html_links": f"""
+            WITH {_html_edge_cte(hashed=False)}
+            SELECT src, dst, weight FROM edges""",
+        "graph_html_pagerank": _pagerank_oracle_sql(
+            iters=4, edge_cte=_html_edge_cte(hashed=True)),
         # KMV estimate: floor(127 * 2^60 / kth) in one exact-IEEE
         # double division (127.0 * 2^60.0 is an exact product; int ->
         # double rounding and the division are IEEE-identical in both

@@ -47,7 +47,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["event_edges", "degrees", "pagerank", "pagerank_base"]
+__all__ = ["event_edges", "html_link_edges", "degrees", "pagerank",
+           "pagerank_base"]
+
+
+def html_link_edges(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """Weighted page-level link graph from raw HTML — the crawl-native
+    edge derivation (Common Crawl's host/domain graphs start exactly
+    here: href extraction over WARC payloads).
+
+    Pure Catalyst end-to-end: one ``regexp_extract_all`` projection
+    pulls every ``href="..."`` value, fragments are stripped, and the
+    target resolves against the page origin — absolute http(s) hrefs
+    pass through, root-relative ``/path`` hrefs get the origin
+    prefixed, everything else (mailto/javascript/empty/relative-path)
+    drops as a non-navigational edge.  Self-loops drop (as in
+    :func:`event_edges`).  No UDF, no kernel; the regexp is RE2-safe
+    so the DuckDB oracle extracts the identical matches.
+
+    Output: ``src, dst, weight`` — string urls; hash with
+    ``portable_hash60`` for :func:`pagerank`/:func:`degrees` node ids.
+
+    Scale shape: one scan projection (html never shuffles — only the
+    exploded (src, dst) pairs, ~tens of rows per page) + one
+    ``groupBy(src, dst)`` with map-side combine.  The downstream
+    host-graph rollup is one more bounded aggregation.
+    """
+    origin = F.regexp_extract(F.col(url_col), r"^(https?://[^/]+)", 1)
+    hrefs = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(r'href="([^"]*)"'), 1)
+    raw = pages.select(
+        F.col(url_col).alias("src"),
+        origin.alias("_origin"),
+        F.explode(hrefs).alias("_href"),
+    )
+    # fragment strip: everything before the first '#'
+    h = F.split(F.col("_href"), "#").getItem(0)
+    dst = (
+        F.when(h.startswith("http://") | h.startswith("https://"), h)
+        .when(h.startswith("/"), F.concat(F.col("_origin"), h))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        raw.select("src", dst.alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
 
 
 def event_edges(events: DataFrame, entity_col: str = "user_id",

@@ -125,3 +125,44 @@ def test_event_edges(spark):
     got = {(r["src"], r["dst"]): r["weight"]
            for r in event_edges(df).collect()}
     assert got == {(7, 9): 1, (9, 7): 2, (7, 5): 1}
+
+
+# --------------------------------------------------------- html links
+
+def test_html_link_edges_resolution_and_weights(spark):
+    from origami_spark.operators.graph import html_link_edges
+
+    html_a = (b'<a href="/x">1</a> <a href="/x">2</a> '
+              b'<a href="https://other.net/p#frag">3</a> '
+              b'<a href="mailto:a@b.c">4</a> <a href="">5</a> '
+              b'<a href="rel/path">6</a> <a href="/a">self</a>')
+    html_b = b'<a href="http://a.com/x">abs</a> <a href="/only#f">rel</a>'
+    pages = spark.createDataFrame(
+        [("https://a.com/a", html_a), ("http://b.org/b", html_b)],
+        "url string, html binary")
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in html_link_edges(pages).collect()}
+    assert got == {
+        ("https://a.com/a", "https://a.com/x"): 2,
+        ("https://a.com/a", "https://other.net/p"): 1,
+        ("http://b.org/b", "http://a.com/x"): 1,
+        ("http://b.org/b", "http://b.org/only"): 1,
+    }
+
+
+def test_html_link_edges_drops_self_loop(spark):
+    from origami_spark.operators.graph import html_link_edges
+
+    pages = spark.createDataFrame(
+        [("https://a.com/a", b'<a href="/a">me</a> <a href="https://a.com/a">me2</a>')],
+        "url string, html binary")
+    assert html_link_edges(pages).count() == 0
+
+
+def test_html_link_edges_no_python_udf(spark):
+    from origami_spark.operators.graph import html_link_edges
+
+    pages = spark.createDataFrame([("https://a.com/a", b"<a href=\"/x\">l</a>")],
+                                  "url string, html binary")
+    plan = html_link_edges(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
