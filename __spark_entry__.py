@@ -1438,6 +1438,37 @@ def sketch_bloom(spark, sf):
     )
 
 
+def sketch_hist_quantile(spark, sf):
+    """Mergeable histogram-quantile sketch (operators/sketch.py): 1024
+    equi-width BIGINT counters per order priority, p50 + p90 read off
+    the cumulative bin edge.  The scale story: Spark's exact
+    ``percentile`` buffers EVERY group value in one aggregation state
+    (q08's formulation — exact, but not 10^9-rows-per-group safe);
+    the histogram caps state at `bins` counters, merges by summing,
+    and prices the answer at <= one bin width (pytest-checked)."""
+    from origami_spark.operators.sketch import hist_build, hist_quantile
+
+    orders = _t(spark, sf, "orders")
+    h = hist_build(orders, "o_totalprice", lo=0.0, hi=600000.0,
+                   bins=1024, by=["o_orderpriority"])
+    p50 = hist_quantile(h, 1, 2, 0.0, 600000.0, 1024,
+                        by=["o_orderpriority"])
+    p90 = hist_quantile(h, 9, 10, 0.0, 600000.0, 1024,
+                        by=["o_orderpriority"])
+    return p50.unionByName(p90)
+
+
+def text_phrases(spark, sf):
+    """Count-based collocation mining (operators/text.phrase_scores —
+    the word2vec phrase-detection score, Mikolov et al. 2013 §4):
+    integer ``(c_ab - 1)·V·10^6 div (c_a·c_b)`` over two
+    wordcount-shaped aggregations, engine-exact because the score is
+    pure count arithmetic (no libm)."""
+    from origami_spark.operators.text import phrase_scores
+
+    return phrase_scores(_t(spark, sf, "documents"), min_count=5)
+
+
 def multimodal_payload(spark, sf):
     media = M.media_from_documents(_t(spark, sf, "documents"))
     feats = M.media_features(media)
@@ -1615,6 +1646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_countmin": sketch_countmin,
         "sketch_bloom": sketch_bloom,
+        "sketch_hist_quantile": sketch_hist_quantile,
+        "text_phrases": text_phrases,
         "dedup_embedding": dedup_embedding,
         "dedup_semantic": dedup_semantic,
         "dedup_semantic_keep": dedup_semantic_keep,
@@ -2898,6 +2931,55 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1)
             SELECT t.item, t.true_cnt, e.cm_est
             FROM top t JOIN est e ON e.item = t.item""",
+        # est mirrors the engine's exact expression order:
+        # lo + ((bin+1) * (hi-lo)) / bins, all IEEE doubles.
+        "sketch_hist_quantile": """
+            WITH h AS (
+              SELECT o_orderpriority,
+                     greatest(0, least(1023,
+                       CAST(floor(((o_totalprice - 0.0) * 1024.0)
+                                  / 600000.0) AS BIGINT))) AS bin,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM orders GROUP BY 1, 2),
+            c AS (
+              SELECT o_orderpriority, bin, cnt,
+                     sum(cnt) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY bin) AS cum,
+                     sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+              FROM h),
+            qs AS (SELECT * FROM (VALUES (1, 2), (9, 10))
+                   AS q(q_num, q_den)),
+            sel AS (
+              SELECT c.o_orderpriority, q.q_num, q.q_den,
+                     min(c.bin) AS bin
+              FROM c JOIN qs q
+                ON c.cum >= (c.n * q.q_num + q.q_den - 1) // q.q_den
+              GROUP BY 1, 2, 3)
+            SELECT o_orderpriority,
+                   CAST(q_num AS BIGINT) AS q_num,
+                   CAST(q_den AS BIGINT) AS q_den,
+                   CAST(bin AS BIGINT) AS bin,
+                   0.0 + (CAST(bin + 1 AS DOUBLE) * 600000.0) / 1024.0
+                     AS est
+            FROM sel""",
+        "text_phrases": f"""
+            WITH toks AS (SELECT {_TOKENS} AS t FROM documents),
+            uni AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+            bi AS (
+              SELECT t[i] AS w1, t[i+1] AS w2,
+                     CAST(count(*) AS BIGINT) AS c_ab
+              FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+              GROUP BY 1, 2 HAVING count(*) >= 5),
+            v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni)
+            SELECT w1, w2, c_ab,
+                   CAST((c_ab - 1) * v.v * 1000000 // (u1.c * u2.c)
+                        AS BIGINT) AS score_q
+            FROM bi
+            JOIN uni u1 ON u1.w = bi.w1
+            JOIN uni u2 ON u2.w = bi.w2
+            CROSS JOIN v""",
         "sketch_bloom": f"""
             WITH pos AS (
               SELECT DISTINCT

@@ -252,3 +252,74 @@ def bloom_probe(bloom: DataFrame, df: DataFrame, col: str,
         .select(*keep_cols, "item",
                 (F.col("_hits") == d).cast("bigint").alias("is_member"))
     )
+
+
+def hist_build(df: DataFrame, col: str, lo: float, hi: float,
+               bins: int = 1024, by: list[str] | None = None) -> DataFrame:
+    """Fixed-range equi-width histogram — the mergeable quantile
+    sketch (merge = summing counts, like count-min).  Spark's exact
+    ``percentile`` buffers every value per group in one aggregation
+    state, which does not survive a 10^9-row group; a histogram caps
+    state at ``bins`` counters and prices the answer honestly (error
+    <= one bin width, tested).
+
+    ``bin = clamp(floor((x - lo) * bins / (hi - lo)), 0, bins-1)`` —
+    one exact-IEEE double expression, engine-identical; out-of-range
+    values clamp into the edge bins.
+
+    Output: ``by..., bin, cnt`` (cnt BIGINT; <= bins rows per group
+    after the one bounded-key-space aggregation).
+    """
+    by = list(by or [])
+    raw = F.floor(
+        (F.col(col).cast("double") - F.lit(float(lo)))
+        * F.lit(float(bins)) / F.lit(float(hi) - float(lo))
+    ).cast("bigint")
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw))
+    return (
+        df.select(*by, b.alias("bin"))
+        .groupBy(*by, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hist_quantile(hist: DataFrame, q_num: int, q_den: int,
+                  lo: float, hi: float, bins: int = 1024,
+                  by: list[str] | None = None) -> DataFrame:
+    """Quantile estimate from a histogram: the smallest bin whose
+    cumulative count reaches ``ceil(q_num/q_den * N)`` (the rank is
+    exact integer arithmetic — no float threshold), reported as that
+    bin's upper edge.  True quantile is inside the bin, so the error
+    is <= one bin width by construction.
+
+    The cumulative window runs over <= ``bins`` rows per group — the
+    sketch, not the corpus — so a single-partition-per-group window is
+    the *correct* shape here, not a skew hazard.
+
+    Output: ``by..., q_num, q_den, bin, est`` (est double: the bin
+    upper edge in value units).
+    """
+    by = list(by or [])
+    w = Window.partitionBy(*by).orderBy("bin") if by else \
+        Window.partitionBy().orderBy("bin")
+    totals = Window.partitionBy(*by) if by else Window.partitionBy()
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", F.sum("cnt").over(totals))
+    )
+    thr = F.expr(f"(n * {q_num} + {q_den} - 1) div {q_den}")
+    return (
+        cum.filter(F.col("cum") >= thr)
+        .groupBy(*by)
+        .agg(F.min("bin").cast("bigint").alias("bin"))
+        .select(
+            *by,
+            F.lit(q_num).cast("bigint").alias("q_num"),
+            F.lit(q_den).cast("bigint").alias("q_den"),
+            "bin",
+            (F.lit(float(lo)) + (F.col("bin") + 1).cast("double")
+             * F.lit((float(hi) - float(lo))) / F.lit(float(bins)))
+            .alias("est"),
+        )
+    )

@@ -252,3 +252,64 @@ def chunk_documents(docs: DataFrame, size: int = 512,
             .alias("chunk_text"),
         )
     )
+
+
+def phrase_scores(docs: DataFrame, min_count: int = 3,
+                  delta: int = 1, scale: int = 1_000_000,
+                  text_col: str = "text") -> DataFrame:
+    """Count-based collocation mining — the word2vec phrase-detection
+    score (Mikolov et al. 2013, "Distributed Representations of Words
+    and Phrases", section 4; the gensim Phrases default):
+
+        score(a, b) = (count(ab) - delta) * V / (count(a) * count(b))
+
+    with V = vocabulary size, computed here as the INTEGER
+    ``floor((c_ab - delta) * V * scale / (c_a * c_b))`` so the result
+    is partition- and engine-exact (the score is count arithmetic —
+    no libm — which is exactly why this detector suits a cross-engine
+    gate better than PMI).  Pairs scoring above a caller threshold
+    become tokenizer-level phrases ("new york" -> "new_york").
+
+    Output: ``w1, w2, c_ab, score_q`` for bigrams with
+    ``c_ab >= min_count`` (delta discounts hapax-driven flukes).
+
+    Scale shape: two wordcount-shaped aggregations (bigrams + unigrams,
+    both with map-side combine), then two joins of the bigram relation
+    against the unigram counts — vocab-sized sides that AQE broadcasts
+    when they fit; the corpus itself is touched once.  The V scalar
+    joins in as a broadcast literal row.
+    """
+    toks = docs.select(tokens_col(text_col).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                gram_positions(F.size("t"), 2),
+                lambda i: F.struct(
+                    F.element_at("t", i.cast("int")).alias("w1"),
+                    F.element_at("t", (i + 1).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    return (
+        bi.join(uni.withColumnRenamed("w", "w1")
+                .withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2", "c_ab",
+            F.expr(f"((c_ab - {delta}) * v * {scale}L) div (c1 * c2)")
+            .cast("bigint").alias("score_q"),
+        )
+    )

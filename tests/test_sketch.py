@@ -210,3 +210,59 @@ def test_countmin_probe_is_broadcast(spark):
     plan = countmin_estimate(sk, df, "v", width=32, depth=2)._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------- histogram sketch
+
+def _hist_df(spark):
+    # 1..1000 uniform, plus out-of-range strays that must clamp
+    rows = [(float(i),) for i in range(1, 1001)] + [(-5.0,), (2000.0,)]
+    return spark.createDataFrame(rows, "x double")
+
+
+def test_hist_quantile_within_one_bin(spark):
+    from origami_spark.operators.sketch import hist_build, hist_quantile
+
+    h = hist_build(_hist_df(spark), "x", lo=0.0, hi=1000.0, bins=100)
+    binw = 10.0
+    for qn, qd, true in [(1, 2, 501.0), (9, 10, 901.0), (1, 100, 11.0)]:
+        est = hist_quantile(h, qn, qd, lo=0.0, hi=1000.0,
+                            bins=100).collect()[0]["est"]
+        assert abs(est - true) <= binw + 1e-9, (qn, qd, est, true)
+
+
+def test_hist_clamps_out_of_range(spark):
+    from origami_spark.operators.sketch import hist_build
+
+    h = {r["bin"]: r["cnt"] for r in hist_build(
+        _hist_df(spark), "x", lo=0.0, hi=1000.0, bins=100).collect()}
+    assert min(h) == 0 and max(h) == 99
+    assert sum(h.values()) == 1002
+
+
+def test_hist_merge_is_sum(spark):
+    from origami_spark.operators.sketch import hist_build
+
+    df = _hist_df(spark)
+    a, b = df.filter("x < 500"), df.filter("x >= 500")
+    merged = (
+        hist_build(a, "x", 0.0, 1000.0, 50)
+        .unionByName(hist_build(b, "x", 0.0, 1000.0, 50))
+        .groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = hist_build(df, "x", 0.0, 1000.0, 50)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect()))
+
+
+def test_hist_grouped_quantiles(spark):
+    from origami_spark.operators.sketch import hist_build, hist_quantile
+
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        ("b", float(i)) for i in range(900, 1001)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    h = hist_build(df, "x", 0.0, 1000.0, 100, by=["g"])
+    got = {r["g"]: r["est"] for r in hist_quantile(
+        h, 1, 2, 0.0, 1000.0, 100, by=["g"]).collect()}
+    assert abs(got["a"] - 50.0) <= 10 + 1e-9
+    assert abs(got["b"] - 950.0) <= 10 + 1e-9

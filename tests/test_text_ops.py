@@ -125,3 +125,42 @@ def test_chunk_documents_rejects_bad_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(_docs(spark, [(0, "x")]), size=10, overlap=10)
+
+
+def test_phrase_scores_matches_python_reference(spark):
+    import re
+    from origami_spark.operators.text import phrase_scores
+
+    texts = ["new york is in new york state",
+             "i love new york and old york",
+             "york new haven", "the new deal", "new york again"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    def toks(s):
+        return [w for w in re.split("[^a-z0-9]+", s.lower()) if w]
+
+    uni, bi = {}, {}
+    for t in texts:
+        ws = toks(t)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    v = len(uni)
+    want = {
+        (a, b): (c, (c - 1) * v * 1_000_000 // (uni[a] * uni[b]))
+        for (a, b), c in bi.items() if c >= 2
+    }
+    got = {(r["w1"], r["w2"]): (r["c_ab"], r["score_q"])
+           for r in phrase_scores(docs, min_count=2).collect()}
+    assert got == want
+
+
+def test_phrase_scores_min_count_and_partitioning(spark):
+    from origami_spark.operators.text import phrase_scores
+
+    docs = spark.createDataFrame(
+        [("alpha beta",)] * 4 + [("gamma delta",)], "text string")
+    got = {(r["w1"], r["w2"]) for r in
+           phrase_scores(docs.repartition(5), min_count=2).collect()}
+    assert got == {("alpha", "beta")}
