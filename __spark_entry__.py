@@ -1380,6 +1380,18 @@ def graph_html_pagerank(spark, sf):
     return pagerank(e, iters=4)
 
 
+def graph_html_anchors(spark, sf):
+    """Anchor-text harvest (operators/graph.html_anchor_texts): the
+    link label a page attaches to each target — the raw material of
+    anchor-text datasets.  One regexp projection (href + inner text
+    captured from the same RE2-safe pattern), whitespace-normalized
+    labels, empty labels and self-links dropped.  The oracle zips the
+    same two capture groups over the staged pages."""
+    from origami_spark.operators.graph import html_anchor_texts
+
+    return html_anchor_texts(_stage_html_pages(spark, sf))
+
+
 def sketch_kmv_distinct(spark, sf):
     """Per-source distinct-token cardinality via the K-minimum-values
     sketch (operators/sketch.py, Bar-Yossef et al. 2002 / Beyer et al.
@@ -1643,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "graph_html_links": graph_html_links,
         "graph_html_pagerank": graph_html_pagerank,
+        "graph_html_anchors": graph_html_anchors,
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_countmin": sketch_countmin,
         "sketch_bloom": sketch_bloom,
@@ -2880,6 +2893,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, weight FROM edges""",
         "graph_html_pagerank": _pagerank_oracle_sql(
             iters=4, edge_cte=_html_edge_cte(hashed=True)),
+        # two unnests from the SAME pattern zip positionally in DuckDB,
+        # mirroring the engine's arrays_zip of the two capture groups;
+        # regexp_replace needs the 'g' flag (DuckDB default replaces
+        # only the first run, Spark replaces all)
+        "graph_html_anchors": f"""
+            WITH pages AS (
+              SELECT url, html FROM '{HTML_PAGES_PATH}/*.parquet'),
+            m AS (
+              SELECT url AS src,
+                     regexp_extract(url, '^(https?://[^/]+)', 1)
+                       AS origin,
+                     unnest(regexp_extract_all(html,
+                       '<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>',
+                       1)) AS href,
+                     unnest(regexp_extract_all(html,
+                       '<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>',
+                       2)) AS label
+              FROM pages),
+            r AS (
+              SELECT src,
+                     CASE WHEN h LIKE 'http://%' OR h LIKE 'https://%'
+                            THEN h
+                          WHEN h LIKE '/%' THEN origin || h
+                          ELSE NULL END AS dst,
+                     trim(regexp_replace(label,
+                          '[ \t\n\r\f]+', ' ', 'g')) AS anchor
+              FROM (SELECT src, origin, str_split(href, '#')[1] AS h,
+                           label
+                    FROM m))
+            SELECT src, dst, anchor FROM r
+            WHERE dst IS NOT NULL AND dst <> src AND anchor <> ''""",
         # KMV estimate: floor(127 * 2^60 / kth) in one exact-IEEE
         # double division (127.0 * 2^60.0 is an exact product; int ->
         # double rounding and the division are IEEE-identical in both

@@ -70,6 +70,11 @@ BENCH_QUERIES = [
     "multimodal_near_dup",
     "text_bm25_topk",
     "text_dsir_score",
+    "graph_pagerank",
+    "sketch_kmv_distinct",
+    "sketch_countmin",
+    "sketch_hist_quantile",
+    "text_phrases",
 ]
 
 # queries whose first call trains + stages a model artifact that the

@@ -127,6 +127,58 @@ def event_edges(events: DataFrame, entity_col: str = "user_id",
     )
 
 
+def html_anchor_texts(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """(src, dst, anchor) rows — the link text a page attaches to each
+    target (the raw material of anchor-text datasets: web-grade
+    titles/descriptions harvested from citing pages, as in Common
+    Crawl anchor corpora).
+
+    Same single-projection shape as :func:`html_link_edges`, but the
+    regexp captures the whole ``<a ...>text</a>`` element: group 1 the
+    href, group 2 the inner text.  The inner-text capture is
+    ``[^<]*`` — an anchor whose label contains nested markup yields
+    only the text before the first child tag (documented contract; a
+    full nested parse belongs to the html tokenizer, not a regexp).
+    Anchors with empty labels drop.  Whitespace in the label is
+    normalized to single spaces and trimmed, so the output is
+    join-ready against token pipelines.
+
+    Output: ``src, dst, anchor`` — one row per anchor occurrence
+    (duplicates preserved: repetition is signal for anchor-text
+    weighting).
+    """
+    # explicit whitespace class — bare \s means different sets in Java
+    # vs RE2 (the bpe_pretokens precedent), which would silently match
+    # different anchors between the engine and its DuckDB oracle
+    pat = r'<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    origin = F.regexp_extract(F.col(url_col), r"^(https?://[^/]+)", 1)
+    h = F.col(html_col).cast("string")
+    raw = pages.select(
+        F.col(url_col).alias("src"),
+        origin.alias("_origin"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(h, F.lit(pat), 1).alias("href"),
+                F.regexp_extract_all(h, F.lit(pat), 2).alias("label"),
+            )
+        ).alias("z"),
+    )
+    hr = F.split(F.col("z.href"), "#").getItem(0)
+    dst = (
+        F.when(hr.startswith("http://") | hr.startswith("https://"), hr)
+        .when(hr.startswith("/"), F.concat(F.col("_origin"), hr))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    anchor = F.trim(
+        F.regexp_replace(F.col("z.label"), r"[ \t\n\r\f]+", " "))
+    return (
+        raw.select("src", dst.alias("dst"), anchor.alias("anchor"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
+                & (F.col("anchor") != ""))
+    )
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """Per-node degree/strength table in ONE aggregation shuffle.
 

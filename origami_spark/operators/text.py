@@ -278,7 +278,17 @@ def phrase_scores(docs: DataFrame, min_count: int = 3,
     against the unigram counts — vocab-sized sides that AQE broadcasts
     when they fit; the corpus itself is touched once.  The V scalar
     joins in as a broadcast literal row.
+
+    ``min_count`` must exceed ``delta``: a negative numerator would
+    hit the one floor-vs-truncate divergence between Spark's ``div``
+    and DuckDB's ``//`` (everywhere else this repo divides positives).
     """
+    if min_count <= delta:
+        raise ValueError(
+            f"min_count ({min_count}) must be > delta ({delta}): "
+            "a negative score numerator is engine-divergent (div "
+            "truncates, // floors) and a pair at or below the "
+            "discount carries no signal anyway")
     toks = docs.select(tokens_col(text_col).alias("t"))
     uni = (
         toks.select(F.explode("t").alias("w"))

@@ -166,3 +166,25 @@ def test_html_link_edges_no_python_udf(spark):
                                   "url string, html binary")
     plan = html_link_edges(pages)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_html_anchor_texts(spark):
+    from origami_spark.operators.graph import html_anchor_texts
+
+    html = (b'<a href="/x">First  Link</a>'
+            b'<a class="z" href="https://o.net/p#f">with\n tabs\there</a>'
+            b'<a href="/empty"></a>'
+            b'<a href="/a">self</a>'
+            b'<a href="/nested"><b>bold</b> tail</a>'
+            b'<a href="/x">First  Link</a>')
+    pages = spark.createDataFrame([("https://a.com/a", html)],
+                                  "url string, html binary")
+    got = sorted((r["dst"], r["anchor"])
+                 for r in html_anchor_texts(pages).collect())
+    # nested-markup label yields only the pre-tag text and this one is
+    # empty -> dropped; duplicates preserved; whitespace normalized
+    assert got == [
+        ("https://a.com/x", "First Link"),
+        ("https://a.com/x", "First Link"),
+        ("https://o.net/p", "with tabs here"),
+    ]

@@ -164,3 +164,12 @@ def test_phrase_scores_min_count_and_partitioning(spark):
     got = {(r["w1"], r["w2"]) for r in
            phrase_scores(docs.repartition(5), min_count=2).collect()}
     assert got == {("alpha", "beta")}
+
+
+def test_phrase_scores_rejects_negative_numerator(spark):
+    import pytest as _pt
+    from origami_spark.operators.text import phrase_scores
+
+    docs = spark.createDataFrame([("a b",)], "text string")
+    with _pt.raises(ValueError):
+        phrase_scores(docs, min_count=1, delta=1)
