@@ -955,6 +955,20 @@ def text_chunks(spark, sf):
                              overlap=40)
 
 
+def text_hash_embedding(spark, sf):
+    """Feature-hashing document embeddings (operators/embed.py,
+    Weinberger et al. 2009) in sparse form: one row per non-zero
+    coordinate, ``weight = bucket-sign-count / sqrt(sum of squares)``
+    quantized via the shared floor form.  Every ranking input is an
+    integer and the two float ops (IEEE sqrt of an integer, one
+    division) are bit-identical across engines, so the gate
+    hash-compares the weights exactly.  dim=16 keeps the oracle's
+    window tiny; the engine default is 64."""
+    from origami_spark.operators.embed import hashed_embedding_rows
+
+    return hashed_embedding_rows(_t(spark, sf, "documents"), dim=16)
+
+
 def text_bm25_topk(spark, sf):
     """BM25 ranked retrieval (operators/retrieval.py, Robertson &
     Zaragoza 2009) for a pinned 3-term query: the idf/avgdl floats are
@@ -1671,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": ann_pq_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "text_token_stats": text_token_stats,
+        "text_hash_embedding": text_hash_embedding,
         "text_bpe_pretokens": text_bpe_pretokens,
         "text_bpe_encode": text_bpe_encode,
         "text_chunks": text_chunks,
@@ -2560,6 +2575,30 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(list_transform(t, x -> length(x))) * 1.0
                          / greatest(len(t), 1), 4) AS mean_token_len
             FROM toks""",
+        # integer bucket-sign counts; the only floats are sqrt of an
+        # integer and one division, then the shared floor quantization
+        # -- all exact-IEEE, so weights hash-match bit-for-bit
+        "text_hash_embedding": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CAST({_H60.format(x="'b|' || tok")} % 16 AS INT)
+                       AS dim_id,
+                     CASE WHEN {_H60.format(x="'g|' || tok")} % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+              FROM toks),
+            c AS (
+              SELECT doc_id, dim_id, CAST(SUM(s) AS BIGINT) AS c
+              FROM b GROUP BY doc_id, dim_id),
+            n AS (
+              SELECT doc_id, dim_id, c,
+                     CAST(SUM(c * c) OVER (PARTITION BY doc_id)
+                          AS BIGINT) AS ss
+              FROM c)
+            SELECT doc_id, dim_id,
+                   floor(c / sqrt(ss) * 1e6 + 0.5) / 1e6 AS weight
+            FROM n WHERE c <> 0""",
         "text_quality": f"""
             WITH base AS (
               SELECT doc_id, length(text) AS chars, {_TOKENS} AS t,

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "sketch_countmin",
     "sketch_hist_quantile",
     "text_phrases",
+    "text_hash_embedding",
 ]
 
 # queries whose first call trains + stages a model artifact that the
