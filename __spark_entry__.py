@@ -1194,6 +1194,21 @@ def sample_stratified(spark, sf):
     ).select("doc_id", "source")
 
 
+def sample_upsample(spark, sf):
+    """Epoch-repetition mixture building (operators/sampling.
+    upsample_sources — the Gopher/Llama data-table recipe): src0 x3
+    epochs, src1 x2.5 (every doc twice + a hash-selected half once
+    more), src2 x0.4 (fractional only), src3 x1; all other sources
+    excluded.  Pure projection — the oracle unnests the identical
+    integer copy counts."""
+    from origami_spark.operators.sampling import upsample_sources
+
+    docs = _t(spark, sf, "documents")
+    return upsample_sources(
+        docs, {"src0": 3.0, "src1": 2.5, "src2": 0.4, "src3": 1.0},
+    ).select("doc_id", "source", "epoch")
+
+
 def sample_token_budget(spark, sf):
     """Token budgeting per source (operators/sampling.py): 500 tokens
     from each source in deterministic hash order (prefix cut — tight
@@ -1654,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": sample_hash,
         "sample_split": sample_split,
         "sample_stratified": sample_stratified,
+        "sample_upsample": sample_upsample,
         "sample_token_budget": sample_token_budget,
         "sample_token_budget_global": sample_token_budget_global,
         "sample_pack_sequences": sample_pack_sequences,
@@ -2771,6 +2787,26 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src2' THEN 500000
                                 WHEN 'src3' THEN 100000
                                 ELSE 20000 END""",
+        # copy counts are integers (full epochs + one hash-gated
+        # fractional copy); range(n) is empty at n<=0, mirroring the
+        # engine's guarded sequence
+        "sample_upsample": """
+            WITH c AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                                 WHEN 'src2' THEN 0 ELSE 1 END
+                     + CASE WHEN CAST(('0x' || substring(
+                              md5('s0|' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 1000000
+                            < CASE source WHEN 'src1' THEN 500000
+                                          WHEN 'src2' THEN 400000
+                                          ELSE 0 END
+                            THEN 1 ELSE 0 END AS n
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+            e AS (
+              SELECT doc_id, source, unnest(range(n)) AS epoch FROM c)
+            SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM e""",
         "sample_token_budget": f"""
             WITH t AS (
               SELECT doc_id, source,

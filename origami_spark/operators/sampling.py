@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 from .text import portable_hash60, tokens_col
 
-__all__ = ["hash_sample", "stratified_sample", "token_budget",
+__all__ = ["hash_sample", "stratified_sample", "upsample_sources",
+           "token_budget",
            "token_budget_global", "shuffle_order", "interleave_sources",
            "split_assign"]
 
@@ -71,6 +72,46 @@ def stratified_sample(docs: DataFrame, strata_col: str, rates: dict,
         thr = F.when(F.col(strata_col) == value,
                      F.lit(_threshold(rate))).otherwise(thr)
     return docs.filter(_bucket(id_col, seed) < thr)
+
+
+def upsample_sources(docs: DataFrame, epochs: dict, by: str = "source",
+                     seed: str = "s0", id_col: str = "doc_id") -> DataFrame:
+    """Epoch repetition for mixture building — the published recipe
+    when a mixture weight EXCEEDS a source's natural share (Gopher /
+    Llama data tables: wikipedia x3 epochs, books x2.35, ...):
+    every doc of source ``s`` appears ``floor(epochs[s])`` times, plus
+    once more for a deterministic ``frac(epochs[s])`` share of docs
+    (hash-selected — the :func:`hash_sample` bucket, so the fractional
+    epoch is the same docs at any parallelism, and re-runs are
+    idempotent).  Sources absent from ``epochs`` are EXCLUDED (a
+    mixture spec enumerates its members — the ``interleave_sources``
+    convention); an epoch of 0.4 repeats nothing but keeps a 40%
+    sample.
+
+    Output: the input columns plus ``epoch`` (int, 0-based copy
+    index).  Downstream, ``interleave_sources``/``shuffle_order`` over
+    ``(id_col, epoch)`` spread the copies through the training order.
+
+    Plan shape: a single projection — per-source copy counts resolve
+    to a CASE literal, the copy explode is ``explode(sequence(...))``
+    on values <= ceil(max epochs), and nothing shuffles at any corpus
+    size.
+    """
+    full = F.lit(None).cast("int")
+    thr = F.lit(None).cast("int")
+    for value, e in sorted(epochs.items()):
+        if e < 0:
+            raise ValueError(f"epochs[{value!r}] = {e}: must be >= 0")
+        full = F.when(F.col(by) == value, F.lit(int(e))).otherwise(full)
+        thr = F.when(F.col(by) == value,
+                     F.lit(_threshold(e - int(e)))).otherwise(thr)
+    n = full + F.when(_bucket(id_col, seed) < thr, 1).otherwise(0)
+    # sequence(0, -1) is a DESCENDING [0, -1], not empty (the
+    # gram_positions gotcha) — guard the zero-copy case explicitly
+    copies = F.when(n >= 1, F.sequence(F.lit(0), n - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    return docs.filter(F.col(by).isin(list(epochs))) \
+        .withColumn("epoch", F.explode(copies))
 
 
 def token_budget(docs: DataFrame, budget_tokens: int, by: str = "source",

@@ -384,3 +384,64 @@ def test_split_assign_rejects_bad_weights_and_drops_null_ids(spark):
     assert {r["doc_id"] for r in out} == {1, 2}
     with pytest.raises(ValueError, match="positive"):
         split_assign(docs, [("a", 1.1), ("b", -0.2), ("c", 0.1)])
+
+
+def test_upsample_sources_exact_reference(spark):
+    """Exact copy-count parity with a pure-Python reference: full
+    epochs repeat every doc, the fractional epoch hash-selects the
+    same docs the oracle selects, absent sources drop."""
+    import hashlib
+
+    from origami_spark.operators.sampling import upsample_sources
+
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    epochs = {"src0": 3.0, "src1": 2.5, "src2": 0.4}  # src3 absent
+
+    def bucket(i):
+        h = int(hashlib.md5(f"s0|{i}".encode()).hexdigest()[:15], 16)
+        return h % 1_000_000
+
+    want = {}
+    for i, src in rows:
+        if src not in epochs:
+            continue
+        e = epochs[src]
+        n = int(e) + (1 if bucket(i) < round((e - int(e)) * 1e6) else 0)
+        if n:
+            want[i] = n
+
+    out = upsample_sources(docs, epochs).collect()
+    got = {}
+    for r in out:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+    assert got == want
+    # epochs are the 0-based copy index, dense per doc
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for i, es in per_doc.items():
+        assert sorted(es) == list(range(want[i]))
+    # integral epoch: every src0 doc exactly 3 copies
+    assert all(want[i] == 3 for i, s in rows if s == "src0")
+    # fractional-only epoch (0.4): a strict subset survives once
+    n2 = sum(1 for i, s in rows if s == "src2" and i in want)
+    assert 0 < n2 < 100
+
+
+def test_upsample_sources_partition_independent_and_no_shuffle(spark):
+    from origami_spark.operators.sampling import upsample_sources
+
+    rows = [(i, f"src{i % 2}") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    a = sorted(map(tuple, upsample_sources(docs, {"src0": 2.3}).collect()))
+    b = sorted(map(tuple, upsample_sources(
+        docs.repartition(7), {"src0": 2.3}).collect()))
+    assert a == b and len(a) > 0
+    plan = (upsample_sources(docs, {"src0": 2.3})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan  # pure projection at any scale
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        upsample_sources(docs, {"src0": -0.1})
