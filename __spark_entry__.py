@@ -1421,6 +1421,16 @@ def graph_html_anchors(spark, sf):
     return html_anchor_texts(_stage_html_pages(spark, sf))
 
 
+def html_metadata(spark, sf):
+    """Head-metadata harvest (operators/pagemeta.html_head_meta):
+    title / declared charset / lead h1 / meta description / canonical
+    url per page, one Catalyst regexp projection over the staged
+    pages, empties and no-matches unified to NULL in both engines."""
+    from origami_spark.operators.pagemeta import html_head_meta
+
+    return html_head_meta(_stage_html_pages(spark, sf))
+
+
 def sketch_kmv_distinct(spark, sf):
     """Per-source distinct-token cardinality via the K-minimum-values
     sketch (operators/sketch.py, Bar-Yossef et al. 2002 / Beyer et al.
@@ -1686,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_html_links": graph_html_links,
         "graph_html_pagerank": graph_html_pagerank,
         "graph_html_anchors": graph_html_anchors,
+        "html_metadata": html_metadata,
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_countmin": sketch_countmin,
         "sketch_bloom": sketch_bloom,
@@ -2999,6 +3010,39 @@ def oracle_sql() -> dict[str, str]:
                     FROM m))
             SELECT src, dst, anchor FROM r
             WHERE dst IS NOT NULL AND dst <> src AND anchor <> ''""",
+        # captures are [^<]*, so nested markup means no match; '' and
+        # whitespace-only unify to NULL via the shared normalize
+        "html_metadata": f"""
+            WITH pages AS (
+              SELECT url, html FROM '{HTML_PAGES_PATH}/*.parquet'),
+            raw AS (
+              SELECT url,
+                     regexp_extract(html,
+                       '<title>([^<]*)</title>', 1) AS title,
+                     regexp_extract(html,
+                       '<meta[ \t\n\r\f][^>]*charset="?([A-Za-z0-9_-]+)"?',
+                       1) AS charset,
+                     regexp_extract(html,
+                       '<h1[^>]*>([^<]*)</h1>', 1) AS h1,
+                     regexp_extract(html,
+                       '<meta[ \t\n\r\f][^>]*name="description"[^>]*content="([^"]*)"',
+                       1) AS description,
+                     regexp_extract(html,
+                       '<link[ \t\n\r\f][^>]*rel="canonical"[^>]*href="([^"]*)"',
+                       1) AS canonical
+              FROM pages)
+            SELECT url,
+                   nullif(trim(regexp_replace(title,
+                       '[ \t\n\r\f]+', ' ', 'g')), '') AS title,
+                   lower(nullif(trim(regexp_replace(charset,
+                       '[ \t\n\r\f]+', ' ', 'g')), '')) AS charset,
+                   nullif(trim(regexp_replace(h1,
+                       '[ \t\n\r\f]+', ' ', 'g')), '') AS h1,
+                   nullif(trim(regexp_replace(description,
+                       '[ \t\n\r\f]+', ' ', 'g')), '') AS description,
+                   nullif(trim(regexp_replace(canonical,
+                       '[ \t\n\r\f]+', ' ', 'g')), '') AS canonical
+            FROM raw""",
         # KMV estimate: floor(127 * 2^60 / kth) in one exact-IEEE
         # double division (127.0 * 2^60.0 is an exact product; int ->
         # double rounding and the division are IEEE-identical in both

@@ -137,9 +137,9 @@ def html_anchor_texts(pages: DataFrame, url_col: str = "url",
     Same single-projection shape as :func:`html_link_edges`, but the
     regexp captures the whole ``<a ...>text</a>`` element: group 1 the
     href, group 2 the inner text.  The inner-text capture is
-    ``[^<]*`` — an anchor whose label contains nested markup yields
-    only the text before the first child tag (documented contract; a
-    full nested parse belongs to the html tokenizer, not a regexp).
+    ``[^<]*`` — an anchor whose label contains nested markup does not
+    match at all and DROPS (documented contract, tested; a full
+    nested parse belongs to the html tokenizer, not a regexp).
     Anchors with empty labels drop.  Whitespace in the label is
     normalized to single spaces and trimmed, so the output is
     join-ready against token pipelines.
