@@ -1421,6 +1421,65 @@ def graph_html_anchors(spark, sf):
     return html_anchor_texts(_stage_html_pages(spark, sf))
 
 
+ROBOTS_RULES_PATH = os.path.join(_STAGE_DIR, "robots_rules.parquet")
+
+# synthetic per-host robots.txt (same body per host — the corpus urls
+# are /{lang}/a{doc_id}, so these rules bite on every shape: prefix
+# block with a longer-allow override, a $-anchored wildcard, a whole
+# language subtree, a specific-agent group shadowing the star group,
+# stacked user-agent lines, a comment, an empty Disallow)
+_ROBOTS_TXT = """\
+# synthetic robots for the gate
+User-agent: googlebot
+Disallow: /
+
+User-agent: origami
+
+User-agent: friendbot
+Disallow: /en/a1
+Allow: /en/a12*
+Disallow: /de/a*3$
+Disallow: /fr
+Disallow:
+
+User-agent: *
+Disallow: /es
+"""
+
+
+def _stage_robots_rules(spark, sf):
+    """Parse the synthetic robots bodies once per sf and stage the
+    rule table (host, allow, path, rule_len, pattern) — the trained-
+    artifact discipline: both engines consume the identical staged
+    parquet, so the regex strings can never drift between them.  The
+    parse itself is pytest-gated against an independent pure-Python
+    RFC 9309 reference (tests/test_robots.py)."""
+    from origami_spark.operators.hosts import host_of
+    from origami_spark.operators.robots import parse_robots
+
+    if _TRAIN_STAGED.get(ROBOTS_RULES_PATH) != sf:
+        hosts = (_stage_html_pages(spark, sf)
+                 .select(host_of("url").alias("host")).distinct())
+        robots = hosts.withColumn("content", F.lit(_ROBOTS_TXT))
+        parse_robots(robots, agent="origami").coalesce(1) \
+            .write.mode("overwrite").parquet(_staged(ROBOTS_RULES_PATH))
+        _TRAIN_STAGED[ROBOTS_RULES_PATH] = sf
+    return spark.read.parquet(ROBOTS_RULES_PATH)
+
+
+def robots_allowed(spark, sf):
+    """robots.txt gating (operators/robots.py, RFC 9309): per url the
+    longest matching path spec of its host wins, allow wins ties, no
+    match means allowed.  One equality join on host + a regex match +
+    a per-url max over matched pairs; the oracle evaluates the
+    identical staged rule table relationally."""
+    from origami_spark.operators.robots import robots_gate
+
+    pages = _stage_html_pages(spark, sf).select("url")
+    rules = _stage_robots_rules(spark, sf)
+    return robots_gate(pages, rules).select("url", "host", "allowed")
+
+
 def html_metadata(spark, sf):
     """Head-metadata harvest (operators/pagemeta.html_head_meta):
     title / declared charset / lead h1 / meta description / canonical
@@ -1697,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_html_pagerank": graph_html_pagerank,
         "graph_html_anchors": graph_html_anchors,
         "html_metadata": html_metadata,
+        "robots_allowed": robots_allowed,
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_countmin": sketch_countmin,
         "sketch_bloom": sketch_bloom,
@@ -3010,6 +3070,33 @@ def oracle_sql() -> dict[str, str]:
                     FROM m))
             SELECT src, dst, anchor FROM r
             WHERE dst IS NOT NULL AND dst <> src AND anchor <> ''""",
+        # the rules are the STAGED parse output (both engines read the
+        # identical parquet); the verdict is the RFC 9309 evaluation:
+        # longest matching spec, allow wins ties, no match -> allowed
+        "robots_allowed": f"""
+            WITH p AS (
+              SELECT url FROM '{HTML_PAGES_PATH}/*.parquet'),
+            u AS (
+              SELECT url,
+                     lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)',
+                       1)) AS host,
+                     coalesce(nullif(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^#]*)', 1),
+                       ''), '/') AS path
+              FROM p),
+            m AS (
+              SELECT u.url, r.allow,
+                     row_number() OVER (
+                       PARTITION BY u.url
+                       ORDER BY r.rule_len DESC, r.allow DESC) AS rk
+              FROM u
+              JOIN '{ROBOTS_RULES_PATH}/*.parquet' r ON u.host = r.host
+              WHERE regexp_matches(u.path, r.pattern)),
+            v AS (SELECT url, allow FROM m WHERE rk = 1)
+            SELECT u.url, u.host,
+                   coalesce(v.allow = 1, TRUE) AS allowed
+            FROM u LEFT JOIN v USING (url)""",
         # captures are [^<]*, so nested markup means no match; '' and
         # whitespace-only unify to NULL via the shared normalize
         "html_metadata": f"""

@@ -1,0 +1,158 @@
+"""robots.txt parsing and URL gating (RFC 9309 / the Google spec).
+
+Crawl-scale corpus pipelines must honor robots exclusions before a
+page enters the corpus (Common Crawl's own crawler does; corpus
+rebuilds re-check against fresher robots snapshots).  Two operators:
+
+* :func:`parse_robots` — ``(host, content)`` robots.txt bodies ->
+  the per-host rule table ``(host, allow, path, rule_len, pattern)``
+  for ONE crawler user-agent, entirely in Catalyst: a line explode,
+  a window-derived group id (consecutive ``User-agent`` lines stack
+  onto one group, RFC 9309 §2.2.1), group selection with
+  specific-agent precedence (if any group names our agent, ONLY those
+  groups apply; else the ``*`` groups), and a pattern translation
+  that turns the path spec's two metacharacters (``*`` wildcard,
+  trailing ``$`` anchor) into an RE2-safe/Java-safe regex with
+  everything else escaped literally.
+* :func:`robots_gate` — urls x rules -> ``allowed`` verdict: among
+  the host's rules whose pattern matches the url path, the LONGEST
+  path spec wins and a tie goes to ``allow`` (RFC 9309 §2.2.2); a
+  url with no matching rule (or no rules at all) is allowed.
+
+Scale shape: the rule table is keyed by host — small lists per host —
+so the gate is one equality join on the host (broadcast when the rule
+table fits, hash-join otherwise; either way per-url work is bounded
+by that host's rule count), a match filter, and one aggregation whose
+input is only the MATCHED (url, rule) pairs.  The parse touches each
+robots body once; bodies never shuffle, only their exploded directive
+lines (bounded by line count).
+
+Determinism/portability: rules are meant to be STAGED (a parquet
+side table, like the IVF centroids) and consumed by both engines;
+``pattern`` strings use only regex constructs Java and RE2 interpret
+identically (escaped literals, ``.*``, ``^``/``$`` anchors on
+newline-free url paths).
+
+Reference parity note: origami has no crawl grain; this extends the
+engine for crawl-scale curation (the urlfilter/hosts family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hosts import host_of
+
+__all__ = ["parse_robots", "robots_gate", "url_path"]
+
+
+def url_path(url_col) -> Column:
+    """Path-and-query part a robots rule matches against: everything
+    from the first ``/`` after the authority up to the fragment;
+    ``/`` when the url has no path.  Case-preserving (robots paths are
+    case-sensitive, unlike hosts)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    p = F.regexp_extract(
+        c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^#]*)", 1)
+    return F.coalesce(F.nullif(p, F.lit("")), F.lit("/"))
+
+
+def _pattern_expr(path_col) -> Column:
+    """Path spec -> anchored regex identical under Java and RE2:
+    a trailing ``$`` becomes an end anchor, every regex metacharacter
+    except ``*`` is backslash-escaped, ``*`` becomes ``.*``."""
+    anchored = path_col.endswith("$")
+    body = F.regexp_replace(path_col, r"\$$", "")  # strip the anchor
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), wild,
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
+def parse_robots(robots: DataFrame, agent: str, host_col: str = "host",
+                 content_col: str = "content") -> DataFrame:
+    """robots.txt bodies -> rule rows for ``agent``.
+
+    Output: ``host, allow (int 1/0), path (the raw spec), rule_len
+    (its length — the RFC's specificity measure), pattern (the
+    translated regex)``.  Directives outside any ``User-agent`` group
+    and empty path specs (``Disallow:`` = allow everything) emit no
+    rule; unknown directives are ignored.  Duplicate rules collapse.
+    """
+    agent_l = agent.lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("ln", "raw"),
+    )
+    cleaned = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    d = lines.select(
+        "host", "ln",
+        F.lower(F.regexp_extract(cleaned, "^([A-Za-z-]+):", 1)).alias("key"),
+        F.trim(F.regexp_extract(cleaned, "^[A-Za-z-]+:(.*)$", 1)).alias("val"),
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("ln")
+    is_ua = F.col("key") == "user-agent"
+    new_grp = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    d = d.withColumn(
+        "grp",
+        F.sum(new_grp.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+    gm = (
+        d.filter(is_ua)
+        .groupBy("host", "grp")
+        .agg(
+            F.max((F.lower("val") == agent_l).cast("int")).alias("m_spec"),
+            F.max((F.col("val") == "*").cast("int")).alias("m_star"),
+        )
+    )
+    hm = gm.groupBy("host").agg(F.max("m_spec").alias("has_spec"))
+    sel = (
+        gm.join(hm, "host")
+        .filter(((F.col("has_spec") == 1) & (F.col("m_spec") == 1))
+                | ((F.col("has_spec") == 0) & (F.col("m_star") == 1)))
+        .select("host", "grp")
+    )
+    rules = (
+        d.filter((~is_ua) & (F.col("val") != "") & (F.col("grp") >= 1))
+        .join(sel, ["host", "grp"])
+        .select(
+            "host",
+            F.when(F.col("key") == "allow", 1).otherwise(0).alias("allow"),
+            F.col("val").alias("path"),
+        )
+        .distinct()
+    )
+    return rules.select(
+        "host", "allow", "path",
+        F.length("path").cast("int").alias("rule_len"),
+        _pattern_expr(F.col("path")).alias("pattern"),
+    )
+
+
+def robots_gate(pages: DataFrame, rules: DataFrame,
+                url_col: str = "url") -> DataFrame:
+    """+ ``host``, ``allowed`` (boolean) per input row.
+
+    Verdict: longest matching path spec wins, ``allow`` wins a
+    specificity tie, no match (or unknown host) means allowed — the
+    RFC 9309 §2.2.2 evaluation, as one equality join on host + a
+    regex match filter + a per-url max over the matched pairs."""
+    p = pages.withColumn("host", host_of(url_col)) \
+             .withColumn("_path", url_path(url_col))
+    matched = (
+        p.select(F.col(url_col).alias("_u"), F.col("_path"), "host")
+        .join(rules, "host")
+        .filter(F.expr("_path rlike pattern"))
+        .groupBy("_u")
+        .agg(F.max(F.struct("rule_len", "allow")).alias("_m"))
+        .select("_u", (F.col("_m.allow") == 1).alias("_verdict"))
+    )
+    return (
+        p.join(matched, p[url_col] == matched["_u"], "left")
+        .withColumn("allowed", F.coalesce(F.col("_verdict"), F.lit(True)))
+        .drop("_u", "_verdict", "_path")
+    )

@@ -1,0 +1,172 @@
+"""robots.txt parse + gate (operators/robots.py) vs an independent
+pure-Python RFC 9309 reference."""
+
+import re
+
+from origami_spark.operators.robots import parse_robots, robots_gate, url_path
+
+ROBOTS = """\
+# synthetic robots fixture
+User-agent: googlebot
+Disallow: /
+
+User-agent: origami
+
+User-agent: friendbot
+Disallow: /en/a1
+Allow: /en/a12*
+Disallow: /de/a*3$
+Disallow: /fr
+Crawl-delay: 5
+Disallow:
+
+User-agent: *
+Disallow: /es
+"""
+
+NO_SPECIFIC = """\
+User-agent: googlebot
+Allow: /only-google
+User-agent: *
+Disallow: /private
+Disallow: /tmp*$
+"""
+
+
+def _ref_parse(content: str, agent: str):
+    groups, cur, last_ua = [], None, False
+    for raw in content.split("\n"):
+        line = re.sub("#.*", "", raw).strip()
+        m = re.match(r"^([A-Za-z-]+):(.*)$", line)
+        if not m or m.group(1).lower() not in ("user-agent", "allow",
+                                               "disallow"):
+            continue  # unknown directives/blanks neither join nor break
+        key, val = m.group(1).lower(), m.group(2).strip()
+        if key == "user-agent":
+            if not last_ua:
+                cur = {"agents": set(), "rules": set()}
+                groups.append(cur)
+            cur["agents"].add(val.lower())
+            last_ua = True
+        else:
+            last_ua = False
+            if val and cur is not None:
+                cur["rules"].add((1 if key == "allow" else 0, val))
+    spec = [g for g in groups if agent.lower() in g["agents"]]
+    star = [g for g in groups if "*" in g["agents"]]
+    chosen = spec if spec else star
+    out = set()
+    for g in chosen:
+        out |= g["rules"]
+    return out
+
+
+def _ref_allowed(path: str, rules) -> bool:
+    best = None
+    for allow, spec in rules:
+        anchored = spec.endswith("$")
+        body = spec[:-1] if anchored else spec
+        rx = ("^" + ".*".join(re.escape(p) for p in body.split("*"))
+              + ("$" if anchored else ""))
+        if re.search(rx, path):
+            key = (len(spec), allow)
+            if best is None or key > best:
+                best = key
+    return True if best is None else best[1] == 1
+
+
+def _rules_df(spark, content: str, agent: str, host: str = "h.com"):
+    robots = spark.createDataFrame([(host, content)],
+                                   "host string, content string")
+    return parse_robots(robots, agent)
+
+
+def test_parse_matches_reference(spark):
+    got = {(r["allow"], r["path"])
+           for r in _rules_df(spark, ROBOTS, "origami").collect()}
+    want = _ref_parse(ROBOTS, "origami")
+    assert got == want
+    # the specific groups exclude both googlebot's and the star rules
+    assert (0, "/") not in got and (0, "/es") not in got
+    # stacked User-agent lines share one group; empty Disallow and
+    # Crawl-delay emit nothing
+    assert (0, "/en/a1") in got and (1, "/en/a12*") in got
+
+
+def test_parse_falls_back_to_star(spark):
+    got = {(r["allow"], r["path"])
+           for r in _rules_df(spark, NO_SPECIFIC, "origami").collect()}
+    assert got == _ref_parse(NO_SPECIFIC, "origami")
+    assert got == {(0, "/private"), (0, "/tmp*$")}
+
+
+def test_parse_agent_match_is_case_insensitive(spark):
+    got = {(r["allow"], r["path"])
+           for r in _rules_df(spark, ROBOTS, "FriendBot").collect()}
+    assert got == _ref_parse(ROBOTS, "FriendBot")
+    assert (0, "/fr") in got
+
+
+def test_gate_verdicts_match_reference(spark):
+    rules = _rules_df(spark, ROBOTS, "origami")
+    urls = [
+        "https://h.com/en/a1",        # blocked: /en/a1 prefix
+        "https://h.com/en/a19",       # blocked: /en/a1 prefix
+        "https://h.com/en/a12",       # allowed: /en/a12* longer
+        "https://h.com/en/a123",      # allowed: /en/a12* longer
+        "https://h.com/en/a2",        # allowed: nothing matches
+        "https://h.com/de/a73",       # blocked: /de/a*3$ anchored
+        "https://h.com/de/a734",      # allowed: anchor fails
+        "https://h.com/fr/a5",        # blocked: /fr
+        "https://h.com/es/a5",        # allowed: star group not chosen
+        "https://h.com",              # allowed: path defaults to /
+        "https://other.net/fr/a5",    # allowed: unknown host
+    ]
+    pages = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["allowed"]
+           for r in robots_gate(pages, rules).collect()}
+    ref_rules = _ref_parse(ROBOTS, "origami")
+    for u in urls:
+        path = re.sub(r"^[a-z]+://[^/]*", "", u) or "/"
+        want = _ref_allowed(path, ref_rules) if "h.com" in u else True
+        assert got[u] is want, (u, got[u], want)
+    assert got["https://h.com/en/a1"] is False
+    assert got["https://h.com/en/a123"] is True
+    assert got["https://h.com/de/a73"] is False
+    assert got["https://h.com/de/a734"] is True
+
+
+def test_gate_allow_wins_specificity_tie(spark):
+    content = "User-agent: *\nDisallow: /x/a\nAllow: /x/b\n"
+    rules = _rules_df(spark, content, "origami")
+    # craft a tie: both specs have length 4 and both match /x/ab? no —
+    # use equal-length allow+disallow matching the same path
+    content = "User-agent: *\nDisallow: /doc*\nAllow: /doc/*\n"
+    rules = _rules_df(spark, content, "origami")
+    pages = spark.createDataFrame([("https://h.com/doc/1",)], "url string")
+    r = robots_gate(pages, rules).collect()[0]
+    # /doc* (len 5) vs /doc/* (len 6): longer allow wins
+    assert r["allowed"] is True
+    ref = _ref_parse(content, "origami")
+    assert _ref_allowed("/doc/1", ref) is True
+
+
+def test_url_path_extraction(spark):
+    rows = spark.createDataFrame(
+        [("https://h.com",), ("https://h.com/a/b?q=1#frag",),
+         ("https://user@h.com:8080/x",)], "url string"
+    ).select(url_path("url").alias("p")).collect()
+    assert [r["p"] for r in rows] == ["/", "/a/b?q=1", "/x"]
+
+
+def test_parse_partition_independent_no_udf(spark):
+    robots = spark.createDataFrame(
+        [(f"h{i}.com", ROBOTS) for i in range(20)],
+        "host string, content string")
+    a = sorted(map(tuple, parse_robots(robots, "origami").collect()))
+    b = sorted(map(tuple,
+                   parse_robots(robots.repartition(7), "origami").collect()))
+    assert a == b and len(a) > 0
+    plan = (parse_robots(robots, "origami")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
