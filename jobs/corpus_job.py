@@ -10,6 +10,7 @@
 Chains every stage of the training-data story on one DAG: WARC (or
 parquet pages, or the synthetic generator) -> optional URL blocklist
 gate (the cheapest filter — no text is read — so it runs FIRST) ->
+optional robots.txt gate (RFC 9309, url-grain, also pre-extraction) ->
 fused extraction -> token/quality gate -> optional corpus-LM gate ->
 exact dedup (keep-first per content digest) -> optional MinHash
 near-dup pruning -> size-targeted JSONL shards.
@@ -36,6 +37,7 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
                  dsir_ref=None, dsir_top: int = 0,
                  dsir_gumbel: bool = False, dsir_seed: str = "s0",
                  block_domains=None, block_terms=None,
+                 robots_rules=None,
                  shuffle_output: bool = False,
                  shuffle_seed: str = "s0") -> dict:
     """The corpus-build DAG; returns per-stage counts.
@@ -53,8 +55,8 @@ def build_corpus(spark, pages, out_dir: str, min_tokens: int = 20,
                              shard_mb, lm_max_bits, quality_ref,
                              quality_min_llr, dsir_ref, dsir_top,
                              dsir_gumbel, dsir_seed, block_domains,
-                             block_terms, shuffle_output, shuffle_seed,
-                             cached)
+                             block_terms, robots_rules, shuffle_output,
+                             shuffle_seed, cached)
     finally:
         # best-effort: a dead session makes unpersist itself raise —
         # that must neither mask the build's root-cause exception nor
@@ -74,8 +76,8 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
                   dedup_paragraphs, host_cap, shard_mb, lm_max_bits,
                   quality_ref, quality_min_llr,
                   dsir_ref, dsir_top, dsir_gumbel, dsir_seed,
-                  block_domains, block_terms, shuffle_output, shuffle_seed,
-                  cached) -> dict:
+                  block_domains, block_terms, robots_rules,
+                  shuffle_output, shuffle_seed, cached) -> dict:
     from pyspark.sql import functions as F
 
     from origami_spark.operators import dedup as D
@@ -109,6 +111,22 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
         cached.append(blocked_urls)
         pages = pages.join(F.broadcast(blocked_urls), "url", "left_anti")
         counts["after_url_blocklist"] = pages.count()
+
+    if robots_rules is not None:
+        # robots exclusion (RFC 9309) — url-grain like the blocklist,
+        # so it also runs before any html byte is read.  Only the url
+        # projection flows through the host-keyed rule join; the
+        # DISALLOWED url set (small by assumption — most pages are
+        # crawlable) comes back broadcast for a left-anti, so the page
+        # side with its html payloads never shuffles.
+        from origami_spark.operators.robots import robots_gate
+
+        verdicts = robots_gate(pages.select("url"), robots_rules)
+        robots_blocked = verdicts.filter(~F.col("allowed")) \
+            .select("url").cache()
+        cached.append(robots_blocked)
+        pages = pages.join(F.broadcast(robots_blocked), "url", "left_anti")
+        counts["after_robots"] = pages.count()
 
     extracted = (
         extract_fused(spark, pages)
@@ -406,6 +424,11 @@ def main(argv=None):
     ap.add_argument("--block-terms",
                     help="text file of blocked url terms, one per line "
                          "(case-insensitive substring match)")
+    ap.add_argument("--robots-rules",
+                    help="parquet dir of parsed robots rules (host, "
+                         "allow, path, rule_len, pattern — the "
+                         "parse_robots output): drop disallowed urls "
+                         "before extraction")
     ap.add_argument("--shard-mb", type=int, default=256)
     ap.add_argument("--shuffle-output", action="store_true",
                     help="export in deterministic global training order "
@@ -472,6 +495,8 @@ def main(argv=None):
                           dsir_seed=args.dsir_seed,
                           block_domains=block_domains,
                           block_terms=block_terms,
+                          robots_rules=(spark.read.parquet(args.robots_rules)
+                                        if args.robots_rules else None),
                           shuffle_output=args.shuffle_output,
                           shuffle_seed=args.shuffle_seed)
     print(json.dumps(counts))

@@ -440,3 +440,32 @@ def test_corpus_build_dsir_selection(spark, tmp_path):
     with pytest.raises(ValueError, match="dsir_top"):
         build_corpus(spark, src, str(tmp_path / "x"), min_tokens=5,
                      dsir_ref=spark.read.parquet(ref_dir))
+
+
+def test_corpus_job_robots_gate(spark, tmp_path):
+    """--robots-rules drops disallowed urls BEFORE extraction: blocked
+    paths never appear in the export, allowed ones survive, and the
+    stage count records the cut."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.operators.robots import parse_robots, robots_gate
+    from origami_spark.sources.corpus import pages_df
+
+    src = pages_df(spark, 40, num_partitions=2)
+    hosts = src.select(
+        F.regexp_extract("url", "://([^/]+)", 1).alias("host")).distinct()
+    robots = hosts.withColumn(
+        "content", F.lit("User-agent: *\nDisallow: /fr\nDisallow: /es\n"))
+    rules = parse_robots(robots, agent="origami")
+    n_blocked = robots_gate(src.select("url"), rules) \
+        .filter("NOT allowed").count()
+    assert n_blocked > 0
+
+    out = str(tmp_path / "corpus_rb")
+    counts = build_corpus(spark, src, out, min_tokens=5,
+                          robots_rules=rules)
+    assert counts["after_robots"] == counts["pages"] - n_blocked
+    back = spark.read.json(out)
+    assert back.filter(F.col("url").contains("/fr/")
+                       | F.col("url").contains("/es/")).count() == 0
+    assert back.count() > 0
