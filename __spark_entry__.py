@@ -1490,6 +1490,18 @@ def html_metadata(spark, sf):
     return html_head_meta(_stage_html_pages(spark, sf))
 
 
+def graph_anchor_topk(spark, sf):
+    """Per-target anchor profile (operators/graph.anchor_topk): the 3
+    most frequent anchor labels per link target under the total
+    (count desc, anchor asc) order — engine path uses the two-level
+    hash-group top-k so a mega-indegree target never sorts its whole
+    distinct-anchor set on one task; the oracle runs the
+    value-identical single-window form."""
+    from origami_spark.operators.graph import anchor_topk, html_anchor_texts
+
+    return anchor_topk(html_anchor_texts(_stage_html_pages(spark, sf)), k=3)
+
+
 def sketch_kmv_distinct(spark, sf):
     """Per-source distinct-token cardinality via the K-minimum-values
     sketch (operators/sketch.py, Bar-Yossef et al. 2002 / Beyer et al.
@@ -1755,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_html_links": graph_html_links,
         "graph_html_pagerank": graph_html_pagerank,
         "graph_html_anchors": graph_html_anchors,
+        "graph_anchor_topk": graph_anchor_topk,
         "html_metadata": html_metadata,
         "robots_allowed": robots_allowed,
         "sketch_kmv_distinct": sketch_kmv_distinct,
@@ -1837,6 +1850,42 @@ _GRAPH_EDGE_CTE = """ev AS (
               SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
               FROM seq WHERE src IS NOT NULL AND src <> dst
               GROUP BY 1, 2)"""
+
+
+def _anchors_cte() -> str:
+    """CTE chain ending in ``anchors(src, dst, anchor)`` — the oracle
+    mirror of operators/graph.html_anchor_texts, shared by the raw
+    harvest gate and the per-target top-k gate.  Two unnests from the
+    SAME pattern zip positionally in DuckDB, mirroring the engine's
+    arrays_zip of the two capture groups; regexp_replace needs the 'g'
+    flag (DuckDB default replaces only the first run, Spark all)."""
+    return f"""pages AS (
+              SELECT url, html FROM '{HTML_PAGES_PATH}/*.parquet'),
+            m AS (
+              SELECT url AS src,
+                     regexp_extract(url, '^(https?://[^/]+)', 1)
+                       AS origin,
+                     unnest(regexp_extract_all(html,
+                       '<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>',
+                       1)) AS href,
+                     unnest(regexp_extract_all(html,
+                       '<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>',
+                       2)) AS label
+              FROM pages),
+            r AS (
+              SELECT src,
+                     CASE WHEN h LIKE 'http://%' OR h LIKE 'https://%'
+                            THEN h
+                          WHEN h LIKE '/%' THEN origin || h
+                          ELSE NULL END AS dst,
+                     trim(regexp_replace(label,
+                          '[ \t\n\r\f]+', ' ', 'g')) AS anchor
+              FROM (SELECT src, origin, str_split(href, '#')[1] AS h,
+                           label
+                    FROM m)),
+            anchors AS (
+              SELECT src, dst, anchor FROM r
+              WHERE dst IS NOT NULL AND dst <> src AND anchor <> '')"""
 
 
 def _html_edge_cte(hashed: bool) -> str:
@@ -3039,37 +3088,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, weight FROM edges""",
         "graph_html_pagerank": _pagerank_oracle_sql(
             iters=4, edge_cte=_html_edge_cte(hashed=True)),
-        # two unnests from the SAME pattern zip positionally in DuckDB,
-        # mirroring the engine's arrays_zip of the two capture groups;
-        # regexp_replace needs the 'g' flag (DuckDB default replaces
-        # only the first run, Spark replaces all)
         "graph_html_anchors": f"""
-            WITH pages AS (
-              SELECT url, html FROM '{HTML_PAGES_PATH}/*.parquet'),
-            m AS (
-              SELECT url AS src,
-                     regexp_extract(url, '^(https?://[^/]+)', 1)
-                       AS origin,
-                     unnest(regexp_extract_all(html,
-                       '<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>',
-                       1)) AS href,
-                     unnest(regexp_extract_all(html,
-                       '<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>',
-                       2)) AS label
-              FROM pages),
-            r AS (
-              SELECT src,
-                     CASE WHEN h LIKE 'http://%' OR h LIKE 'https://%'
-                            THEN h
-                          WHEN h LIKE '/%' THEN origin || h
-                          ELSE NULL END AS dst,
-                     trim(regexp_replace(label,
-                          '[ \t\n\r\f]+', ' ', 'g')) AS anchor
-              FROM (SELECT src, origin, str_split(href, '#')[1] AS h,
-                           label
-                    FROM m))
-            SELECT src, dst, anchor FROM r
-            WHERE dst IS NOT NULL AND dst <> src AND anchor <> ''""",
+            WITH {_anchors_cte()}
+            SELECT src, dst, anchor FROM anchors""",
+        # the single-window rank is the oracle formulation; the engine
+        # runs the value-identical two-level split
+        "graph_anchor_topk": f"""
+            WITH {_anchors_cte()},
+            c AS (
+              SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n
+              FROM anchors GROUP BY dst, anchor),
+            rr AS (
+              SELECT dst, anchor, n,
+                     CAST(row_number() OVER (
+                       PARTITION BY dst
+                       ORDER BY n DESC, anchor) AS BIGINT) AS rk
+              FROM c)
+            SELECT dst, anchor, n, rk FROM rr WHERE rk <= 3""",
         # the rules are the STAGED parse output (both engines read the
         # identical parquet); the verdict is the RFC 9309 evaluation:
         # longest matching spec, allow wins ties, no match -> allowed

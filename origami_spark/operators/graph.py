@@ -179,6 +179,41 @@ def html_anchor_texts(pages: DataFrame, url_col: str = "url",
     )
 
 
+def anchor_topk(anchors: DataFrame, k: int = 3, salt: int = 64) -> DataFrame:
+    """Per-target anchor-text profile: the ``k`` most frequent labels
+    pointing at each dst — the aggregation that turns the raw anchor
+    harvest (:func:`html_anchor_texts`) into a per-target text
+    surrogate (anchor-text corpora for retrieval training / link-
+    context document expansion).
+
+    Output: ``dst, anchor, n (bigint), rk (bigint)`` with ``rk <= k``
+    under the total order (n desc, anchor asc).
+
+    Plan: one ``groupBy(dst, anchor)`` count (map-side combine), then
+    the two-level deterministic top-k (the host_cap/bm25 recipe): a
+    single per-dst window would sort a mega-indegree target's whole
+    distinct-anchor set on one task; phase 1 ranks within
+    ``(dst, hash-of-anchor % salt)`` and keeps k, phase 2 ranks the
+    <= salt*k survivors.  Value-identical to the single-window form
+    (any global top-k member is its group's top-k member), which
+    stays the oracle formulation.
+    """
+    c = (
+        anchors.groupBy("dst", "anchor")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w1 = Window.partitionBy("dst", "_g").orderBy(F.desc("n"), F.asc("anchor"))
+    w2 = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("anchor"))
+    return (
+        c.withColumn("_g", F.pmod(F.xxhash64("anchor"), F.lit(salt)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("dst", "anchor", "n", "rk")
+    )
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """Per-node degree/strength table in ONE aggregation shuffle.
 

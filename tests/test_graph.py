@@ -188,3 +188,43 @@ def test_html_anchor_texts(spark):
         ("https://a.com/x", "First Link"),
         ("https://o.net/p", "with tabs here"),
     ]
+
+
+def test_anchor_topk_two_level_equals_single_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    from origami_spark.operators.graph import anchor_topk
+
+    rows = []
+    # dst "hot": anchors a0..a9 with counts 10..1; dst "cold": one
+    for i in range(10):
+        rows += [("hot", f"a{i}")] * (10 - i)
+    rows.append(("cold", "only"))
+    anchors = spark.createDataFrame(
+        [("s", d, a) for d, a in rows], "src string, dst string, anchor string")
+
+    got = sorted(map(tuple, anchor_topk(anchors, k=3, salt=4).collect()))
+    # oracle-form single window over the same counts
+    c = anchors.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("anchor"))
+    want = sorted(map(tuple, (
+        c.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3).collect())))
+    assert got == want
+    assert ("hot", "a0", 10, 1) in got and ("cold", "only", 1, 1) in got
+    # partition independence
+    again = sorted(map(tuple, anchor_topk(
+        anchors.repartition(7), k=3, salt=4).collect()))
+    assert again == got
+
+
+def test_anchor_topk_tie_breaks_by_anchor(spark):
+    from origami_spark.operators.graph import anchor_topk
+
+    anchors = spark.createDataFrame(
+        [("s", "d", a) for a in ["zz", "aa", "mm"]],
+        "src string, dst string, anchor string")
+    got = [(r["anchor"], r["rk"]) for r in
+           sorted(anchor_topk(anchors, k=2).collect(), key=lambda r: r["rk"])]
+    assert got == [("aa", 1), ("mm", 2)]  # equal counts: lexicographic
