@@ -139,20 +139,36 @@ def robots_gate(pages: DataFrame, rules: DataFrame,
 
     Verdict: longest matching path spec wins, ``allow`` wins a
     specificity tie, no match (or unknown host) means allowed — the
-    RFC 9309 §2.2.2 evaluation, as one equality join on host + a
-    regex match filter + a per-url max over the matched pairs."""
-    p = pages.withColumn("host", host_of(url_col)) \
-             .withColumn("_path", url_path(url_col))
-    matched = (
-        p.select(F.col(url_col).alias("_u"), F.col("_path"), "host")
-        .join(rules, "host")
-        .filter(F.expr("_path rlike pattern"))
-        .groupBy("_u")
-        .agg(F.max(F.struct("rule_len", "allow")).alias("_m"))
-        .select("_u", (F.col("_m.allow") == 1).alias("_verdict"))
+    RFC 9309 §2.2.2 evaluation.
+
+    Plan shape: the rule table folds to ONE array row per host
+    (bounded — robots bodies are small) and broadcast-joins the page
+    side, which then evaluates its verdict per row with a
+    filter + max-fold over the host's rule array.  The corpus is
+    never hash-exchanged and there is no verdict re-join — the
+    earlier matched-pairs formulation remains the relational/DuckDB
+    oracle shape.  The fold is a pure maximum under the total
+    ``(rule_len, allow)`` order, so the (unordered) collect_list
+    cannot affect the result."""
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("rule_len", "allow", "pattern"))
+        .alias("_rules"))
+    p = (
+        pages.withColumn("host", host_of(url_col))
+        .withColumn("_path", url_path(url_col))
+        .join(F.broadcast(per_host), "host", "left")
     )
+    best = F.expr("""
+        aggregate(
+          filter(_rules, r -> _path rlike r.pattern),
+          named_struct('len', -1, 'allow', 1),
+          (acc, r) -> IF(r.rule_len > acc.len
+                         OR (r.rule_len = acc.len AND r.allow > acc.allow),
+                         named_struct('len', r.rule_len, 'allow', r.allow),
+                         acc))
+    """)
     return (
-        p.join(matched, p[url_col] == matched["_u"], "left")
-        .withColumn("allowed", F.coalesce(F.col("_verdict"), F.lit(True)))
-        .drop("_u", "_verdict", "_path")
+        p.withColumn("allowed",
+                     F.coalesce(best.getField("allow") == 1, F.lit(True)))
+        .drop("_rules", "_path")
     )

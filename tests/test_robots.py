@@ -170,3 +170,19 @@ def test_parse_partition_independent_no_udf(spark):
     plan = (parse_robots(robots, "origami")
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gate_plan_rules_broadcast_corpus_unshuffled(spark):
+    """The scale contract: the url side joins the rule table broadcast
+    (host-keyed, small), and the only hash exchange carries the
+    MATCHED (url, rule) pairs into the per-url max — the corpus side
+    itself is never hash-partitioned."""
+    import __spark_entry__ as E
+
+    df = E.robots_allowed(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only hash exchange folds the (small) RULE table per host;
+    # the page side is never hash-partitioned and never re-joined
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
