@@ -120,3 +120,24 @@ def test_plan_no_python_udf_and_two_exchanges(spark):
     # explode -> (doc_id, bucket) agg is one exchange; the norm window,
     # zero-filter, and dense assembly all reuse the doc_id partitioning
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_vectors_feed_semantic_dedup(spark):
+    """End-to-end text -> hashed vectors -> k-means -> SemDeDup: the
+    exact-duplicate doc pair lands in one cluster with cosine 1.0."""
+    from origami_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        train_ivf_centroids,
+    )
+
+    dim = 32
+    emb = hashed_embedding_vectors(_docs_df(spark), dim=dim)
+    cents = train_ivf_centroids(emb, n_clusters=2, iters=2, dim=dim)
+    cdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in c],
+          float(sum(float(v) * float(v) for v in c)))
+         for i, c in enumerate(cents)],
+        "cluster int, centroid array<double>, c_sq double")
+    pairs = semantic_dedup_pairs(emb, cdf, threshold=0.95).collect()
+    assert [(r["vec_a"], r["vec_b"], r["cosine"])
+            for r in pairs] == [(1, 2, 1.0)]
