@@ -59,8 +59,10 @@ def hashed_embedding_rows(docs: DataFrame, dim: int = 64,
     ``hash60('g|' || token)``).  Duplicate tokens count multiply —
     term frequency, the standard hashing-trick setup.  A doc with no
     tokens emits nothing; a bucket whose signs cancel to 0 drops (it
-    is not a coordinate of the sparse vector)."""
-    tok = docs.select(
+    is not a coordinate of the sparse vector).  NULL-id rows drop (the
+    sampling-module convention) — without the guard every NULL-id doc
+    would aggregate into ONE garbage vector."""
+    tok = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(text_col)).alias("tok"),
     )

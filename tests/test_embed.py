@@ -141,3 +141,13 @@ def test_vectors_feed_semantic_dedup(spark):
     pairs = semantic_dedup_pairs(emb, cdf, threshold=0.95).collect()
     assert [(r["vec_a"], r["vec_b"], r["cosine"])
             for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_null_ids_drop_instead_of_merging(spark):
+    """Without the guard, every NULL-id doc would fold into one
+    garbage vector."""
+    docs = spark.createDataFrame(
+        [(None, "alpha beta"), (None, "gamma delta"), (7, "alpha beta")],
+        "doc_id bigint, text string")
+    rows = hashed_embedding_rows(docs, dim=8).collect()
+    assert {r["doc_id"] for r in rows} == {7}
