@@ -955,6 +955,16 @@ def text_chunks(spark, sf):
                              overlap=40)
 
 
+def text_sentences(spark, sf):
+    """Deterministic sentence segmentation (operators/text.
+    split_sentences): maximal non-terminator runs plus their trailing
+    .!? run, edge-stripped, dense 0-based ids — one RE2-safe regexp
+    pass, zero exchanges; the oracle runs the identical pattern."""
+    from origami_spark.operators.text import split_sentences
+
+    return split_sentences(_t(spark, sf, "documents"))
+
+
 def text_hash_embedding(spark, sf):
     """Feature-hashing document embeddings (operators/embed.py,
     Weinberger et al. 2009) in sparse form: one row per non-zero
@@ -1785,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": ann_pq_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "text_token_stats": text_token_stats,
+        "text_sentences": text_sentences,
         "text_hash_embedding": text_hash_embedding,
         "text_bpe_pretokens": text_bpe_pretokens,
         "text_bpe_encode": text_bpe_encode,
@@ -2711,6 +2722,18 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(list_transform(t, x -> length(x))) * 1.0
                          / greatest(len(t), 1), 4) AS mean_token_len
             FROM toks""",
+        "text_sentences": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                       x -> regexp_replace(x,
+                         '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g')),
+                       x -> x <> '') AS arr
+              FROM documents WHERE doc_id IS NOT NULL)
+            SELECT doc_id, CAST(i - 1 AS INT) AS sent_id,
+                   arr[CAST(i AS INT)] AS sentence
+            FROM s, LATERAL unnest(generate_series(1, len(arr))) AS g(i)""",
         # integer bucket-sign counts; the only floats are sqrt of an
         # integer and one division, then the shared floor quantization
         # -- all exact-IEEE, so weights hash-match bit-for-bit

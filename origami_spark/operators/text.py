@@ -254,6 +254,42 @@ def chunk_documents(docs: DataFrame, size: int = 512,
     )
 
 
+def split_sentences(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic sentence segmentation — the grain between
+    documents (dedup, LM gates) and tokens (BPE, stats): sentence
+    corpora for alignment-style training, sentence-level dedup, and
+    boundary-aware chunking all start here.
+
+    A sentence is a maximal run of non-terminators plus its trailing
+    ``.!?`` run (``[^.!?]+[.!?]*`` — RE2-safe, no lookbehind, which
+    RE2/DuckDB lacks), edge-whitespace-stripped; empty results drop
+    INSIDE the array so ``sent_id`` stays dense from 0 without a
+    window.  A terminator-only prefix (a doc starting "...x") has no
+    sentence to attach to and drops — documented contract.
+
+    Output: ``(doc_id, sent_id int, sentence)``.  Pure projection:
+    one regexp pass + posexplode, zero exchanges at any corpus size.
+    NULL-id rows drop (the sampling-module convention).
+    """
+    arr = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0),
+            lambda x: F.regexp_replace(
+                x, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", ""),
+        ),
+        lambda x: x != "",
+    )
+    return (
+        docs.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"),
+                F.posexplode(arr).alias("sent_id", "sentence"))
+        .select("doc_id", F.col("sent_id").cast("int").alias("sent_id"),
+                "sentence")
+    )
+
+
 def phrase_scores(docs: DataFrame, min_count: int = 3,
                   delta: int = 1, scale: int = 1_000_000,
                   text_col: str = "text") -> DataFrame:

@@ -173,3 +173,46 @@ def test_phrase_scores_rejects_negative_numerator(spark):
     docs = spark.createDataFrame([("a b",)], "text string")
     with _pt.raises(ValueError):
         phrase_scores(docs, min_count=1, delta=1)
+
+
+def test_split_sentences_reference_and_contracts(spark):
+    import re as _re
+
+    from origami_spark.operators.text import split_sentences
+
+    def ref(text):
+        out = []
+        for m in _re.findall(r"[^.!?]+[.!?]*", text):
+            s = _re.sub(r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", "", m)
+            if s:
+                out.append(s)
+        return out
+
+    docs = [
+        (1, "One. Two sentences!  Three?No space.\nFour across\nlines."),
+        (2, "No terminator at all"),
+        (3, "...leading dots then text. Tail"),
+        (4, ""),
+        (5, "   "),
+        (6, "Ellipsis... attaches!  Right?"),
+        (None, "dropped. rows."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {}
+    for r in split_sentences(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["sent_id"], r["sentence"]))
+    want = {d: list(enumerate(ref(t)))
+            for d, t in docs if d is not None and ref(t)}
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == want
+    assert got[1][0] == (0, "One.")
+    assert got[2] == [(0, "No terminator at all")]
+    assert got[6][0] == (0, "Ellipsis...")
+    assert 4 not in got and 5 not in got and None not in got
+
+    # partition independence + zero-shuffle plan
+    a = sorted(map(tuple, split_sentences(df).collect()))
+    b = sorted(map(tuple, split_sentences(df.repartition(5)).collect()))
+    assert a == b
+    plan = split_sentences(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
