@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "sketch_hist_quantile",
     "text_phrases",
     "text_hash_embedding",
+    "text_sentences",
+    "sample_upsample",
+    "html_metadata",
+    "robots_allowed",
+    "graph_anchor_topk",
 ]
 
 # queries whose first call trains + stages a model artifact that the
@@ -83,7 +88,10 @@ BENCH_QUERIES = [
 # number is the serving path (training is the documented
 # run-on-a-sample step at real scale)
 WARM_FIRST = {"ann_pq_topk", "ann_ivfpq_topk", "text_bm25_topk",
-              "text_classifier_score", "text_dsir_score"}
+              "text_classifier_score", "text_dsir_score",
+              # first call stages the derived html pages / parsed
+              # robots rules parquet; the timed run measures the query
+              "html_metadata", "robots_allowed", "graph_anchor_topk"}
 
 
 # this sandbox is a shared-host VM: /proc/stat's steal field counts
