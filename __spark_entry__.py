@@ -1500,6 +1500,16 @@ def html_metadata(spark, sf):
     return html_head_meta(_stage_html_pages(spark, sf))
 
 
+def graph_host_edges(spark, sf):
+    """Host-grain webgraph rollup (operators/graph.host_edges): the
+    page-level href graph aggregated to the host/domain form Common
+    Crawl publishes — intra-site edges dropped, multiplicities
+    summed, one bounded aggregation."""
+    from origami_spark.operators.graph import host_edges, html_link_edges
+
+    return host_edges(html_link_edges(_stage_html_pages(spark, sf)))
+
+
 def graph_anchor_topk(spark, sf):
     """Per-target anchor profile (operators/graph.anchor_topk): the 3
     most frequent anchor labels per link target under the total
@@ -1778,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_html_pagerank": graph_html_pagerank,
         "graph_html_anchors": graph_html_anchors,
         "graph_anchor_topk": graph_anchor_topk,
+        "graph_host_edges": graph_host_edges,
         "html_metadata": html_metadata,
         "robots_allowed": robots_allowed,
         "sketch_kmv_distinct": sketch_kmv_distinct,
@@ -3114,6 +3125,22 @@ def oracle_sql() -> dict[str, str]:
         "graph_html_anchors": f"""
             WITH {_anchors_cte()}
             SELECT src, dst, anchor FROM anchors""",
+        "graph_host_edges": f"""
+            WITH {_html_edge_cte(hashed=False)},
+            he AS (
+              SELECT lower(regexp_extract(src,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)',
+                       1)) AS hsrc,
+                     lower(regexp_extract(dst,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)',
+                       1)) AS hdst,
+                     weight
+              FROM edges)
+            SELECT hsrc AS src, hdst AS dst,
+                   CAST(sum(weight) AS BIGINT) AS weight
+            FROM he
+            WHERE hsrc <> '' AND hdst <> '' AND hsrc <> hdst
+            GROUP BY hsrc, hdst""",
         # the single-window rank is the oracle formulation; the engine
         # runs the value-identical two-level split
         "graph_anchor_topk": f"""

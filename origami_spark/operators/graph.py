@@ -179,6 +179,33 @@ def html_anchor_texts(pages: DataFrame, url_col: str = "url",
     )
 
 
+def host_edges(edges: DataFrame) -> DataFrame:
+    """Roll the page-level link graph up to HOST grain — the form
+    Common Crawl actually publishes its webgraphs in (host/domain
+    graphs with summed edge multiplicities): ``(src, dst, weight)``
+    urls -> ``(src, dst, weight)`` hosts, same-host (intra-site) edges
+    dropped, multiplicities summed.
+
+    One bounded aggregation over the edge list (map-side combine; the
+    result has at most |hosts|² rows and in practice ~links-per-site
+    × hosts).  Compose with :func:`degrees` / :func:`pagerank` for
+    host centrality — the curation signal operators/hosts.py consumes.
+    """
+    from .hosts import host_of
+
+    return (
+        edges.select(
+            host_of("src").alias("src"),
+            host_of("dst").alias("dst"),
+            F.col("weight").cast("bigint").alias("weight"),
+        )
+        .filter((F.col("src") != "") & (F.col("dst") != "")
+                & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").cast("bigint").alias("weight"))
+    )
+
+
 def anchor_topk(anchors: DataFrame, k: int = 3, salt: int = 64) -> DataFrame:
     """Per-target anchor-text profile: the ``k`` most frequent labels
     pointing at each dst — the aggregation that turns the raw anchor

@@ -228,3 +228,19 @@ def test_anchor_topk_tie_breaks_by_anchor(spark):
     got = [(r["anchor"], r["rk"]) for r in
            sorted(anchor_topk(anchors, k=2).collect(), key=lambda r: r["rk"])]
     assert got == [("aa", 1), ("mm", 2)]  # equal counts: lexicographic
+
+
+def test_host_edges_rollup(spark):
+    from origami_spark.operators.graph import host_edges
+
+    edges = spark.createDataFrame([
+        ("https://a.com/1", "https://b.net/x", 2),
+        ("https://a.com/2", "https://b.net/y", 3),   # same host pair: sums
+        ("https://a.com/1", "https://a.com/2", 9),   # intra-site: dropped
+        ("https://A.COM/3", "https://c.org/z", 1),   # host lower-cases
+        ("not-a-url", "https://b.net/x", 5),         # empty host: dropped
+    ], "src string, dst string, weight bigint")
+    got = sorted(map(tuple, host_edges(edges).collect()))
+    assert got == [("a.com", "b.net", 5), ("a.com", "c.org", 1)]
+    again = sorted(map(tuple, host_edges(edges.repartition(4)).collect()))
+    assert again == got
