@@ -49,6 +49,7 @@ def stream_corpus(
     near_dup_index_dir: str | None = None,
     min_sig_agreement: float = 0.5,
     near_dup_max_bucket: int | None = 128,
+    robots_rules: DataFrame | None = None,
 ):
     """Start the continuous corpus query; returns the handle.
 
@@ -101,6 +102,19 @@ def stream_corpus(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if robots_rules is not None:
+            # robots exclusion (RFC 9309) — url-grain, so it gates
+            # BEFORE extraction like the batch job's flag.  The rule
+            # table is a static side input: robots_gate folds it to a
+            # broadcast per-host array, so the micro-batch never
+            # shuffles for the verdict.
+            from ..operators.robots import robots_gate
+
+            one = (
+                robots_gate(one, robots_rules)
+                .filter(F.col("allowed"))
+                .drop("host", "allowed")
+            )
         # extract_fused emits (url, text, spans); carry warc_ts along
         # from the batch for the export surface.  Cache: `gated` joins
         # two frames derived from `extracted`, and without the cache

@@ -496,3 +496,43 @@ def test_stream_near_dup_untouched_buckets_pruned_and_irrelevant(spark,
     assert [r["url"] for r in out.collect()] == ["u1"]
     # and its own rows landed under batch_id=1 as usual
     assert spark.read.parquet(f"{idx_dir}/batch_id=1").count() == 4
+
+
+def test_stream_corpus_robots_gate(spark, tmp_path):
+    """robots_rules gates urls BEFORE extraction inside the stream:
+    disallowed language subtrees never land, allowed pages match the
+    ungated run minus the blocked set."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.operators.robots import parse_robots, robots_gate
+    from origami_spark.streaming.corpus import stream_corpus
+
+    land = str(tmp_path / "rb_land")
+    out = str(tmp_path / "rb_out")
+    ckpt = str(tmp_path / "rb_ckpt")
+    pages = pages_df(spark, 40, num_partitions=2).cache()
+    pages.write.mode("append").parquet(land)
+
+    hosts = pages.select(
+        F.regexp_extract("url", "://([^/]+)", 1).alias("host")).distinct()
+    rules = parse_robots(
+        hosts.withColumn(
+            "content", F.lit("User-agent: *\nDisallow: /fr\nDisallow: /es\n")),
+        agent="origami").cache()
+    blocked = {r["url"] for r in robots_gate(pages.select("url"), rules)
+               .filter("NOT allowed").collect()}
+    assert blocked
+
+    q = stream_corpus(spark, land, out, ckpt, min_tokens=5,
+                      max_files_per_trigger=2, available_now=True,
+                      robots_rules=rules)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    got_urls = {r["url"] for r in got.select("url").collect()}
+    assert not (got_urls & blocked)
+    assert got.filter(F.col("url").contains("/fr/")
+                      | F.col("url").contains("/es/")).count() == 0
+    assert got.count() > 0
+    pages.unpersist()
+    rules.unpersist()
