@@ -955,6 +955,16 @@ def text_chunks(spark, sf):
                              overlap=40)
 
 
+def text_readability(spark, sf):
+    """Flesch-Kincaid grade (operators/text.readability): integer
+    word/sentence/vowel-group counts from the shared tokenizer and
+    sentence pattern, one exact-IEEE expression tree quantized by the
+    floor form — the oracle reproduces the grade bit-for-bit."""
+    from origami_spark.operators.text import readability
+
+    return readability(_t(spark, sf, "documents"))
+
+
 def text_sentences(spark, sf):
     """Deterministic sentence segmentation (operators/text.
     split_sentences): maximal non-terminator runs plus their trailing
@@ -1807,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "text_token_stats": text_token_stats,
         "text_sentences": text_sentences,
+        "text_readability": text_readability,
         "text_hash_embedding": text_hash_embedding,
         "text_bpe_pretokens": text_bpe_pretokens,
         "text_bpe_encode": text_bpe_encode,
@@ -2733,6 +2744,29 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(list_transform(t, x -> length(x))) * 1.0
                          / greatest(len(t), 1), 4) AS mean_token_len
             FROM toks""",
+        # list_sum of an empty list is NULL in DuckDB (Spark's
+        # aggregate fold starts at 0) -> coalesce; grade NULL when a
+        # count is zero rather than a division artifact
+        "text_readability": f"""
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(len({_TOKENS}) AS BIGINT) AS n_words,
+                     CAST(len(list_filter(list_transform(
+                       regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                       x -> regexp_replace(x,
+                         '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g')),
+                       x -> x <> '')) AS BIGINT) AS n_sentences,
+                     CAST(coalesce(list_sum(list_transform({_TOKENS},
+                       x -> greatest(len(regexp_extract_all(x,
+                         '[aeiouy]+')), 1))), 0) AS BIGINT) AS n_syllables
+              FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+                     floor((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                            + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                            - 15.59) * 1e4 + 0.5) / 1e4
+                   END AS fk_grade
+            FROM b""",
         "text_sentences": """
             WITH s AS (
               SELECT doc_id,

@@ -290,6 +290,63 @@ def split_sentences(docs: DataFrame, text_col: str = "text",
     )
 
 
+def readability(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Flesch-Kincaid grade level (Kincaid et al. 1975 — the classic
+    readability signal corpus-quality recipes bin on):
+    ``0.39 * words/sentences + 11.8 * syllables/words - 15.59``.
+
+    All three inputs are INTEGER counts from shared machinery — words
+    from the repo tokenizer, sentences from the :func:`split_sentences`
+    pattern (count of matches), syllables per word approximated as
+    vowel-group runs ``[aeiouy]+`` with a minimum of 1 (the standard
+    heuristic; exact syllabification needs a dictionary).  The grade
+    is one fixed expression tree over two exact integer divisions'
+    doubles, quantized via the shared ``floor(x*1e4+0.5)/1e4`` form, so
+    the DuckDB oracle reproduces it bit-for-bit.  Empty docs (no words
+    or no sentences) carry NULL grade rather than a division artifact.
+
+    Output: ``(doc_id, n_words, n_sentences, n_syllables,
+    fk_grade)``.  Pure projection: zero exchanges at any scale.
+    """
+    toks = tokens_col(text_col)
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0),
+            lambda x: F.regexp_replace(
+                x, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", ""),
+        ),
+        lambda x: x != "",
+    )
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.greatest(
+            F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0)),
+            F.lit(1),
+        ),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(sents).cast("bigint").alias("n_sentences"),
+        syl.alias("n_syllables"),
+    )
+    grade = (
+        F.lit(0.39) * (F.col("n_words").cast("double")
+                       / F.col("n_sentences").cast("double"))
+        + F.lit(11.8) * (F.col("n_syllables").cast("double")
+                         / F.col("n_words").cast("double"))
+        - F.lit(15.59)
+    )
+    return base.withColumn(
+        "fk_grade",
+        F.when((F.col("n_words") > 0) & (F.col("n_sentences") > 0),
+               F.floor(grade * 1e4 + F.lit(0.5)) / 1e4),
+    )
+
+
 def phrase_scores(docs: DataFrame, min_count: int = 3,
                   delta: int = 1, scale: int = 1_000_000,
                   text_col: str = "text") -> DataFrame:

@@ -216,3 +216,42 @@ def test_split_sentences_reference_and_contracts(spark):
     assert a == b
     plan = split_sentences(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_readability_reference_and_edges(spark):
+    import math as _m
+    import re as _re
+
+    from origami_spark.operators.text import readability
+
+    def ref(text):
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        sents = [s for s in (_re.sub(r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", "", m)
+                             for m in _re.findall(r"[^.!?]+[.!?]*", text))
+                 if s]
+        syl = sum(max(len(_re.findall(r"[aeiouy]+", t)), 1) for t in toks)
+        if not toks or not sents:
+            return len(toks), len(sents), syl, None
+        g = 0.39 * (len(toks) / len(sents)) + 11.8 * (syl / len(toks)) - 15.59
+        return len(toks), len(sents), syl, _m.floor(g * 1e4 + 0.5) / 1e4
+
+    docs = [
+        (1, "The cat sat. It was happy! Simple words are easy to read."),
+        (2, "Multisyllabic circumlocution invariably obfuscates "
+            "comprehensibility notwithstanding authorial intentionality."),
+        (3, "no terminator here"),
+        (4, ""),
+        (5, "...!!!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_sentences"], r["n_syllables"],
+                         r["fk_grade"])
+           for r in readability(df).collect()}
+    for d, t in docs:
+        assert got[d] == ref(t), (d, got[d], ref(t))
+    # the long-word doc grades far above the simple one
+    assert got[2][3] > got[1][3] + 5
+    assert got[4][3] is None and got[5][3] is None
+
+    plan = readability(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
