@@ -173,10 +173,9 @@ def test_parse_partition_independent_no_udf(spark):
 
 
 def test_gate_plan_rules_broadcast_corpus_unshuffled(spark):
-    """The scale contract: the url side joins the rule table broadcast
-    (host-keyed, small), and the only hash exchange carries the
-    MATCHED (url, rule) pairs into the per-url max — the corpus side
-    itself is never hash-partitioned."""
+    """The scale contract: the rule table folds per host and joins the
+    url side broadcast; the verdict is a per-row array fold, so the
+    corpus side is never hash-partitioned and never re-joined."""
     import __spark_entry__ as E
 
     df = E.robots_allowed(spark, "/root/testdata/sf0.001")
@@ -186,3 +185,33 @@ def test_gate_plan_rules_broadcast_corpus_unshuffled(spark):
     # the page side is never hash-partitioned and never re-joined
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_parse_fuzz_against_reference(spark):
+    """30 seeded random robots bodies (stacked/empty groups, comments,
+    unknown directives, empty values, mixed case, blank lines) parsed
+    in ONE Spark pass and compared host-by-host with the pure-Python
+    reference."""
+    import random
+
+    rng = random.Random(20260818)
+    lines = [
+        "User-agent: origami", "User-agent: *", "User-agent: other",
+        "USER-AGENT: OrIgAmI", "user-agent: friendbot",
+        "Disallow: /a", "Disallow: /a/b*", "Disallow: /c$", "Disallow:",
+        "Allow: /a/b/c", "Allow: /", "allow: /x*y$",
+        "Crawl-delay: 7", "Sitemap: https://x/s.xml", "# comment only",
+        "", "   ", "garbage line no colon", "Disallow: /q # trailing",
+    ]
+    bodies = {
+        f"h{i}.net": "\n".join(rng.choice(lines)
+                               for _ in range(rng.randint(0, 25)))
+        for i in range(30)
+    }
+    robots = spark.createDataFrame(list(bodies.items()),
+                                   "host string, content string")
+    got: dict = {h: set() for h in bodies}
+    for r in parse_robots(robots, "origami").collect():
+        got[r["host"]].add((r["allow"], r["path"]))
+    for h, content in bodies.items():
+        assert got[h] == _ref_parse(content, "origami"), (h, content)
