@@ -563,6 +563,18 @@ def dedup_embedding_lsh(spark, sf):
                                      threshold=0.4, planes=8, tables=8)
 
 
+def dedup_embedding_contamination(spark, sf):
+    """Semantic benchmark decontamination (operators/dedup.
+    embedding_contamination): corpus vectors flagged when any of the
+    10 'benchmark' vectors (ids 0..9 of the same table — real usage
+    is a disjoint suite) sits within cosine 0.4; bench signatures
+    broadcast, corpus never shuffles, flags broadcast back."""
+    emb = _t(spark, sf, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 10)
+    return D.embedding_contamination(emb, bench, threshold=0.4,
+                                     planes=8, tables=8)
+
+
 def ann_cosine_topk(spark, sf):
     return S.cosine_topk(_t(spark, sf, "embeddings"), list(range(8)), k=5)
 
@@ -1810,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup_semantic,
         "dedup_semantic_keep": dedup_semantic_keep,
         "dedup_embedding_lsh": dedup_embedding_lsh,
+        "dedup_embedding_contamination": dedup_embedding_contamination,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2129,6 +2142,37 @@ def _lsh_oracle_sql(planes: int = 6, tables: int = 8, dim: int = 64,
         JOIN embeddings eb ON eb.vec_id = c.vec_b
         WHERE round(CAST(list_cosine_similarity(ea.embedding, eb.embedding)
                     AS DOUBLE), 4) >= {threshold}"""
+
+
+def _emb_contam_oracle_sql(planes: int, tables: int, dim: int,
+                           threshold: float, bench_ids) -> str:
+    """Oracle mirror of operators/dedup.embedding_contamination: both
+    sides sign with the same inlined plane coefficients; candidates
+    are cross-set band collisions; exact cosine verifies; every corpus
+    row carries its flag."""
+    buckets_arr = _bucket_array_sql(planes, tables, dim)
+    ids = ", ".join(str(int(i)) for i in bench_ids)
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding, {buckets_arr} AS buckets FROM embeddings),
+        banded AS (
+          SELECT vec_id, CAST(tbl AS INT) AS tbl,
+                 buckets[CAST(tbl AS INT) + 1] AS tbucket
+          FROM sig, LATERAL unnest(range(0, {tables})) AS r(tbl)),
+        cand AS (
+          SELECT DISTINCT c.vec_id, b.vec_id AS bench_id
+          FROM banded c JOIN banded b
+            ON c.tbl = b.tbl AND c.tbucket = b.tbucket
+           AND b.vec_id IN ({ids}) AND c.vec_id <> b.vec_id),
+        hit AS (
+          SELECT DISTINCT c.vec_id
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.vec_id
+          JOIN embeddings eb ON eb.vec_id = c.bench_id
+          WHERE round(CAST(list_cosine_similarity(ea.embedding,
+                eb.embedding) AS DOUBLE), 4) >= {threshold})
+        SELECT e.vec_id, (h.vec_id IS NOT NULL) AS contaminated
+        FROM embeddings e LEFT JOIN hit h ON e.vec_id = h.vec_id"""
 
 
 def _winnow_fp_cte(window: int = 64, k: int = 16, max_df: int = 5,
@@ -3539,6 +3583,8 @@ def oracle_sql() -> dict[str, str]:
             FROM media GROUP BY kind""",
     }
     sql["dedup_embedding_lsh"] = _lsh_oracle_sql(8, 8, 64, 0.4)
+    sql["dedup_embedding_contamination"] = _emb_contam_oracle_sql(
+        8, 8, 64, 0.4, range(10))
     sql["ann_lsh_topk"] = _lsh_topk_oracle_sql(4, 16, 64, 5, 8)
     # the confidence ARITHMETIC over the evidence the Spark query staged
     # (lines_confidence_checked writes it before returning); DuckDB

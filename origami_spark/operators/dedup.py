@@ -1294,3 +1294,63 @@ def benchmark_contamination(docs: DataFrame, benchmarks: DataFrame,
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def embedding_contamination(emb: DataFrame, bench: DataFrame,
+                            threshold: float = 0.95, planes: int = 6,
+                            tables: int = 8) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding analog of
+    :func:`benchmark_contamination` (paraphrased eval leakage that
+    n-gram collision misses; the decontamination step of the SemDeDup/
+    FineWeb lineage): flag every corpus vector whose cosine to ANY
+    benchmark vector clears ``threshold``.
+
+    Output: ``(vec_id, contaminated boolean)`` for every corpus row.
+
+    Scale shape (mirrors the training side of
+    :func:`benchmark_contamination` — the corpus never shuffles): both
+    sides sign with the shared multi-table hyperplane LSH; the BENCH
+    side is small (benchmark suites are thousands of rows) so its
+    banded signatures broadcast into the candidate join; exact cosine
+    verifies candidates only; the flagged-id set (small by assumption)
+    broadcasts back for the final flag join.  A benchmark vector id
+    present in the corpus is excluded from matching itself (harmless
+    when the sets are disjoint, which is real usage).  Recall follows
+    the multi-table LSH bound documented on
+    :func:`embedding_near_dups_lsh`."""
+    from .similarity import _cosine, hyperplane_buckets
+
+    def banded(df, id_alias):
+        signed = hyperplane_buckets(
+            df.select(
+                "vec_id",
+                F.transform("embedding",
+                            lambda x: x.cast("double")).alias("embedding"),
+            ),
+            planes, tables,
+        )
+        return signed.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("embedding").alias(f"_e_{id_alias}"),
+            F.posexplode("buckets").alias("tbl", "tbucket"),
+        )
+
+    cand = (
+        banded(emb, "vec_id")
+        .join(F.broadcast(banded(bench, "bench_id")), ["tbl", "tbucket"])
+        .filter(F.col("vec_id") != F.col("bench_id"))
+        .dropDuplicates(["vec_id", "bench_id"])
+    )
+    hits = (
+        cand.filter(
+            F.round(_cosine("_e_vec_id", "_e_bench_id"), 4) >= threshold)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        emb.select("vec_id")
+        .join(F.broadcast(hits), "vec_id", "left")
+        .select("vec_id",
+                F.coalesce(F.col("_hit"), F.lit(False)).alias("contaminated"))
+    )

@@ -470,3 +470,48 @@ def test_benchmark_contamination_min_hits_threshold(spark):
               benchmark_contamination(docs, bench, n=3, min_hits=2).collect()}
     assert loose == {1: True, 2: True}
     assert strict == {1: False, 2: True}
+
+
+def test_embedding_contamination_flags_near_bench(spark):
+    """A corpus vector near a benchmark vector flags; orthogonal ones
+    don't; a bench id never flags off its own identity row; output
+    covers every corpus row at any partitioning."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.operators.dedup import embedding_contamination
+
+    dim = 64
+    def vec(i, eps=0.0):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        v[(i + 7) % dim] = eps
+        return v
+
+    corpus = [
+        (100, vec(0, 0.05)),   # near bench 0 -> flag
+        (101, vec(1)),         # identical direction to bench 1 -> flag
+        (102, vec(33)),        # orthogonal to the bench -> clean
+        (103, vec(34)),        # orthogonal -> clean
+        (0, vec(0)),           # the bench vector itself, self-excluded
+    ]
+    bench = [(0, vec(0)), (1, vec(1))]
+    emb = spark.createDataFrame(corpus, "vec_id bigint, embedding array<double>")
+    bdf = spark.createDataFrame(bench, "vec_id bigint, embedding array<double>")
+
+    got = {r["vec_id"]: r["contaminated"]
+           for r in embedding_contamination(emb, bdf, threshold=0.9,
+                                            planes=4, tables=8).collect()}
+    assert got == {100: True, 101: True, 102: False, 103: False, 0: False}
+
+    again = {r["vec_id"]: r["contaminated"]
+             for r in embedding_contamination(
+                 emb.repartition(5), bdf, threshold=0.9,
+                 planes=4, tables=8).collect()}
+    assert again == got
+
+    plan = (embedding_contamination(emb, bdf, threshold=0.9)
+            ._jdf.queryExecution().executedPlan().toString())
+    # candidate dedup + hit distinct are the only hash exchanges; the
+    # corpus side itself joins broadcast on both ends
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BatchEvalPython" not in plan
