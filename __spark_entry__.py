@@ -1532,6 +1532,21 @@ def graph_host_edges(spark, sf):
     return host_edges(html_link_edges(_stage_html_pages(spark, sf)))
 
 
+def graph_host_pagerank(spark, sf):
+    """Host-level centrality — the full crawl-curation chain: raw html
+    -> href edges -> host rollup -> hash60 ids -> 4 integer PageRank
+    iterations, every stage engine-exact and the whole composition
+    hash-checked against the oracle's unrolled recurrence."""
+    from origami_spark.operators.graph import (host_edges,
+                                               html_link_edges, pagerank)
+    from origami_spark.operators.text import portable_hash60
+
+    e = host_edges(html_link_edges(_stage_html_pages(spark, sf)))
+    e = e.select(portable_hash60(F.col("src")).alias("src"),
+                 portable_hash60(F.col("dst")).alias("dst"), "weight")
+    return pagerank(e, iters=4)
+
+
 def graph_anchor_topk(spark, sf):
     """Per-target anchor profile (operators/graph.anchor_topk): the 3
     most frequent anchor labels per link target under the total
@@ -1811,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_html_anchors": graph_html_anchors,
         "graph_anchor_topk": graph_anchor_topk,
         "graph_host_edges": graph_host_edges,
+        "graph_host_pagerank": graph_host_pagerank,
         "html_metadata": html_metadata,
         "robots_allowed": robots_allowed,
         "sketch_kmv_distinct": sketch_kmv_distinct,
@@ -1934,11 +1950,11 @@ def _anchors_cte() -> str:
               WHERE dst IS NOT NULL AND dst <> src AND anchor <> '')"""
 
 
-def _html_edge_cte(hashed: bool) -> str:
+def _html_edge_cte(hashed: bool, name: str = "edges") -> str:
     """The html link-graph edge CTE (mirrors
     operators/graph.html_link_edges over the staged pages), ending at
-    ``edges(src, dst, weight)`` — url strings, or hash60 node ids when
-    ``hashed`` (the pagerank form)."""
+    ``<name>(src, dst, weight)`` — url strings, or hash60 node ids
+    when ``hashed`` (the pagerank form)."""
     sel = (f"SELECT {_H60.format(x='src')} AS src, "
            f"{_H60.format(x='dst')} AS dst, weight FROM eres"
            if hashed else "SELECT src, dst, weight FROM eres")
@@ -1962,7 +1978,31 @@ def _html_edge_cte(hashed: bool) -> str:
               SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
               FROM resolved WHERE dst IS NOT NULL AND dst <> src
               GROUP BY 1, 2),
-            edges AS ({sel})"""
+            {name} AS ({sel})"""
+
+
+_HOST_EXPR = ("lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://"
+              "(?:[^/?#]*@)?([^/:?#@]+)', 1))")
+
+
+def _host_edge_cte() -> str:
+    """Host rollup of the html edge CTE with hash60 node ids, ending
+    at ``edges(src, dst, weight)`` — the graph_host_pagerank form
+    (mirrors operators/graph.host_edges over html_link_edges)."""
+    return f"""{_html_edge_cte(hashed=False, name='uedges')},
+            hroll AS (
+              SELECT {_HOST_EXPR.format(u='src')} AS hsrc,
+                     {_HOST_EXPR.format(u='dst')} AS hdst, weight
+              FROM uedges),
+            hedges AS (
+              SELECT hsrc, hdst, CAST(sum(weight) AS BIGINT) AS weight
+              FROM hroll
+              WHERE hsrc <> '' AND hdst <> '' AND hsrc <> hdst
+              GROUP BY hsrc, hdst),
+            edges AS (
+              SELECT {_H60.format(x='hsrc')} AS src,
+                     {_H60.format(x='hdst')} AS dst, weight
+              FROM hedges)"""
 
 
 def _pagerank_oracle_sql(iters: int = 6, scale: int = 1 << 20,
@@ -3200,6 +3240,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, weight FROM edges""",
         "graph_html_pagerank": _pagerank_oracle_sql(
             iters=4, edge_cte=_html_edge_cte(hashed=True)),
+        "graph_host_pagerank": _pagerank_oracle_sql(
+            iters=4, edge_cte=_host_edge_cte()),
         "graph_html_anchors": f"""
             WITH {_anchors_cte()}
             SELECT src, dst, anchor FROM anchors""",
