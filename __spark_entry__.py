@@ -1522,14 +1522,52 @@ def html_metadata(spark, sf):
     return html_head_meta(_stage_html_pages(spark, sf))
 
 
+LINKED_PAGES_PATH = os.path.join(_STAGE_DIR, "linked_pages.parquet")
+
+
+def _stage_linked_pages(spark, sf):
+    """Staged pages for the HOST-graph gates: the corpus generator
+    emits only root-relative hrefs (every link stays on its own
+    host), which would make the host rollup vacuously empty — so one
+    deterministic cross-host anchor is appended per page, pointing at
+    the next doc_id's url (hosts are drawn per doc, so consecutive
+    docs usually live on different hosts).  The single-partition lead
+    window is stage-time-only machinery over the tiny gate corpus;
+    both engines read the staged parquet, so parity is unaffected."""
+    from pyspark.sql import Window
+
+    if _TRAIN_STAGED.get(LINKED_PAGES_PATH) != sf:
+        pages = _pages_from_documents(spark, sf).select(
+            F.regexp_extract("url", r"a(\d+)$", 1).cast("bigint")
+            .alias("_doc"),
+            "url", F.col("html").cast("string").alias("html"))
+        w = Window.orderBy("_doc")
+        linked = (
+            pages.withColumn("_nxt", F.lead("url").over(w))
+            .filter(F.col("_nxt").isNotNull())
+            .select(
+                "url",
+                F.concat(
+                    F.col("html"), F.lit('<a href="'), F.col("_nxt"),
+                    F.lit('">next</a>'),
+                ).alias("html"),
+            )
+        )
+        linked.write.mode("overwrite").parquet(_staged(LINKED_PAGES_PATH))
+        _TRAIN_STAGED[LINKED_PAGES_PATH] = sf
+    return spark.read.parquet(LINKED_PAGES_PATH)
+
+
 def graph_host_edges(spark, sf):
     """Host-grain webgraph rollup (operators/graph.host_edges): the
     page-level href graph aggregated to the host/domain form Common
     Crawl publishes — intra-site edges dropped, multiplicities
-    summed, one bounded aggregation."""
+    summed, one bounded aggregation.  Runs over the cross-host-linked
+    staged pages (see _stage_linked_pages: the generator's own hrefs
+    never leave their host)."""
     from origami_spark.operators.graph import host_edges, html_link_edges
 
-    return host_edges(html_link_edges(_stage_html_pages(spark, sf)))
+    return host_edges(html_link_edges(_stage_linked_pages(spark, sf)))
 
 
 def graph_host_pagerank(spark, sf):
@@ -1541,7 +1579,7 @@ def graph_host_pagerank(spark, sf):
                                                html_link_edges, pagerank)
     from origami_spark.operators.text import portable_hash60
 
-    e = host_edges(html_link_edges(_stage_html_pages(spark, sf)))
+    e = host_edges(html_link_edges(_stage_linked_pages(spark, sf)))
     e = e.select(portable_hash60(F.col("src")).alias("src"),
                  portable_hash60(F.col("dst")).alias("dst"), "weight")
     return pagerank(e, iters=4)
@@ -1950,7 +1988,8 @@ def _anchors_cte() -> str:
               WHERE dst IS NOT NULL AND dst <> src AND anchor <> '')"""
 
 
-def _html_edge_cte(hashed: bool, name: str = "edges") -> str:
+def _html_edge_cte(hashed: bool, name: str = "edges",
+                   path: str | None = None) -> str:
     """The html link-graph edge CTE (mirrors
     operators/graph.html_link_edges over the staged pages), ending at
     ``<name>(src, dst, weight)`` — url strings, or hash60 node ids
@@ -1959,7 +1998,7 @@ def _html_edge_cte(hashed: bool, name: str = "edges") -> str:
            f"{_H60.format(x='dst')} AS dst, weight FROM eres"
            if hashed else "SELECT src, dst, weight FROM eres")
     return f"""pages AS (
-              SELECT url, html FROM '{HTML_PAGES_PATH}/*.parquet'),
+              SELECT url, html FROM '{path or HTML_PAGES_PATH}/*.parquet'),
             links AS (
               SELECT url AS src,
                      regexp_extract(url, '^(https?://[^/]+)', 1) AS origin,
@@ -1989,7 +2028,8 @@ def _host_edge_cte() -> str:
     """Host rollup of the html edge CTE with hash60 node ids, ending
     at ``edges(src, dst, weight)`` — the graph_host_pagerank form
     (mirrors operators/graph.host_edges over html_link_edges)."""
-    return f"""{_html_edge_cte(hashed=False, name='uedges')},
+    return f"""{_html_edge_cte(hashed=False, name='uedges',
+                               path=LINKED_PAGES_PATH)},
             hroll AS (
               SELECT {_HOST_EXPR.format(u='src')} AS hsrc,
                      {_HOST_EXPR.format(u='dst')} AS hdst, weight
@@ -3246,7 +3286,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_anchors_cte()}
             SELECT src, dst, anchor FROM anchors""",
         "graph_host_edges": f"""
-            WITH {_html_edge_cte(hashed=False)},
+            WITH {_html_edge_cte(hashed=False, path=LINKED_PAGES_PATH)},
             he AS (
               SELECT lower(regexp_extract(src,
                        '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)',
