@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "html_metadata",
     "robots_allowed",
     "graph_anchor_topk",
+    "graph_host_edges",
+    "text_readability",
+    "dedup_embedding_contamination",
 ]
 
 # queries whose first call trains + stages a model artifact that the
@@ -91,7 +94,8 @@ WARM_FIRST = {"ann_pq_topk", "ann_ivfpq_topk", "text_bm25_topk",
               "text_classifier_score", "text_dsir_score",
               # first call stages the derived html pages / parsed
               # robots rules parquet; the timed run measures the query
-              "html_metadata", "robots_allowed", "graph_anchor_topk"}
+              "html_metadata", "robots_allowed", "graph_anchor_topk",
+              "graph_host_edges"}
 
 
 # this sandbox is a shared-host VM: /proc/stat's steal field counts
