@@ -96,6 +96,7 @@ def test_no_per_row_python_in_any_query(spark):
             # (the sanctioned kind), not per-row
             "dedup_embedding_lsh", "ann_lsh_topk", "ann_ivf_topk",
             "dedup_semantic", "ann_ivfpq_topk",
+            "dedup_embedding_contamination",
         ), name
 
 
