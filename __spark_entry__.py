@@ -1544,12 +1544,17 @@ def _stage_linked_pages(spark, sf):
         w = Window.orderBy("_doc")
         linked = (
             pages.withColumn("_nxt", F.lead("url").over(w))
-            .filter(F.col("_nxt").isNotNull())
             .select(
                 "url",
+                # the max-doc_id page keeps its original html (no next
+                # target) rather than dropping out of the gate corpus
                 F.concat(
-                    F.col("html"), F.lit('<a href="'), F.col("_nxt"),
-                    F.lit('">next</a>'),
+                    F.col("html"),
+                    F.coalesce(
+                        F.concat(F.lit('<a href="'), F.col("_nxt"),
+                                 F.lit('">next</a>')),
+                        F.lit(""),
+                    ),
                 ).alias("html"),
             )
         )
@@ -1966,10 +1971,10 @@ def _anchors_cte() -> str:
                      regexp_extract(url, '^(https?://[^/]+)', 1)
                        AS origin,
                      unnest(regexp_extract_all(html,
-                       '<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>',
+                       '(?i)<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>',
                        1)) AS href,
                      unnest(regexp_extract_all(html,
-                       '<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>',
+                       '(?i)<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>',
                        2)) AS label
               FROM pages),
             r AS (
@@ -2003,7 +2008,7 @@ def _html_edge_cte(hashed: bool, name: str = "edges",
               SELECT url AS src,
                      regexp_extract(url, '^(https?://[^/]+)', 1) AS origin,
                      unnest(regexp_extract_all(html,
-                       'href="([^"]*)"', 1)) AS href
+                       '(?i)href="([^"]*)"', 1)) AS href
               FROM pages),
             resolved AS (
               SELECT src,
@@ -2908,7 +2913,8 @@ def oracle_sql() -> dict[str, str]:
         # -- all exact-IEEE, so weights hash-match bit-for-bit
         "text_hash_embedding": f"""
             WITH toks AS (
-              SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+              SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+              WHERE doc_id IS NOT NULL),
             b AS (
               SELECT doc_id,
                      CAST({_H60.format(x="'b|' || tok")} % 16 AS INT)
@@ -3326,10 +3332,15 @@ def oracle_sql() -> dict[str, str]:
                      lower(regexp_extract(url,
                        '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)',
                        1)) AS host,
-                     coalesce(nullif(regexp_extract(url,
-                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^#]*)', 1),
-                       ''), '/') AS path
-              FROM p),
+                     coalesce(nullif(CASE WHEN rest LIKE '?%'
+                                          THEN '/' || rest
+                                          ELSE rest END, ''), '/') AS path
+              FROM (
+                SELECT url,
+                       regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/?][^#]*)',
+                         1) AS rest
+                FROM p)),
             m AS (
               SELECT u.url, r.allow,
                      row_number() OVER (
@@ -3350,17 +3361,17 @@ def oracle_sql() -> dict[str, str]:
             raw AS (
               SELECT url,
                      regexp_extract(html,
-                       '<title>([^<]*)</title>', 1) AS title,
+                       '(?i)<title>([^<]*)</title>', 1) AS title,
                      regexp_extract(html,
-                       '<meta[ \t\n\r\f][^>]*charset="?([A-Za-z0-9_-]+)"?',
+                       '(?i)<meta[ \t\n\r\f][^>]*charset="?([A-Za-z0-9_-]+)"?',
                        1) AS charset,
                      regexp_extract(html,
-                       '<h1[^>]*>([^<]*)</h1>', 1) AS h1,
+                       '(?i)<h1[^>]*>([^<]*)</h1>', 1) AS h1,
                      regexp_extract(html,
-                       '<meta[ \t\n\r\f][^>]*name="description"[^>]*content="([^"]*)"',
+                       '(?i)<meta[ \t\n\r\f][^>]*name="description"[^>]*content="([^"]*)"',
                        1) AS description,
                      regexp_extract(html,
-                       '<link[ \t\n\r\f][^>]*rel="canonical"[^>]*href="([^"]*)"',
+                       '(?i)<link[ \t\n\r\f][^>]*rel="canonical"[^>]*href="([^"]*)"',
                        1) AS canonical
               FROM pages)
             SELECT url,

@@ -34,17 +34,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# _round6 is the engine-portable floor quantization: ONE
+# implementation (its docstring records the verified Spark-vs-DuckDB
+# F.round divergence)
+from origami_spark.operators.similarity import _round6 as _quant6
 from origami_spark.operators.text import portable_hash60, tokens_col
 
 __all__ = ["hashed_embedding_rows", "hashed_embedding_vectors"]
-
-
-def _quant6(col):
-    """``floor(x*1e6 + 0.5)/1e6`` — the engine-portable quantization
-    shared with ``similarity._round6`` (identical double ops in Spark,
-    numpy, and DuckDB; ``F.round`` HALF_UP on shortest-decimal repr is
-    not reproducible at boundaries)."""
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
 
 
 def hashed_embedding_rows(docs: DataFrame, dim: int = 64,

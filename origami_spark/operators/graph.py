@@ -51,6 +51,22 @@ __all__ = ["event_edges", "html_link_edges", "degrees", "pagerank",
            "pagerank_base"]
 
 
+def _resolve_href(href_col, origin_col):
+    """Fragment-strip an href and resolve it against the page origin —
+    ONE implementation of the url-resolution contract shared by
+    :func:`html_link_edges` and :func:`html_anchor_texts` (so the link
+    graph and the anchor harvest can never disagree on the same page):
+    absolute http(s) hrefs pass through, root-relative ``/path`` hrefs
+    get the origin prefixed, everything else (mailto/javascript/empty/
+    relative-path) is non-navigational NULL."""
+    h = F.split(href_col, "#").getItem(0)
+    return (
+        F.when(h.startswith("http://") | h.startswith("https://"), h)
+        .when(h.startswith("/"), F.concat(origin_col, h))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def html_link_edges(pages: DataFrame, url_col: str = "url",
                     html_col: str = "html") -> DataFrame:
     """Weighted page-level link graph from raw HTML — the crawl-native
@@ -75,20 +91,15 @@ def html_link_edges(pages: DataFrame, url_col: str = "url",
     host-graph rollup is one more bounded aggregation.
     """
     origin = F.regexp_extract(F.col(url_col), r"^(https?://[^/]+)", 1)
+    # (?i): attribute names are case-insensitive html (HREF= is legal)
     hrefs = F.regexp_extract_all(
-        F.col(html_col).cast("string"), F.lit(r'href="([^"]*)"'), 1)
+        F.col(html_col).cast("string"), F.lit(r'(?i)href="([^"]*)"'), 1)
     raw = pages.select(
         F.col(url_col).alias("src"),
         origin.alias("_origin"),
         F.explode(hrefs).alias("_href"),
     )
-    # fragment strip: everything before the first '#'
-    h = F.split(F.col("_href"), "#").getItem(0)
-    dst = (
-        F.when(h.startswith("http://") | h.startswith("https://"), h)
-        .when(h.startswith("/"), F.concat(F.col("_origin"), h))
-        .otherwise(F.lit(None).cast("string"))
-    )
+    dst = _resolve_href(F.col("_href"), F.col("_origin"))
     return (
         raw.select("src", dst.alias("dst"))
         .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
@@ -150,28 +161,23 @@ def html_anchor_texts(pages: DataFrame, url_col: str = "url",
     """
     # explicit whitespace class — bare \s means different sets in Java
     # vs RE2 (the bpe_pretokens precedent), which would silently match
-    # different anchors between the engine and its DuckDB oracle
-    pat = r'<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    # different anchors between the engine and its DuckDB oracle; (?i)
+    # because tag/attribute names are case-insensitive html.  The full
+    # pattern scans each page ONCE (group 0); href/label then extract
+    # from the short matched elements instead of re-scanning the page.
+    pat = r'(?i)<a[ \t\n\r\f][^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
     origin = F.regexp_extract(F.col(url_col), r"^(https?://[^/]+)", 1)
     h = F.col(html_col).cast("string")
     raw = pages.select(
         F.col(url_col).alias("src"),
         origin.alias("_origin"),
-        F.explode(
-            F.arrays_zip(
-                F.regexp_extract_all(h, F.lit(pat), 1).alias("href"),
-                F.regexp_extract_all(h, F.lit(pat), 2).alias("label"),
-            )
-        ).alias("z"),
+        F.explode(F.regexp_extract_all(h, F.lit(pat), 0)).alias("el"),
     )
-    hr = F.split(F.col("z.href"), "#").getItem(0)
-    dst = (
-        F.when(hr.startswith("http://") | hr.startswith("https://"), hr)
-        .when(hr.startswith("/"), F.concat(F.col("_origin"), hr))
-        .otherwise(F.lit(None).cast("string"))
-    )
+    dst = _resolve_href(F.regexp_extract(F.col("el"), pat, 1),
+                        F.col("_origin"))
     anchor = F.trim(
-        F.regexp_replace(F.col("z.label"), r"[ \t\n\r\f]+", " "))
+        F.regexp_replace(F.regexp_extract(F.col("el"), pat, 2),
+                         r"[ \t\n\r\f]+", " "))
     return (
         raw.select("src", dst.alias("dst"), anchor.alias("anchor"))
         .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))

@@ -14,7 +14,9 @@ whitespace classes (the ``bpe_pretokens`` precedent — bare ``\\s``
 differs between Java and RE2); inner-text captures are ``[^<]*``, so
 an element whose content contains nested markup does not match and
 its value is NULL (a full nested parse belongs to the html tokenizer,
-which the extraction pipeline applies downstream);
+which the extraction pipeline applies downstream); tag/attribute
+matching is case-insensitive (``(?i)``, identical in Java and RE2)
+while captured values keep their case;
 values are whitespace-normalized and empty strings become NULL in
 both engines (Spark and DuckDB disagree on no-match results, NULLIF
 unifies them).
@@ -56,18 +58,20 @@ def html_head_meta(pages: DataFrame, url_col: str = "url",
     * ``description`` — ``<meta name="description" content="...">``.
     * ``canonical`` — ``<link rel="canonical" href="...">``.
     """
+    # (?i): HTML tag/attribute names are case-insensitive (<TITLE>,
+    # <META CHARSET=...> are legal); captured VALUES keep their case
     h = F.col(html_col).cast("string")
-    title = F.regexp_extract(h, r"<title>([^<]*)</title>", 1)
+    title = F.regexp_extract(h, r"(?i)<title>([^<]*)</title>", 1)
     charset = F.regexp_extract(
-        h, f'<meta{_WS}[^>]*charset="?([A-Za-z0-9_-]+)"?', 1)
-    h1 = F.regexp_extract(h, r"<h1[^>]*>([^<]*)</h1>", 1)
+        h, f'(?i)<meta{_WS}[^>]*charset="?([A-Za-z0-9_-]+)"?', 1)
+    h1 = F.regexp_extract(h, r"(?i)<h1[^>]*>([^<]*)</h1>", 1)
     desc = F.regexp_extract(
         h,
-        f'<meta{_WS}[^>]*name="description"[^>]*content="([^"]*)"',
+        f'(?i)<meta{_WS}[^>]*name="description"[^>]*content="([^"]*)"',
         1,
     )
     canonical = F.regexp_extract(
-        h, f'<link{_WS}[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+        h, f'(?i)<link{_WS}[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
     return pages.select(
         F.col(url_col).alias("url"),
         _norm(title).alias("title"),

@@ -49,13 +49,24 @@ __all__ = ["parse_robots", "robots_gate", "url_path"]
 
 def url_path(url_col) -> Column:
     """Path-and-query part a robots rule matches against: everything
-    from the first ``/`` after the authority up to the fragment;
-    ``/`` when the url has no path.  Case-preserving (robots paths are
-    case-sensitive, unlike hosts)."""
+    after the authority up to the fragment, with a query-only url
+    (``https://h.com?q=1``) normalized to ``/?q=1`` (the RFC matches
+    on path-begins-with-slash form) and no path at all to ``/``.
+    Case-preserving (robots paths are case-sensitive, unlike hosts)."""
     c = F.col(url_col) if isinstance(url_col, str) else url_col
-    p = F.regexp_extract(
-        c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^#]*)", 1)
+    rest = F.regexp_extract(
+        c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/?][^#]*)", 1)
+    p = F.when(rest.startswith("?"),
+               F.concat(F.lit("/"), rest)).otherwise(rest)
     return F.coalesce(F.nullif(p, F.lit("")), F.lit("/"))
+
+
+def _strip(col) -> Column:
+    """Edge-strip the RFC 9309 whitespace set (space AND tab — WS =
+    %x20 / %x09) plus the CR of CRLF-transferred bodies.  ``F.trim``
+    removes only 0x20, which silently dropped tab-delimited
+    directives (review finding, round 4)."""
+    return F.regexp_replace(col, "^[ \t\r]+|[ \t\r]+$", "")
 
 
 def _pattern_expr(path_col) -> Column:
@@ -85,11 +96,11 @@ def parse_robots(robots: DataFrame, agent: str, host_col: str = "host",
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(content_col), "\n")).alias("ln", "raw"),
     )
-    cleaned = F.trim(F.regexp_replace(F.col("raw"), "#.*", ""))
+    cleaned = _strip(F.regexp_replace(F.col("raw"), "#.*", ""))
     d = lines.select(
         "host", "ln",
         F.lower(F.regexp_extract(cleaned, "^([A-Za-z-]+):", 1)).alias("key"),
-        F.trim(F.regexp_extract(cleaned, "^[A-Za-z-]+:(.*)$", 1)).alias("val"),
+        _strip(F.regexp_extract(cleaned, "^[A-Za-z-]+:(.*)$", 1)).alias("val"),
     ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
 
     w = Window.partitionBy("host").orderBy("ln")

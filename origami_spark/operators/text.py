@@ -254,6 +254,24 @@ def chunk_documents(docs: DataFrame, size: int = 512,
     )
 
 
+def sentences_col(text_col: str = "text"):
+    """Sentence array of a text column — THE sentence contract, shared
+    by :func:`split_sentences` and :func:`readability` (and mirrored
+    by their DuckDB oracles) so the two can never disagree: maximal
+    non-terminator runs plus their trailing ``.!?`` run (RE2-safe, no
+    lookbehind), edge-whitespace-stripped, empties dropped inside the
+    array."""
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0),
+            lambda x: F.regexp_replace(
+                x, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", ""),
+        ),
+        lambda x: x != "",
+    )
+
+
 def split_sentences(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Deterministic sentence segmentation — the grain between
@@ -272,15 +290,7 @@ def split_sentences(docs: DataFrame, text_col: str = "text",
     one regexp pass + posexplode, zero exchanges at any corpus size.
     NULL-id rows drop (the sampling-module convention).
     """
-    arr = F.filter(
-        F.transform(
-            F.regexp_extract_all(
-                F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0),
-            lambda x: F.regexp_replace(
-                x, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", ""),
-        ),
-        lambda x: x != "",
-    )
+    arr = sentences_col(text_col)
     return (
         docs.filter(F.col(id_col).isNotNull())
         .select(F.col(id_col).alias("doc_id"),
@@ -310,15 +320,7 @@ def readability(docs: DataFrame, text_col: str = "text",
     fk_grade)``.  Pure projection: zero exchanges at any scale.
     """
     toks = tokens_col(text_col)
-    sents = F.filter(
-        F.transform(
-            F.regexp_extract_all(
-                F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0),
-            lambda x: F.regexp_replace(
-                x, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", ""),
-        ),
-        lambda x: x != "",
-    )
+    sents = sentences_col(text_col)
     syl = F.aggregate(
         toks,
         F.lit(0).cast("bigint"),

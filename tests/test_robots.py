@@ -154,9 +154,29 @@ def test_gate_allow_wins_specificity_tie(spark):
 def test_url_path_extraction(spark):
     rows = spark.createDataFrame(
         [("https://h.com",), ("https://h.com/a/b?q=1#frag",),
-         ("https://user@h.com:8080/x",)], "url string"
+         ("https://user@h.com:8080/x",), ("https://h.com?q=1",)],
+        "url string"
     ).select(url_path("url").alias("p")).collect()
-    assert [r["p"] for r in rows] == ["/", "/a/b?q=1", "/x"]
+    # query-only urls normalize to the RFC's slash-prefixed form
+    assert [r["p"] for r in rows] == ["/", "/a/b?q=1", "/x", "/?q=1"]
+
+
+def test_parse_handles_tabs_and_crlf(spark):
+    """RFC 9309 WS is space OR tab; CRLF bodies are the transfer norm.
+    F.trim strips only spaces, so these once parsed to ZERO rules."""
+    content = ("User-agent:\t*\r\nDisallow:\t/private\r\n"
+               "Allow:\t/private/ok\t\r\n")
+    got = {(r["allow"], r["path"], r["rule_len"])
+           for r in _rules_df(spark, content, "origami").collect()}
+    assert got == {(0, "/private", 8), (1, "/private/ok", 11)}
+    rules = _rules_df(spark, content, "origami")
+    pages = spark.createDataFrame(
+        [("https://h.com/private/x",), ("https://h.com/private/ok/y",)],
+        "url string")
+    verdicts = {r["url"]: r["allowed"]
+                for r in robots_gate(pages, rules).collect()}
+    assert verdicts == {"https://h.com/private/x": False,
+                        "https://h.com/private/ok/y": True}
 
 
 def test_parse_partition_independent_no_udf(spark):
@@ -202,6 +222,8 @@ def test_parse_fuzz_against_reference(spark):
         "Allow: /a/b/c", "Allow: /", "allow: /x*y$",
         "Crawl-delay: 7", "Sitemap: https://x/s.xml", "# comment only",
         "", "   ", "garbage line no colon", "Disallow: /q # trailing",
+        "User-agent:\t*", "Disallow:\t/tabbed", "Allow: /sp\t",
+        "\tDisallow: /lead", "Disallow: /cr\r",
     ]
     bodies = {
         f"h{i}.net": "\n".join(rng.choice(lines)
