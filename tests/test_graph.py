@@ -244,3 +244,18 @@ def test_host_edges_rollup(spark):
     assert got == [("a.com", "b.net", 5), ("a.com", "c.org", 1)]
     again = sorted(map(tuple, host_edges(edges.repartition(4)).collect()))
     assert again == got
+
+
+def test_uppercase_anchors_and_hrefs(spark):
+    from origami_spark.operators.graph import html_anchor_texts, html_link_edges
+
+    html = b'<A HREF="/x">Shouty Link</A> <p HREF="/y">not-an-anchor-el</p>'
+    pages = spark.createDataFrame([("https://a.com/a", html)],
+                                  "url string, html binary")
+    anchors = [(r["dst"], r["anchor"])
+               for r in html_anchor_texts(pages).collect()]
+    assert anchors == [("https://a.com/x", "Shouty Link")]
+    edges = {(r["src"], r["dst"]) for r in html_link_edges(pages).collect()}
+    # link_edges harvests every HREF attribute, tag-agnostic by design
+    assert edges == {("https://a.com/a", "https://a.com/x"),
+                     ("https://a.com/a", "https://a.com/y")}

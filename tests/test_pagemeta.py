@@ -62,3 +62,14 @@ def test_no_python_udf_no_exchange(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan           # single scan projection
+
+
+def test_uppercase_tags_harvest(spark):
+    """HTML tag/attribute names are case-insensitive; values keep case."""
+    r = _row(spark, b'<TITLE>Home Page</TITLE><META CHARSET=UTF-8>'
+                    b'<H1 CLASS="x">Lead</H1>'
+                    b'<LINK REL="canonical" HREF="https://a.com/C">')
+    assert r["title"] == "Home Page"
+    assert r["charset"] == "utf-8"
+    assert r["h1"] == "Lead"
+    assert r["canonical"] == "https://a.com/C"   # value case preserved
