@@ -413,6 +413,17 @@ def dedup_exact(spark, sf):
     return D.exact_duplicates(_t(spark, sf, "documents"), min_count=1)
 
 
+def dedup_exact_normalized(spark, sf):
+    """ccnet-normalized exact dedup (operators/dedup.ccnet_normalize,
+    Wenzek et al. 2020 §3.1): digests over lowercased, digit- and
+    punctuation-stripped, whitespace-collapsed text — catches the
+    trivially-differing re-serve class raw digests miss.  min_count=1
+    for the dedup_exact rationale (the full digest table is the
+    evidence; the synthetic corpus has no duplicates)."""
+    return D.exact_duplicates(_t(spark, sf, "documents"), min_count=1,
+                              normalized=True)
+
+
 def dedup_ngram_jaccard(spark, sf):
     # max_df=5 exercises the hot-shingle cutoff (sf0.01 dfs reach 7):
     # ubiquitous shingles leave the inverted index before the self-join
@@ -1835,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_json_extract": q23_json_extract,
         "q24_top_supplier_per_nation": q24_top_supplier_per_nation,
         "dedup_exact": dedup_exact,
+        "dedup_exact_normalized": dedup_exact_normalized,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_incremental": dedup_incremental,
@@ -2689,6 +2701,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS digest, min(doc_id) AS keeper,
                    count(*) AS n_docs
+            FROM documents GROUP BY 1""",
+        "dedup_exact_normalized": """
+            SELECT md5(trim(regexp_replace(regexp_replace(
+                     regexp_replace(lower(text), '[0-9]+', '', 'g'),
+                     '[!-/:-@\\[-`{-~]+', '', 'g'),
+                     '[ \t\n\r\f]+', ' ', 'g'))) AS digest,
+                   min(doc_id) AS keeper, count(*) AS n_docs
             FROM documents GROUP BY 1""",
         "dedup_ngram_jaccard": f"""
             WITH {_shingle_cte(3)},

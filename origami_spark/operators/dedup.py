@@ -53,13 +53,35 @@ def content_digest(col) -> F.Column:
     return F.md5(c)
 
 
-def exact_duplicates(docs: DataFrame, min_count: int = 2) -> DataFrame:
+def ccnet_normalize(col) -> F.Column:
+    """ccnet's dedup normalization (Wenzek et al. 2020 §3.1): lower-
+    case, strip digits, strip punctuation, collapse whitespace — the
+    identity under which trivially-differing re-serves (timestamps,
+    view counters, case) hash EQUAL, catching the duplicate class a
+    raw-byte digest misses.  The punctuation class is the explicit
+    ASCII range set (Java ``\\p{Punct}`` and RE2 ``[[:punct:]]``
+    disagree outside ASCII; an explicit class is engine-identical);
+    accent folding is deliberately omitted — there is no translation
+    table both engines share."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[0-9]+", "")
+    c = F.regexp_replace(c, r"[!-/:-@\[-`{-~]+", "")
+    return F.trim(F.regexp_replace(c, "[ \t\n\r\f]+", " "))
+
+
+def exact_duplicates(docs: DataFrame, min_count: int = 2,
+                     normalized: bool = False) -> DataFrame:
     """Hash-groupBy exact dedup: one row per content digest with the
     keeper (min doc_id) and the member count.  Map-side partial agg, one
     shuffle on the digest.  min_count=2 -> duplicates only; min_count=1
-    -> the full digest table (what a dedup job joins back against)."""
+    -> the full digest table (what a dedup job joins back against).
+    ``normalized=True`` digests :func:`ccnet_normalize`'d text instead
+    of raw bytes (the ccnet recipe)."""
+    key = (content_digest(ccnet_normalize("text")) if normalized
+           else content_digest("text"))
     return (
-        docs.select("doc_id", content_digest("text").alias("digest"))
+        docs.select("doc_id", key.alias("digest"))
         .groupBy("digest")
         .agg(
             F.min("doc_id").alias("keeper"),

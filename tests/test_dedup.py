@@ -515,3 +515,20 @@ def test_embedding_contamination_flags_near_bench(spark):
     # corpus side itself joins broadcast on both ends
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ccnet_normalized_exact_dedup(spark):
+    """Case/digit/punctuation/whitespace variants hash EQUAL under the
+    ccnet normalization while raw digests see distinct docs."""
+    from origami_spark.operators.dedup import exact_duplicates
+
+    docs = spark.createDataFrame([
+        (1, "Breaking News: 417 people attended!"),
+        (2, "breaking news --- 9 people attended"),   # same normalized
+        (3, "BREAKING\n NEWS:\tpeople attended...."),  # same normalized
+        (4, "entirely different content"),
+    ], "doc_id bigint, text string")
+    raw = exact_duplicates(docs, min_count=2).collect()
+    assert raw == []                                   # raw bytes differ
+    norm = exact_duplicates(docs, min_count=2, normalized=True).collect()
+    assert [(r["keeper"], r["n_docs"]) for r in norm] == [(1, 3)]
