@@ -1473,8 +1473,11 @@ ROBOTS_RULES_PATH = os.path.join(_STAGE_DIR, "robots_rules.parquet")
 # stacked user-agent lines, a comment, an empty Disallow)
 _ROBOTS_TXT = """\
 # synthetic robots for the gate
+Sitemap: https://cdn.example.net/smap/root.xml
+
 User-agent: googlebot
 Disallow: /
+Sitemap: https://cdn.example.net/smap/extra.xml
 
 User-agent: origami
 
@@ -1490,24 +1493,48 @@ Disallow: /es
 """
 
 
+ROBOTS_BODIES_PATH = os.path.join(_STAGE_DIR, "robots_bodies.parquet")
+
+
+def _stage_robots_bodies(spark, sf):
+    """One synthetic robots.txt body per corpus host, staged — the raw
+    side both the rule parse and the sitemap harvest read."""
+    from origami_spark.operators.hosts import host_of
+
+    if _TRAIN_STAGED.get(ROBOTS_BODIES_PATH) != sf:
+        hosts = (_stage_html_pages(spark, sf)
+                 .select(host_of("url").alias("host")).distinct())
+        hosts.withColumn("content", F.lit(_ROBOTS_TXT)).coalesce(1) \
+            .write.mode("overwrite").parquet(_staged(ROBOTS_BODIES_PATH))
+        _TRAIN_STAGED[ROBOTS_BODIES_PATH] = sf
+    return spark.read.parquet(ROBOTS_BODIES_PATH)
+
+
 def _stage_robots_rules(spark, sf):
-    """Parse the synthetic robots bodies once per sf and stage the
-    rule table (host, allow, path, rule_len, pattern) — the trained-
+    """Parse the staged robots bodies once per sf and stage the rule
+    table (host, allow, path, rule_len, pattern) — the trained-
     artifact discipline: both engines consume the identical staged
     parquet, so the regex strings can never drift between them.  The
     parse itself is pytest-gated against an independent pure-Python
     RFC 9309 reference (tests/test_robots.py)."""
-    from origami_spark.operators.hosts import host_of
     from origami_spark.operators.robots import parse_robots
 
     if _TRAIN_STAGED.get(ROBOTS_RULES_PATH) != sf:
-        hosts = (_stage_html_pages(spark, sf)
-                 .select(host_of("url").alias("host")).distinct())
-        robots = hosts.withColumn("content", F.lit(_ROBOTS_TXT))
+        robots = _stage_robots_bodies(spark, sf)
         parse_robots(robots, agent="origami").coalesce(1) \
             .write.mode("overwrite").parquet(_staged(ROBOTS_RULES_PATH))
         _TRAIN_STAGED[ROBOTS_RULES_PATH] = sf
     return spark.read.parquet(ROBOTS_RULES_PATH)
+
+
+def robots_sitemap_urls(spark, sf):
+    """Sitemap discovery (operators/robots.robots_sitemaps): the
+    group-independent ``Sitemap:`` records of every host's robots.txt
+    — one projection over the staged bodies; the oracle runs the
+    identical line parse in SQL."""
+    from origami_spark.operators.robots import robots_sitemaps
+
+    return robots_sitemaps(_stage_robots_bodies(spark, sf))
 
 
 def robots_allowed(spark, sf):
@@ -1884,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_pagerank": graph_host_pagerank,
         "html_metadata": html_metadata,
         "robots_allowed": robots_allowed,
+        "robots_sitemap_urls": robots_sitemap_urls,
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_countmin": sketch_countmin,
         "sketch_bloom": sketch_bloom,
@@ -3372,6 +3400,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT u.url, u.host,
                    coalesce(v.allow = 1, TRUE) AS allowed
             FROM u LEFT JOIN v USING (url)""",
+        # the same strip set as the engine's _strip ([ \t\r] edges);
+        # comment strip first, then key/value split at the FIRST colon
+        "robots_sitemap_urls": f"""
+            WITH b AS (
+              SELECT host, unnest(string_split(content, chr(10))) AS raw
+              FROM '{ROBOTS_BODIES_PATH}/*.parquet'),
+            c AS (
+              SELECT host,
+                     regexp_replace(regexp_replace(raw, '#.*', ''),
+                       '^[ \t\r]+|[ \t\r]+$', '', 'g') AS line
+              FROM b)
+            SELECT DISTINCT host,
+                   regexp_replace(
+                     regexp_extract(line, '^[A-Za-z-]+:(.*)$', 1),
+                     '^[ \t\r]+|[ \t\r]+$', '', 'g') AS sitemap
+            FROM c
+            WHERE lower(regexp_extract(line, '^([A-Za-z-]+):', 1))
+                    = 'sitemap'
+              AND regexp_replace(
+                    regexp_extract(line, '^[A-Za-z-]+:(.*)$', 1),
+                    '^[ \t\r]+|[ \t\r]+$', '', 'g') <> ''""",
         # captures are [^<]*, so nested markup means no match; '' and
         # whitespace-only unify to NULL via the shared normalize
         "html_metadata": f"""

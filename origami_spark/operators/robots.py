@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from .hosts import host_of
 
-__all__ = ["parse_robots", "robots_gate", "url_path"]
+__all__ = ["parse_robots", "robots_gate", "robots_sitemaps", "url_path"]
 
 
 def url_path(url_col) -> Column:
@@ -141,6 +141,29 @@ def parse_robots(robots: DataFrame, agent: str, host_col: str = "host",
         "host", "allow", "path",
         F.length("path").cast("int").alias("rule_len"),
         _pattern_expr(F.col("path")).alias("pattern"),
+    )
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    content_col: str = "content") -> DataFrame:
+    """Sitemap discovery — the other thing crawl pipelines read out of
+    robots.txt (the sitemaps.org protocol's ``Sitemap:`` records,
+    which RFC 9309 treats as group-INDEPENDENT: they apply regardless
+    of user-agent groups, so no group machinery is needed).  One row
+    per distinct ``(host, sitemap)``; the value keeps its case (urls).
+    Pure projection: line explode + key filter, zero joins."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(content_col), "\n")).alias("raw"),
+    )
+    cleaned = _strip(F.regexp_replace(F.col("raw"), "#.*", ""))
+    key = F.lower(F.regexp_extract(cleaned, "^([A-Za-z-]+):", 1))
+    val = _strip(F.regexp_extract(cleaned, "^[A-Za-z-]+:(.*)$", 1))
+    return (
+        lines.select("host", key.alias("_k"), val.alias("sitemap"))
+        .filter((F.col("_k") == "sitemap") & (F.col("sitemap") != ""))
+        .select("host", "sitemap")
+        .distinct()
     )
 
 

@@ -237,3 +237,21 @@ def test_parse_fuzz_against_reference(spark):
         got[r["host"]].add((r["allow"], r["path"]))
     for h, content in bodies.items():
         assert got[h] == _ref_parse(content, "origami"), (h, content)
+
+
+def test_robots_sitemaps_group_independent(spark):
+    content = ("Sitemap: https://cdn.x/a.xml\n"
+               "User-agent: googlebot\nDisallow: /\n"
+               "Sitemap:\thttps://cdn.x/b.xml  \n"
+               "# Sitemap: https://cdn.x/commented.xml\n"
+               "Sitemap:\n"
+               "sitemap: https://cdn.x/lower.xml\n")
+    from origami_spark.operators.robots import robots_sitemaps
+
+    robots = spark.createDataFrame([("h.com", content)],
+                                   "host string, content string")
+    got = sorted(r["sitemap"] for r in robots_sitemaps(robots).collect())
+    # found regardless of group position, key case, tab separators;
+    # commented-out and empty records drop
+    assert got == ["https://cdn.x/a.xml", "https://cdn.x/b.xml",
+                   "https://cdn.x/lower.xml"]
