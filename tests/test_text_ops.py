@@ -255,3 +255,35 @@ def test_readability_reference_and_edges(spark):
 
     plan = readability(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_split_sentences_fuzz_against_reference(spark):
+    """200 seeded random strings over a terminator/whitespace-heavy
+    alphabet, one Spark pass, exact parity with the pure-Python
+    reference."""
+    import random
+    import re as _re
+
+    rng = random.Random(20260818)
+    alphabet = list("ab c.d!e?f\t\n.g ..  !?x")
+    docs = [(i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 60))))
+            for i in range(200)]
+
+    def ref(text):
+        out = []
+        for m in _re.findall(r"[^.!?]+[.!?]*", text):
+            s = _re.sub(r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", "", m)
+            if s:
+                out.append(s)
+        return out
+
+    from origami_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {}
+    for r in split_sentences(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["sent_id"], r["sentence"]))
+    for i, t in docs:
+        want = list(enumerate(ref(t)))
+        assert sorted(got.get(i, [])) == want, (i, repr(t))
