@@ -336,6 +336,15 @@ def _build_corpus(spark, pages, out_dir, min_tokens, near_dup, dedup_spans,
     # to quality 'low' must not ship.  uniq is narrowed to (doc_id,
     # text) first: on the no-flags path it still carries kept's metric
     # columns, which would make the re-join ambiguous.
+    if dedup_spans or dedup_paragraphs or near_dup:
+        # cut lineage before the export recompute: the stacked dedup
+        # stages compound into a plan tree whose AQE string rendering
+        # ALONE can exhaust a modest driver heap (observed in the
+        # everything-on integration test).  The survivors frame is
+        # small (doc_id + text), so the eager checkpoint is cheap; on
+        # a lossy cluster prefer a reliable checkpoint dir (the
+        # pagerank localCheckpoint note).
+        uniq = uniq.localCheckpoint(eager=True)
     texts = uniq.select("doc_id", "text")
     q_final = T.quality_score(texts).select("doc_id", "n_tokens", "quality")
     final = (

@@ -469,3 +469,47 @@ def test_corpus_job_robots_gate(spark, tmp_path):
     assert back.filter(F.col("url").contains("/fr/")
                        | F.col("url").contains("/es/")).count() == 0
     assert back.count() > 0
+
+
+def test_corpus_job_full_chain(spark, tmp_path):
+    """Every gate composed in ONE build — the switch-over recipe a
+    production pipeline would run: blocklist -> robots -> extraction ->
+    quality -> exact dedup -> span strip -> paragraph dedup ->
+    near-dup -> host cap -> ordered export.  Monotone non-increasing
+    stage counts, each recorded."""
+    import pyspark.sql.functions as F
+
+    from origami_spark.operators.robots import parse_robots
+    from origami_spark.sources.corpus import pages_df
+
+    src = pages_df(spark, 80, num_partitions=2)
+    hosts = src.select(
+        F.regexp_extract("url", "://([^/]+)", 1).alias("host")).distinct()
+    rules = parse_robots(
+        hosts.withColumn("content",
+                         F.lit("User-agent: *\nDisallow: /es\n")),
+        agent="origami")
+
+    out = str(tmp_path / "corpus_full")
+    counts = build_corpus(
+        spark, src, out, min_tokens=5,
+        near_dup=True, dedup_spans=True, dedup_paragraphs=True,
+        host_cap=30,
+        block_domains=spark.createDataFrame([("site00.example.org",)],
+                                            "domain string"),
+        robots_rules=rules,
+        shuffle_output=True)
+
+    order = ["pages", "after_url_blocklist", "after_robots", "extracted",
+             "after_quality", "after_exact_dedup"]
+    vals = [counts[k] for k in order]
+    assert vals[0] == 80
+    assert all(a >= b for a, b in zip(vals, vals[1:])), counts
+    assert counts["exported"] > 0
+    back = spark.read.json(out)
+    assert back.count() == counts["exported"]
+    assert back.filter(F.col("url").contains("/es/")
+                       | F.col("url").contains("site00")).count() == 0
+    # ordered export: every shuffle rank exactly once
+    ranks = sorted(r["shuffle_pos"] for r in back.collect())
+    assert ranks == list(range(1, counts["exported"] + 1))
