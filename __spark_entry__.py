@@ -1847,8 +1847,62 @@ def lines_confidence_checked(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's CORRECTNESS capture stamps only the FIRST
+    # 50 entries per round.  Rounds 1-4 re-verified the same q01-q24/dedup/
+    # sample prefix, leaving 39 oracled queries with no driver-green row ever
+    # (VERDICT r4 "Next round" item 1).  Round 5 leads with two sentinels
+    # (q01 = relational canary, extract_compose = byte-identity canary), then
+    # those 39 never-captured entries, then the round-5 additions — so the
+    # driver's 50-row window finally covers the blind spot.  The remaining
+    # entries are unchanged and stay covered by the local sf0.01 rehearsal +
+    # tests/test_oracle_parity.py.
     return {
+        # -- sentinels (driver-green in every prior round) ------------------
         "q01_pricing_summary": q01_pricing_summary,
+        "extract_compose": extract_compose,
+        # -- never driver-verified before round 5 (38 oracled + bpe_encode) --
+        "host_quality": host_quality,
+        "url_blocklist": url_blocklist,
+        "graph_degrees": graph_degrees,
+        "graph_pagerank": graph_pagerank,
+        "graph_html_links": graph_html_links,
+        "graph_html_pagerank": graph_html_pagerank,
+        "graph_html_anchors": graph_html_anchors,
+        "graph_anchor_topk": graph_anchor_topk,
+        "graph_host_edges": graph_host_edges,
+        "graph_host_pagerank": graph_host_pagerank,
+        "html_metadata": html_metadata,
+        "robots_allowed": robots_allowed,
+        "robots_sitemap_urls": robots_sitemap_urls,
+        "sketch_kmv_distinct": sketch_kmv_distinct,
+        "sketch_countmin": sketch_countmin,
+        "sketch_bloom": sketch_bloom,
+        "sketch_hist_quantile": sketch_hist_quantile,
+        "text_phrases": text_phrases,
+        "dedup_semantic": dedup_semantic,
+        "dedup_semantic_keep": dedup_semantic_keep,
+        "dedup_embedding_contamination": dedup_embedding_contamination,
+        "ann_pq_topk": ann_pq_topk,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
+        "text_sentences": text_sentences,
+        "text_readability": text_readability,
+        "text_hash_embedding": text_hash_embedding,
+        "text_bpe_pretokens": text_bpe_pretokens,
+        "text_bpe_encode": text_bpe_encode,
+        "text_chunks": text_chunks,
+        "text_bm25_topk": text_bm25_topk,
+        "text_lm_quality": text_lm_quality,
+        "text_lm_buckets": text_lm_buckets,
+        "text_classifier_score": text_classifier_score,
+        "text_classifier_keep": text_classifier_keep,
+        "text_dsir_score": text_dsir_score,
+        "text_clean_lines": text_clean_lines,
+        "text_pii_scrub": text_pii_scrub,
+        "multimodal_near_dup": multimodal_near_dup,
+        "lines_confidence_checked": lines_confidence_checked,
+        # -- round-5 additions (slots 42..50 of the driver window) ----------
+        # (new operators are registered here as they land)
+        # -- previously driver-verified (r1-r4 green rows on file) ----------
         "q02_topk_orders": q02_topk_orders,
         "q03_region_revenue": q03_region_revenue,
         "q04_anti_join": q04_anti_join,
@@ -1899,61 +1953,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_dsir_gumbel": sample_dsir_gumbel,
         "host_stats": host_stats,
         "host_cap": host_cap,
-        "host_quality": host_quality,
-        "url_blocklist": url_blocklist,
-        "graph_degrees": graph_degrees,
-        "graph_pagerank": graph_pagerank,
-        "graph_html_links": graph_html_links,
-        "graph_html_pagerank": graph_html_pagerank,
-        "graph_html_anchors": graph_html_anchors,
-        "graph_anchor_topk": graph_anchor_topk,
-        "graph_host_edges": graph_host_edges,
-        "graph_host_pagerank": graph_host_pagerank,
-        "html_metadata": html_metadata,
-        "robots_allowed": robots_allowed,
-        "robots_sitemap_urls": robots_sitemap_urls,
-        "sketch_kmv_distinct": sketch_kmv_distinct,
-        "sketch_countmin": sketch_countmin,
-        "sketch_bloom": sketch_bloom,
-        "sketch_hist_quantile": sketch_hist_quantile,
-        "text_phrases": text_phrases,
         "dedup_embedding": dedup_embedding,
-        "dedup_semantic": dedup_semantic,
-        "dedup_semantic_keep": dedup_semantic_keep,
         "dedup_embedding_lsh": dedup_embedding_lsh,
-        "dedup_embedding_contamination": dedup_embedding_contamination,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
-        "ann_pq_topk": ann_pq_topk,
-        "ann_ivfpq_topk": ann_ivfpq_topk,
         "text_token_stats": text_token_stats,
-        "text_sentences": text_sentences,
-        "text_readability": text_readability,
-        "text_hash_embedding": text_hash_embedding,
-        "text_bpe_pretokens": text_bpe_pretokens,
-        "text_bpe_encode": text_bpe_encode,
-        "text_chunks": text_chunks,
-        "text_bm25_topk": text_bm25_topk,
-        "text_lm_quality": text_lm_quality,
-        "text_lm_buckets": text_lm_buckets,
-        "text_classifier_score": text_classifier_score,
-        "text_classifier_keep": text_classifier_keep,
-        "text_dsir_score": text_dsir_score,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "text_url_canonical": text_url_canonical,
         "text_repetition": text_repetition,
         "text_gopher_gate": text_gopher_gate,
-        "text_clean_lines": text_clean_lines,
-        "text_pii_scrub": text_pii_scrub,
         "multimodal_payload": multimodal_payload,
-        "multimodal_near_dup": multimodal_near_dup,
-        "extract_compose": extract_compose,
         "extract_blocks": extract_blocks,
         "lines_confidence": lines_confidence,
-        "lines_confidence_checked": lines_confidence_checked,
     }
 
 
