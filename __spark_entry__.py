@@ -1353,8 +1353,11 @@ def host_quality(spark, sf):
         T.stop_count(T.tokens_col()).alias("stops"),
         F.size(T.tokens_col()).alias("toks"),
     )
-    return host_quality_gate(sig, "stops", "toks", 0.04).select(
-        "doc_id", "url", "host")
+    # known-tiny gate corpus -> explicit broadcast; at crawl scale
+    # callers leave broadcast_rejected=None (AQE sizes it at runtime)
+    return host_quality_gate(
+        sig, "stops", "toks", 0.04, broadcast_rejected=True
+    ).select("doc_id", "url", "host")
 
 
 def url_blocklist(spark, sf):
@@ -1547,7 +1550,10 @@ def robots_allowed(spark, sf):
 
     pages = _stage_html_pages(spark, sf).select("url")
     rules = _stage_robots_rules(spark, sf)
-    return robots_gate(pages, rules).select("url", "host", "allowed")
+    # the staged gate rule table is known-tiny -> explicit broadcast;
+    # at crawl scale callers leave broadcast_rules=None (AQE decides)
+    return robots_gate(pages, rules, broadcast_rules=True).select(
+        "url", "host", "allowed")
 
 
 def html_metadata(spark, sf):

@@ -100,7 +100,8 @@ def host_cap(pages: DataFrame, url_col: str = "url", k: int = 100,
 
 def host_quality_gate(pages: DataFrame, num_col: str, den_col: str,
                       min_ratio: float, url_col: str = "url",
-                      salt: int = 8) -> DataFrame:
+                      salt: int = 8,
+                      broadcast_rejected: bool | None = None) -> DataFrame:
     """Domain-level quality curation (the RefinedWeb/FineWeb recipe:
     judge the DOMAIN, drop every page of a bad one): aggregate a
     per-page quality signal to host grain and keep only pages of hosts
@@ -116,9 +117,20 @@ def host_quality_gate(pages: DataFrame, num_col: str, den_col: str,
 
     Plan shape: two bounded aggregates (the host_stats salted recipe,
     so a Zipf mega-host cannot pin one reducer) produce the
-    host-grain table; the REJECTED host list (small by construction —
-    hosts, not pages) joins back broadcast left-anti, so the page side
-    never shuffles."""
+    host-grain table; the REJECTED host list joins back left-anti.
+    The list is host-grain, not page-grain — usually far smaller than
+    the corpus, but a strict threshold over a 10^8-host crawl can
+    reject tens of millions of hosts, past driver-broadcast range —
+    so the anti-join strategy is size-conditional
+    (``broadcast_rejected``, VERDICT r4 item 3):
+
+    * ``None`` (default) — no hint: AQE broadcasts the rejected list
+      when its RUNTIME size fits and shuffles otherwise (one corpus
+      exchange on ``host`` — acceptable; never a forced driver build).
+    * ``True`` — force the broadcast hint (caller knows the rejection
+      rate is tiny; the page side then never shuffles).
+    * ``False`` — force a shuffled hash anti-join (the adversarial
+      many-rejected-hosts path)."""
     t = pages.withColumn("host", host_of(url_col))
     partial = t.groupBy(
         "host", F.pmod(F.xxhash64(url_col), F.lit(salt)).alias("_salt")
@@ -134,4 +146,8 @@ def host_quality_gate(pages: DataFrame, num_col: str, den_col: str,
         (F.col("_d") > 0)
         & (F.col("_n") / F.col("_d").cast("double") < F.lit(float(min_ratio)))
     ).select("host")
-    return t.join(F.broadcast(rejected), "host", "left_anti")
+    if broadcast_rejected is True:
+        rejected = F.broadcast(rejected)
+    elif broadcast_rejected is False:
+        rejected = rejected.hint("shuffle_hash")
+    return t.join(rejected, "host", "left_anti")

@@ -19,13 +19,20 @@ rebuilds re-check against fresher robots snapshots).  Two operators:
   path spec wins and a tie goes to ``allow`` (RFC 9309 §2.2.2); a
   url with no matching rule (or no rules at all) is allowed.
 
-Scale shape: the rule table is keyed by host — small lists per host —
-so the gate is one equality join on the host (broadcast when the rule
-table fits, hash-join otherwise; either way per-url work is bounded
-by that host's rule count), a match filter, and one aggregation whose
-input is only the MATCHED (url, rule) pairs.  The parse touches each
-robots body once; bodies never shuffle, only their exploded directive
-lines (bounded by line count).
+Scale shape: the rule table is keyed by host — small lists per host,
+but a real crawl has 10^7-10^8 hosts WITH robots bodies, so the folded
+rule table itself is host-grain big.  The gate is one equality join on
+the host, and the join strategy is size-conditional
+(:func:`robots_gate` ``broadcast_rules``): by default no hint is
+forced, so Catalyst's static size estimate plus AQE's runtime re-plan
+broadcast the rule side exactly when it actually fits and fall back to
+a shuffled join (ONE corpus exchange on ``host`` — acceptable)
+otherwise; ``True``/``False`` force either strategy when the caller
+knows the rule-table scale (e.g. from stage lineage).  Either way
+per-url work is bounded by that host's rule count: a match filter and
+one fold whose input is only the host's own rules.  The parse touches
+each robots body once; bodies never shuffle, only their exploded
+directive lines (bounded by line count).
 
 Determinism/portability: rules are meant to be STAGED (a parquet
 side table, like the IVF centroids) and consumed by both engines;
@@ -168,7 +175,8 @@ def robots_sitemaps(robots: DataFrame, host_col: str = "host",
 
 
 def robots_gate(pages: DataFrame, rules: DataFrame,
-                url_col: str = "url") -> DataFrame:
+                url_col: str = "url",
+                broadcast_rules: bool | None = None) -> DataFrame:
     """+ ``host``, ``allowed`` (boolean) per input row.
 
     Verdict: longest matching path spec wins, ``allow`` wins a
@@ -176,21 +184,41 @@ def robots_gate(pages: DataFrame, rules: DataFrame,
     RFC 9309 §2.2.2 evaluation.
 
     Plan shape: the rule table folds to ONE array row per host
-    (bounded — robots bodies are small) and broadcast-joins the page
-    side, which then evaluates its verdict per row with a
-    filter + max-fold over the host's rule array.  The corpus is
-    never hash-exchanged and there is no verdict re-join — the
-    earlier matched-pairs formulation remains the relational/DuckDB
-    oracle shape.  The fold is a pure maximum under the total
-    ``(rule_len, allow)`` order, so the (unordered) collect_list
-    cannot affect the result."""
+    (each row bounded — robots bodies are small — but the table is
+    HOST-grain: 10^7-10^8 rows on a real crawl) and joins the page
+    side on ``host``, which then evaluates its verdict per row with a
+    filter + max-fold over the host's rule array.  There is no
+    verdict re-join — the earlier matched-pairs formulation remains
+    the relational/DuckDB oracle shape.  The fold is a pure maximum
+    under the total ``(rule_len, allow)`` order, so the (unordered)
+    collect_list cannot affect the result.
+
+    ``broadcast_rules`` picks the join strategy (VERDICT r4 item 2 —
+    an unconditional ``F.broadcast`` hint forces a driver-side build
+    of the whole rule table regardless of size, an OOM rather than a
+    graceful fallback at crawl scale):
+
+    * ``None`` (default) — no hint: Catalyst's static size estimate
+      and AQE's runtime re-plan broadcast the folded rule side when
+      it actually fits (``spark.sql.autoBroadcastJoinThreshold``) and
+      use a shuffled join otherwise.  The graceful path when the rule
+      table's scale is unknown.
+    * ``True`` — force the broadcast hint (the caller KNOWS the rule
+      set is small, e.g. a curated allowlist crawl).
+    * ``False`` — force a shuffled hash join: one corpus exchange on
+      ``host``, never a driver-side build (the 10^8-host path).
+    """
     per_host = rules.groupBy("host").agg(
         F.collect_list(F.struct("rule_len", "allow", "pattern"))
         .alias("_rules"))
+    if broadcast_rules is True:
+        per_host = F.broadcast(per_host)
+    elif broadcast_rules is False:
+        per_host = per_host.hint("shuffle_hash")
     p = (
         pages.withColumn("host", host_of(url_col))
         .withColumn("_path", url_path(url_col))
-        .join(F.broadcast(per_host), "host", "left")
+        .join(per_host, "host", "left")
     )
     best = F.expr("""
         aggregate(

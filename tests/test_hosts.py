@@ -194,13 +194,45 @@ def test_host_quality_gate_salted_equals_direct(spark):
 
 
 def test_host_quality_gate_page_side_never_shuffles(spark):
-    """The reject list joins back broadcast left-anti: no SortMergeJoin
+    """With broadcast_rejected=True (caller knows the reject list is
+    tiny) the list joins back broadcast left-anti: no SortMergeJoin
     and no Exchange on the page relation above the scan."""
     from origami_spark.operators.hosts import host_quality_gate
 
     rows = [(f"https://h{i % 3}.com/p/{i}", 1, 10) for i in range(30)]
-    plan = host_quality_gate(_sig(spark, rows), "stops", "toks", 0.05) \
+    plan = host_quality_gate(_sig(spark, rows), "stops", "toks", 0.05,
+                             broadcast_rejected=True) \
         ._jdf.queryExecution().executedPlan().toString()
     head = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in head and "LeftAnti" in head
     assert "SortMergeJoin" not in head
+
+
+def test_host_quality_gate_many_rejected_hosts_no_broadcast(spark):
+    """VERDICT r4 item 3 (adversarial): a strict threshold rejects
+    MOST hosts — at 10^8-host scale that list must never be forced
+    into a driver-side broadcast.  broadcast_rejected=False plans a
+    shuffled anti-join (no BroadcastExchange anywhere above the rule
+    aggregation), and all three strategies return identical pages."""
+    from origami_spark.operators.hosts import host_quality_gate
+
+    # 400 hosts, ~90% under the threshold (host ratio = (i%10)/100)
+    rows = [(f"https://h{i}.example/p/{j}", i % 10, 100)
+            for i in range(400) for j in range(3)]
+    sig = _sig(spark, rows)
+
+    def run(mode):
+        return host_quality_gate(sig, "stops", "toks", 0.09,
+                                 broadcast_rejected=mode)
+
+    forced = run(False)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" not in head, head
+    assert "ShuffledHashJoin" in head and "LeftAnti" in head, head
+
+    kept = {r["url"] for r in forced.collect()}
+    assert kept == {r["url"] for r in run(True).collect()}
+    assert kept == {r["url"] for r in run(None).collect()}
+    # ratio 9/100 >= 0.09 survives; everything else drops
+    assert kept == {u for (u, s, t) in rows if s == 9}

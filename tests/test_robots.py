@@ -193,9 +193,11 @@ def test_parse_partition_independent_no_udf(spark):
 
 
 def test_gate_plan_rules_broadcast_corpus_unshuffled(spark):
-    """The scale contract: the rule table folds per host and joins the
-    url side broadcast; the verdict is a per-row array fold, so the
-    corpus side is never hash-partitioned and never re-joined."""
+    """The small-rule-table contract (broadcast_rules=True, which the
+    entry query pins for its known-tiny staged rules): the rule table
+    folds per host and joins the url side broadcast; the verdict is a
+    per-row array fold, so the corpus side is never hash-partitioned
+    and never re-joined."""
     import __spark_entry__ as E
 
     df = E.robots_allowed(spark, "/root/testdata/sf0.001")
@@ -205,6 +207,42 @@ def test_gate_plan_rules_broadcast_corpus_unshuffled(spark):
     # the page side is never hash-partitioned and never re-joined
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_gate_large_rule_table_no_broadcast(spark):
+    """VERDICT r4 item 2: a real crawl has 10^7-10^8 hosts with robots
+    bodies — the rule table must have a non-broadcast path.  A
+    synthetic many-host rule table with broadcast_rules=False plans a
+    shuffled hash join (no BroadcastExchange of the rule side), and
+    all three strategies return identical verdicts."""
+    n = 500
+    rules = spark.createDataFrame(
+        [(f"h{i}.example", i % 2, "/blocked", 8, "^/blocked")
+         for i in range(n)],
+        "host string, allow int, path string, rule_len int, "
+        "pattern string")
+    pages = spark.createDataFrame(
+        [(f"https://h{i}.example/blocked/x",) for i in range(n)]
+        + [(f"https://h{i}.example/open",) for i in range(n)]
+        + [("https://norules.example/a",)],
+        "url string")
+
+    forced = robots_gate(pages, rules, broadcast_rules=False)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" not in head, head
+    assert "ShuffledHashJoin" in head, head
+
+    got = {(r["url"], r["allowed"]) for r in forced.collect()}
+    for mode in (True, None):
+        assert got == {(r["url"], r["allowed"]) for r in
+                       robots_gate(pages, rules,
+                                   broadcast_rules=mode).collect()}
+    # odd hosts Allow /blocked, even hosts Disallow it; no rule -> allow
+    assert ("https://norules.example/a", True) in got
+    assert ("https://h2.example/blocked/x", False) in got
+    assert ("https://h3.example/blocked/x", True) in got
+    assert ("https://h2.example/open", True) in got
 
 
 def test_parse_fuzz_against_reference(spark):
