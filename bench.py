@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Benchmark: headline queries + extraction throughput at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "extraction": {...}}
+Prints the FULL report JSON line (also written to bench_report.json),
+then a compact summary as the FINAL line — the driver's tail capture
+keeps only the last ~2000 chars of stdout, so the final line carries
+{"metric", "value", "unit", "sf", "queries" (rounded), "extraction"
+(throughput+digest), "scaling" (efficiencies), "steal_max"} and is
+size-guarded to always fit.
 
 Modes:
   python bench.py                 # full bench at $SPARK_GRAFT_CPUS (default 32)
@@ -402,7 +405,62 @@ def main():
         # amortized at the 2-core leg)
         report["scaling"] = scaling_report(
             int(os.environ.get("ORIGAMI_BENCH_SCALING_DOCS", "60000")))
-    print(json.dumps(report))
+    if extract_only:
+        # child legs of the scaling protocol parse this single line
+        print(json.dumps(report))
+        return
+    # The driver's tail capture keeps only the LAST ~2000 chars of
+    # stdout; round 4's single full-report line outgrew it and stamped
+    # BENCH_r04 parsed:null (VERDICT r4 item 4).  Emit the full report
+    # (per-query steal, scaling leg detail) to a file AND an earlier
+    # stdout line, then a compact summary guaranteed to fit as the
+    # FINAL line.
+    report_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_report.json")
+    full_line = json.dumps(report)
+    try:
+        with open(report_path, "w") as f:
+            f.write(full_line + "\n")
+    except OSError:
+        report_path = None
+    print(full_line)
+    scaling = report.get("scaling", {})
+    lo, hi = SCALING_N, SCALING_N * 4
+    summary = {
+        "metric": report["metric"],
+        "value": report["value"],
+        "unit": "sec",
+        "sf": SF_DIR,
+        "steal_max": report["steal_max"],
+        "queries": {k: round(v, 2) for k, v in r["queries"].items()},
+        "extraction": {
+            "docs_per_sec": r["extraction"]["docs_per_sec"],
+            "digest": r["extraction"]["digest"],
+        },
+    }
+    if report_path:
+        summary["report_file"] = os.path.basename(report_path)
+    if "extraction_relational" in r:
+        summary["extraction_relational_docs_per_sec"] = (
+            r["extraction_relational"]["docs_per_sec"])
+    if scaling:
+        pair_lo = scaling.get(f"{lo}->{hi}", {})
+        pair_hi = scaling.get(f"{hi}->{hi * 4}", {})
+        ceil = scaling.get(f"host_ceiling_{hi}->{hi * 4}", {})
+        summary["scaling"] = {
+            f"{lo}->{hi}": pair_lo.get("efficiency"),
+            f"{hi}->{hi * 4}": pair_hi.get("efficiency"),
+            f"host_ceiling_{hi}->{hi * 4}": ceil.get("efficiency"),
+            "digest_match": (pair_lo.get("digest_match")
+                             and pair_hi.get("digest_match")),
+        }
+    line = json.dumps(summary)
+    if len(line) > 1900:
+        # never outgrow the capture again: the per-query map lives in
+        # the full report (file + earlier line); totals stay here
+        summary.pop("queries", None)
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":
