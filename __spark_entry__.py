@@ -1852,6 +1852,115 @@ def lines_confidence_checked(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-5 additions: event-log family (as-of join, sessions, hypertable
+# rollup, funnel, retention) + TF-IDF / heavy hitters / reservoir
+# ---------------------------------------------------------------------------
+
+def events_asof_join(spark, sf):
+    """Backward as-of join (operators/events.asof_join — the brief's
+    named custom operator): each click event gains the value and
+    timestamp of the LATEST preceding view by the same user.  Spark
+    runs the union + ordered-window formulation (one shuffle on the
+    key); the oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — a
+    genuinely independent implementation of the same semantics."""
+    from origami_spark.operators.events import TS_FMT, asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value")
+    out = asof_join(clicks, views, key="user_id", value_cols=("value",))
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", TS_FMT).alias("click_ts"),
+        F.col("value_asof").alias("view_value"),
+        F.date_format("ts_asof", TS_FMT).alias("view_ts"),
+    )
+
+
+def events_sessionize(spark, sf):
+    """Batch gaps-and-islands sessionization (operators/events.
+    sessionize, the batch mirror of streaming/sessions.py): a 6-hour
+    idle gap starts a new session; one row per session with exact
+    millisecond durations."""
+    from origami_spark.operators.events import sessionize
+
+    return sessionize(_t(spark, sf, "events"), gap_seconds=21600)
+
+
+def events_rollup(spark, sf):
+    """Hypertable-style multi-resolution rollup (operators/events.
+    time_rollup): hour grain from raw (the only corpus shuffle), day
+    grain derived FROM the hourly aggregate — continuous-aggregate
+    reuse, so the daily never rescans raw at 10^12 events."""
+    from origami_spark.operators.events import time_rollup
+
+    return time_rollup(_t(spark, sf, "events"))
+
+
+def events_funnel(spark, sf):
+    """Greedy ordered-step window funnel (operators/events.
+    window_funnel, the ClickHouse windowFunnel family): per user the
+    earliest view anchors, then the earliest later click and the
+    earliest still-later purchase inside a 7-day horizon
+    (microsecond-exact arithmetic); depth = steps reached.  The
+    oracle is the chained min-CTE form."""
+    from origami_spark.operators.events import window_funnel
+
+    return window_funnel(
+        _t(spark, sf, "events"), ("view", "click", "purchase"),
+        horizon_ms=7 * 24 * 3600 * 1000)
+
+
+def events_retention(spark, sf):
+    """Weekly cohort retention (operators/events.cohort_retention):
+    cohort = first active week per user; distinct active users per
+    (cohort_week, week_offset)."""
+    from origami_spark.operators.events import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
+
+
+def text_tfidf_topk(spark, sf):
+    """Per-document top-5 TF-IDF terms (operators/text.tfidf_topk,
+    raw TF x smooth IDF): scores quantized with the portable
+    floor(x*1e4+0.5)/1e4 BEFORE ranking so ties break identically in
+    both engines."""
+    from origami_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf, "documents"), k=5)
+
+
+def sketch_heavy_hitters(spark, sf):
+    """Top-20 heavy hitters from the count-min sketch alone
+    (operators/sketch.countmin_topk): every distinct token is probed
+    against the 4x512 sketch and ranked by (estimate DESC, item ASC)
+    through the two-level decomposed top-k; the oracle re-derives
+    every counter and ranks with a single window — value-identical by
+    the host_cap argument."""
+    from origami_spark.operators.sketch import countmin_build, countmin_topk
+    from origami_spark.operators.text import tokens_col
+
+    toks = _t(spark, sf, "documents").select(
+        F.explode(tokens_col("text")).alias("tok"))
+    sk = countmin_build(toks, "tok", width=512, depth=4)
+    return countmin_topk(sk, toks, "tok", k=20, width=512, depth=4)
+
+
+def sample_reservoir(spark, sf):
+    """Deterministic fixed-size per-stratum sample (operators/
+    sampling.reservoir_sample — the batch reservoir): 10 docs per
+    lang by portable-hash rank, exact output size, identical at any
+    parallelism; two-level decomposed rank so a mega-stratum never
+    sorts on one task."""
+    from origami_spark.operators.sampling import reservoir_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return reservoir_sample(docs, k=10, by="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS capture stamps only the FIRST
     # 50 entries per round.  Rounds 1-4 re-verified the same q01-q24/dedup/
@@ -1907,7 +2016,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_near_dup": multimodal_near_dup,
         "lines_confidence_checked": lines_confidence_checked,
         # -- round-5 additions (slots 42..50 of the driver window) ----------
-        # (new operators are registered here as they land)
+        "events_asof_join": events_asof_join,
+        "events_sessionize": events_sessionize,
+        "events_rollup": events_rollup,
+        "events_funnel": events_funnel,
+        "events_retention": events_retention,
+        "text_tfidf_topk": text_tfidf_topk,
+        "sketch_heavy_hitters": sketch_heavy_hitters,
+        "sample_reservoir": sample_reservoir,
         # -- previously driver-verified (r1-r4 green rows on file) ----------
         "q02_topk_orders": q02_topk_orders,
         "q03_region_revenue": q03_region_revenue,
@@ -3762,6 +3878,154 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN sha256(text) LIKE '0%'
                             THEN 1 ELSE 0 END) AS BIGINT) AS digest_0
             FROM media GROUP BY kind""",
+        # DuckDB's NATIVE ASOF JOIN vs the Spark union+window form —
+        # two independent implementations of the same semantics
+        "events_asof_join": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 v AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   v.value AS view_value,
+                   strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        "events_sessionize": """
+            WITH m AS (SELECT user_id, ts, epoch_ms(ts) AS ms FROM events),
+            f AS (SELECT user_id, ts, ms,
+                  CASE WHEN lag(ms) OVER w IS NULL
+                            OR ms - lag(ms) OVER w > 21600000
+                       THEN 1 ELSE 0 END AS nw
+                  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts, ms,
+                  CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                  FROM f)
+            SELECT user_id, session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')
+                     AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')
+                     AS session_end,
+                   CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms
+            FROM s GROUP BY 1, 2""",
+        "events_rollup": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS b, event_type,
+                     CAST(count(*) AS BIGINT) AS n, sum(value) AS sv
+              FROM events GROUP BY 1, 2),
+            daily AS (
+              SELECT date_trunc('day', b) AS b, event_type,
+                     CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
+              FROM hourly GROUP BY 1, 2)
+            SELECT 'hour' AS granularity,
+                   strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   event_type, n, round(sv, 2) AS sum_value FROM hourly
+            UNION ALL
+            SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'),
+                   event_type, n, round(sv, 2) FROM daily""",
+        "events_funnel": """
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            t2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'click'
+                AND epoch_us(e.ts) > epoch_us(t1.t1)
+                AND epoch_us(e.ts) - epoch_us(t1.t1) <= 604800000000
+              GROUP BY 1),
+            t3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e
+              JOIN t2 ON e.user_id = t2.user_id
+              JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) > epoch_us(t2.t2)
+                AND epoch_us(e.ts) - epoch_us(t1.t1) <= 604800000000
+              GROUP BY 1)
+            SELECT t1.user_id,
+                   CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                             WHEN t2.t2 IS NOT NULL THEN 2
+                             ELSE 1 END AS BIGINT) AS funnel_depth,
+                   strftime(t1.t1, '%Y-%m-%d %H:%M:%S.%f') AS t1
+            FROM t1
+            LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id""",
+        "events_retention": """
+            WITH wk AS (SELECT DISTINCT user_id,
+                               date_trunc('week', ts) AS wk FROM events),
+            f AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1)
+            SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', CAST(f.cohort AS DATE),
+                        CAST(wk.wk AS DATE)) / 7 AS BIGINT) AS week_offset,
+                   CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_active
+            FROM wk JOIN f ON wk.user_id = f.user_id
+            GROUP BY 1, 2""",
+        "text_tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY 1),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     floor(CAST(tf.tf AS DOUBLE)
+                           * (ln(CAST(n + 1 AS DOUBLE)
+                                 / CAST(dft.df + 1 AS DOUBLE)) + 1)
+                           * 1e4 + 0.5) / 1e4 AS score
+              FROM tf JOIN dft ON tf.term = dft.term, nd),
+            r AS (SELECT doc_id, term, tf, score,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS BIGINT) AS rk
+                  FROM scored)
+            SELECT doc_id, term, tf, score, rk FROM r WHERE rk <= 5""",
+        "sketch_heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '')) AS tok
+              FROM documents),
+            sk AS (
+              SELECT CAST(i AS INT) AS row,
+                     CAST(('0x' || substring(md5('cm' || CAST(i AS VARCHAR)
+                       || '|' || tok), 1, 15)) AS BIGINT) % 512 AS bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM toks, LATERAL unnest(range(0, 4)) AS r(i)
+              GROUP BY 1, 2),
+            items AS (SELECT DISTINCT tok AS item FROM toks),
+            probe AS (
+              SELECT item, CAST(i AS INT) AS row,
+                     CAST(('0x' || substring(md5('cm' || CAST(i AS VARCHAR)
+                       || '|' || item), 1, 15)) AS BIGINT) % 512 AS bucket
+              FROM items, LATERAL unnest(range(0, 4)) AS r(i)),
+            est AS (
+              SELECT item,
+                     CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cm_est
+              FROM probe LEFT JOIN sk
+                ON probe.row = sk.row AND probe.bucket = sk.bucket
+              GROUP BY 1),
+            r AS (SELECT item, cm_est,
+                  CAST(row_number() OVER (ORDER BY cm_est DESC, item ASC)
+                       AS BIGINT) AS rk FROM est)
+            SELECT item, cm_est, rk FROM r WHERE rk <= 20""",
+        "sample_reservoir": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substring(md5('s0|'
+                       || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       AS hh
+              FROM documents),
+            r AS (SELECT doc_id, lang,
+                  CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY hh ASC, doc_id ASC) AS BIGINT) AS rk
+                  FROM h)
+            SELECT doc_id, lang, rk FROM r WHERE rk <= 10""",
     }
     sql["dedup_embedding_lsh"] = _lsh_oracle_sql(8, 8, 64, 0.4)
     sql["dedup_embedding_contamination"] = _emb_contam_oracle_sql(

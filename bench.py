@@ -87,6 +87,12 @@ BENCH_QUERIES = [
     "graph_host_edges",
     "text_readability",
     "dedup_embedding_contamination",
+    "events_asof_join",
+    "events_sessionize",
+    "events_rollup",
+    "events_funnel",
+    "text_tfidf_topk",
+    "sketch_heavy_hitters",
 ]
 
 # queries whose first call trains + stages a model artifact that the

@@ -457,3 +457,37 @@ def split_assign(docs: DataFrame, splits=None, seed: str = "s0",
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return docs.withColumn("split", expr)
+
+
+def reservoir_sample(docs: DataFrame, k: int = 10, by: str = "lang",
+                     id_col: str = "doc_id",
+                     seed: str = "s0", salt: int = 32) -> DataFrame:
+    """Deterministic fixed-SIZE sample per stratum — the batch analog
+    of per-group reservoir sampling: rank every row by the portable
+    hash of (seed, id) inside its stratum and keep the k smallest.
+    Unlike :func:`hash_sample` (fixed RATE), the output size is exact
+    (min(k, stratum size)), re-runs are identical at any parallelism,
+    and changing ``seed`` draws an independent sample.
+
+    Two-level decomposed rank (the host_cap recipe): phase 1 ranks
+    within (stratum, salt-of-hash) so a Zipf mega-stratum never sorts
+    on one task; phase 2 ranks the <= salt*k survivors.  A stratum's k
+    hash-smallest rows all survive phase 1 (each is hash-smallest
+    within its own salt too), so the result is value-identical to the
+    single-window form — which is the DuckDB-oracle formulation.
+
+    Output: the input columns plus ``rk`` (1..k within stratum)."""
+    h = portable_hash60(
+        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+    w1 = Window.partitionBy(by, "_salt").orderBy(
+        F.asc("_h"), F.asc(id_col))
+    w2 = Window.partitionBy(by).orderBy(F.asc("_h"), F.asc(id_col))
+    return (
+        docs.withColumn("_h", h)
+        .withColumn("_salt", F.pmod(F.col("_h"), F.lit(salt)))
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .drop("_h", "_salt", "_rk1")
+    )

@@ -323,3 +323,36 @@ def hist_quantile(hist: DataFrame, q_num: int, q_den: int,
             .alias("est"),
         )
     )
+
+
+def countmin_topk(sketch: DataFrame, items: DataFrame, col: str,
+                  k: int = 10, width: int = 1024, depth: int = 4,
+                  salt: int = 32) -> DataFrame:
+    """Heavy hitters from a count-min sketch: estimate every candidate
+    item (:func:`countmin_estimate` — sketch broadcast, probe side
+    groupBy bounded by the candidate set) and keep the global top-k by
+    (estimate DESC, item ASC).
+
+    The rank is the two-level decomposed top-k (the host_cap recipe):
+    phase 1 ranks within a hash-salt of the item so no task ever sorts
+    the full candidate set; phase 2 ranks the <= salt*k survivors.
+    CM guarantees est >= true count, so every true heavy hitter whose
+    count clears the epsilon-N noise floor survives — the candidate
+    set can be the full distinct-item relation at any corpus size.
+
+    Output: ``(item, cm_est, rk)``."""
+    est = countmin_estimate(sketch, items, col, width, depth)
+    w1 = Window.partitionBy("_salt").orderBy(
+        F.desc("cm_est"), F.asc("item"))
+    w2 = Window.partitionBy().orderBy(F.desc("cm_est"), F.asc("item"))
+    return (
+        est.withColumn(
+            "_salt",
+            F.pmod(portable_hash60(F.concat(F.lit("hh|"), F.col("item"))),
+                   F.lit(salt)))
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("item", "cm_est", "rk")
+    )

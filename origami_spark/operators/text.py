@@ -15,7 +15,7 @@ kernel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # shared with the DuckDB oracles — keep in sync with __spark_entry__
@@ -417,4 +417,52 @@ def phrase_scores(docs: DataFrame, min_count: int = 3,
             F.expr(f"((c_ab - {delta}) * v * {scale}L) div (c1 * c2)")
             .cast("bigint").alias("score_q"),
         )
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/feature
+    extractor a curation pipeline runs before retrieval or clustering
+    (the raw-count TF x smoothed IDF of the standard formulation,
+    idf = ln((N + 1) / (df + 1)) + 1, scikit-learn's smooth_idf).
+
+    Output: ``(id_col, term, tf, score, rk)`` with ``score`` quantized
+    via the portable floor(x * 1e4 + 0.5) / 1e4 (the readability
+    recipe) BEFORE ranking, so rank ties break identically in both
+    engines ((score DESC, term ASC) on the quantized value).
+
+    Scale shape: one token explode into a (doc, term) count (map-side
+    combine), a term-grain df aggregate joined back on the term (AQE
+    broadcasts the vocab side when it fits), the corpus-count scalar
+    as a broadcast literal row, and a per-document window top-k whose
+    partitions are bounded by a document's distinct terms."""
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens_col(text_col))
+                    .alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    raw = (
+        F.col("tf").cast("double")
+        * (F.log((F.col("_n") + 1).cast("double")
+                 / (F.col("_df") + 1).cast("double")) + 1)
+    )
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col, "term", "tf",
+            (F.floor(raw * 1e4 + F.lit(0.5)) / 1e4).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
     )
