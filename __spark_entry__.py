@@ -1413,6 +1413,18 @@ def graph_pagerank(spark, sf):
     return pagerank(event_edges(_t(spark, sf, "events")), iters=6)
 
 
+def graph_hits(spark, sf):
+    """HITS hubs & authorities (operators/graph.hits, Kleinberg 1999),
+    4 synchronous iterations of exact BIGINT fixed-point with max-norm
+    per half-step, over the same events transition graph as
+    graph_pagerank.  Integer arithmetic end to end, so the oracle —
+    the identical recurrence unrolled as chained CTEs with scalar-
+    subquery maxima — must hash-match bit-for-bit."""
+    from origami_spark.operators.graph import event_edges, hits
+
+    return hits(event_edges(_t(spark, sf, "events")), iters=4)
+
+
 def _stage_html_pages(spark, sf):
     """Stage the deterministic corpus pages (url, html decoded to
     string) once per sf, so the html-link-graph oracles can run the
@@ -2024,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": text_tfidf_topk,
         "sketch_heavy_hitters": sketch_heavy_hitters,
         "sample_reservoir": sample_reservoir,
+        "graph_hits": graph_hits,
         # -- previously driver-verified (r1-r4 green rows on file) ----------
         "q02_topk_orders": q02_topk_orders,
         "q03_region_revenue": q03_region_revenue,
@@ -2263,6 +2276,55 @@ def _pagerank_oracle_sql(iters: int = 6, scale: int = 1 << 20,
                 GROUP BY e.dst) c ON c.node = n.node)""")
     return ("WITH " + ",\n            ".join(ctes)
             + f"\n            SELECT node, score FROM s{iters}")
+
+
+def _hits_oracle_sql(iters: int = 4, scale: int = 1 << 16,
+                     edge_cte: str | None = None) -> str:
+    """The engine's integer HITS recurrence (operators/graph.hits)
+    unrolled as chained CTEs — two half-steps per iteration, each
+    max-normalized via a scalar subquery (the oracle twin of the
+    broadcast one-row cross join on the Spark side).  All-positive
+    operands, so DuckDB ``//`` == Spark ``div``."""
+    # every iteration CTE is referenced twice (main + the scalar-max
+    # subquery / the next half-step), and DuckDB INLINES plain CTEs —
+    # re-evaluating the whole chain per reference, exponential in
+    # iters (measured 0.15s/0.54s/13.7s for 1/2/3 iterations at
+    # sf0.001).  MATERIALIZED pins each half-step to one evaluation.
+    ctes = [
+        edge_cte or _GRAPH_EDGE_CTE,
+        """nodes AS MATERIALIZED (
+              SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        f"""h0 AS MATERIALIZED (
+              SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""ar{i} AS MATERIALIZED (
+              SELECT e.dst AS node,
+                     CAST(sum(h.hub * e.weight) AS BIGINT) AS raw
+              FROM edges e JOIN h{i - 1} h ON h.node = e.src
+              GROUP BY 1)""")
+        ctes.append(f"""a{i} AS MATERIALIZED (
+              SELECT node,
+                     CAST((raw * {scale}) // (SELECT max(raw) FROM ar{i})
+                          AS BIGINT) AS authority
+              FROM ar{i})""")
+        ctes.append(f"""hr{i} AS MATERIALIZED (
+              SELECT e.src AS node,
+                     CAST(sum(a.authority * e.weight) AS BIGINT) AS raw
+              FROM edges e JOIN a{i} a ON a.node = e.dst
+              GROUP BY 1)""")
+        ctes.append(f"""h{i} AS MATERIALIZED (
+              SELECT node,
+                     CAST((raw * {scale}) // (SELECT max(raw) FROM hr{i})
+                          AS BIGINT) AS hub
+              FROM hr{i})""")
+    return ("WITH " + ",\n            ".join(ctes) + f"""
+            SELECT n.node,
+                   CAST(coalesce(h.hub, 0) AS BIGINT) AS hub,
+                   CAST(coalesce(a.authority, 0) AS BIGINT) AS authority
+            FROM nodes n
+            LEFT JOIN h{iters} h ON h.node = n.node
+            LEFT JOIN a{iters} a ON a.node = n.node""")
 
 
 def _simhash_cand_cte() -> str:
@@ -3464,6 +3526,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS in_weight
             FROM sides GROUP BY node""",
         "graph_pagerank": _pagerank_oracle_sql(iters=6),
+        "graph_hits": _hits_oracle_sql(iters=4),
         "graph_html_links": f"""
             WITH {_html_edge_cte(hashed=False)}
             SELECT src, dst, weight FROM edges""",

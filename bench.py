@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "text_tfidf_topk",
     "sketch_heavy_hitters",
+    "graph_hits",
 ]
 
 # queries whose first call trains + stages a model artifact that the

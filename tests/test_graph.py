@@ -259,3 +259,42 @@ def test_uppercase_anchors_and_hrefs(spark):
     # link_edges harvests every HREF attribute, tag-agnostic by design
     assert edges == {("https://a.com/a", "https://a.com/x"),
                      ("https://a.com/a", "https://a.com/y")}
+
+
+def _py_hits(edges, iters, scale=1 << 16):
+    """Independent HITS reference: same integer max-norm recurrence,
+    plain dicts."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(iters):
+        a_raw = {}
+        for s, d, w in edges:
+            a_raw[d] = a_raw.get(d, 0) + hub.get(s, 0) * w
+        mx = max(a_raw.values())
+        auth = {n: (v * scale) // mx for n, v in a_raw.items()}
+        h_raw = {}
+        for s, d, w in edges:
+            h_raw[s] = h_raw.get(s, 0) + auth.get(d, 0) * w
+        mx = max(h_raw.values())
+        hub = {n: (v * scale) // mx for n, v in h_raw.items()}
+    return {n: (hub.get(n, 0), auth.get(n, 0)) for n in nodes}
+
+
+def test_hits_matches_integer_reference(spark, edges_df):
+    from origami_spark.operators.graph import hits
+
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(edges_df, iters=4).collect()}
+    assert got == _py_hits(EDGES, iters=4)
+    # max-norm invariant: the best hub and best authority sit at scale
+    assert max(h for h, _a in got.values()) == 1 << 16
+    assert max(a for _h, a in got.values()) == 1 << 16
+
+
+def test_hits_partition_invariance(spark, edges_df):
+    from origami_spark.operators.graph import hits
+
+    a = sorted(map(tuple, hits(edges_df, iters=2).collect()))
+    b = sorted(map(tuple, hits(edges_df.repartition(5), iters=2).collect()))
+    assert a == b
