@@ -75,21 +75,33 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
               left_ts: str = "ts", right_ts: str = "ts",
               value_cols: tuple = ("value",),
               suffix: str = "_asof",
-              tolerance_ms: int | None = None) -> DataFrame:
-    """Backward as-of join: every ``left`` row keeps all its columns
-    and gains ``<c><suffix>`` for each of the right's ``value_cols``
-    plus ``<right_ts><suffix>`` — the values of the LATEST right row
-    with ``right_ts <= left_ts`` on the same ``key`` (NULLs when no
-    right row precedes it, or when it is older than ``tolerance_ms``).
+              tolerance_ms: int | None = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join (the pandas ``merge_asof`` directions): every
+    ``left`` row keeps all its columns and gains ``<c><suffix>`` for
+    each of the right's ``value_cols`` plus ``<right_ts><suffix>`` —
+    the values of the matched right row on the same ``key``:
 
-    Plan: union the tagged sides (right sorts BEFORE left at equal
-    timestamps — the ``<=`` contract), ONE hash exchange on the key,
-    one window pass carrying the last non-null right value forward,
-    filter back to the left side.  Equivalent to DuckDB's native
-    ``ASOF LEFT JOIN`` (the oracle formulation), but expressed with
+    * ``backward`` (default) — the LATEST right row with
+      ``right_ts <= left_ts``;
+    * ``forward`` — the EARLIEST right row with ``right_ts >=
+      left_ts``.
+
+    NULLs when no right row qualifies, or when the match is further
+    than ``tolerance_ms`` away.
+
+    Plan: union the tagged sides (the right row at an EQUAL timestamp
+    sorts on the matchable side of the left row — the inclusive
+    contract), ONE hash exchange on the key, one window pass carrying
+    the nearest non-null right value across, filter back to the left
+    side.  Equivalent to DuckDB's native ``ASOF LEFT JOIN`` with
+    ``>=`` / ``<=`` (the oracle formulations), but expressed with
     operators Spark can pipeline at any scale.  Ties inside the right
     side at one (key, ts) are broken by union input order and should
     be pre-deduplicated by the caller when they can occur."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"got {direction!r}")
     lcols = left.columns
     rvals = list(value_cols)
     l = left.select(
@@ -100,21 +112,31 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
         F.lit(0).alias("_side"),
         *[F.col(c).alias(f"_r_{c}") for c in rvals])
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (Window.partitionBy("_k")
-         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if direction == "backward":
+        # right (0) before left (1) at equal ts; carry the LAST right
+        # value seen so far forward in time
+        w = (Window.partitionBy("_k")
+             .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        nearest = lambda c: F.last(c, ignorenulls=True).over(w)
+        gap = lambda: _ms(F.col("_ts")) - _ms(F.col("_m_ts"))
+    else:
+        # left (1) before right (0) at equal ts; take the FIRST right
+        # value at or after the current row
+        w = (Window.partitionBy("_k")
+             .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        nearest = lambda c: F.first(c, ignorenulls=True).over(w)
+        gap = lambda: _ms(F.col("_m_ts")) - _ms(F.col("_ts"))
     out = u.withColumn(
         "_m_ts",
-        F.last(F.when(F.col("_side") == 0, F.col("_ts")),
-               ignorenulls=True).over(w))
+        nearest(F.when(F.col("_side") == 0, F.col("_ts"))))
     for c in rvals:
-        out = out.withColumn(
-            f"{c}{suffix}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+        out = out.withColumn(f"{c}{suffix}", nearest(F.col(f"_r_{c}")))
     out = out.filter(F.col("_side") == 1)
     if tolerance_ms is not None:
         fresh = (F.col("_m_ts").isNotNull()
-                 & (_ms(F.col("_ts")) - _ms(F.col("_m_ts"))
-                    <= int(tolerance_ms)))
+                 & (gap() <= int(tolerance_ms)))
         for c in rvals:
             out = out.withColumn(
                 f"{c}{suffix}", F.when(fresh, F.col(f"{c}{suffix}")))

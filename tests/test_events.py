@@ -235,3 +235,24 @@ def test_rollup_incremental_through_stage_runner(spark, tmp_path):
     want = {(r["bucket"], r["event_type"]): r["n"]
             for r in hourly(both).collect()}
     assert got == want
+
+
+def test_asof_forward_direction(spark):
+    left = _df(spark, [
+        (1, 10, _ts("2024-01-01 10:00:00")),   # equal-ts right matches
+        (2, 10, _ts("2024-01-01 10:30:00")),   # nearest LATER, not last
+        (3, 10, _ts("2024-01-01 12:30:00")),   # nothing after -> NULL
+    ], "event_id bigint, user_id bigint, ts timestamp")
+    right = _df(spark, [
+        (10, _ts("2024-01-01 10:00:00"), 1.0),
+        (10, _ts("2024-01-01 11:00:00"), 2.0),
+        (10, _ts("2024-01-01 12:00:00"), 3.0),
+    ], "user_id bigint, ts timestamp, value double")
+    got = {r["event_id"]: r["value_asof"]
+           for r in asof_join(left, right, direction="forward").collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: None}
+    # forward tolerance measures the gap the other way
+    tol = {r["event_id"]: r["value_asof"]
+           for r in asof_join(left, right, direction="forward",
+                              tolerance_ms=20 * 60 * 1000).collect()}
+    assert tol == {1: 1.0, 2: None, 3: None}
