@@ -1998,16 +1998,15 @@ def sample_reservoir(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS capture stamps only the FIRST
     # 50 entries per round.  Rounds 1-4 re-verified the same q01-q24/dedup/
-    # sample prefix, leaving 39 oracled queries with no driver-green row ever
-    # (VERDICT r4 "Next round" item 1).  Round 5 leads with two sentinels
-    # (q01 = relational canary, extract_compose = byte-identity canary), then
-    # those 39 never-captured entries, then the round-5 additions — so the
-    # driver's 50-row window finally covers the blind spot.  The remaining
-    # entries are unchanged and stay covered by the local sf0.01 rehearsal +
-    # tests/test_oracle_parity.py.
+    # sample prefix, leaving 49 oracled queries with no driver-green row ever
+    # (VERDICT r4 "Next round" item 1, plus the round-5 additions).  Round 5
+    # leads with one sentinel (extract_compose = byte-identity canary for the
+    # north rule), then all 49 never-captured entries — exactly filling the
+    # driver's 50-row window.  q01 (relational canary, driver-green in every
+    # prior round) moves to slot 51; it and the remaining entries stay
+    # covered by the local sf0.01 rehearsal + tests/test_oracle_parity.py.
     return {
-        # -- sentinels (driver-green in every prior round) ------------------
-        "q01_pricing_summary": q01_pricing_summary,
+        # -- sentinel (byte-identity canary, driver-green in every round) ---
         "extract_compose": extract_compose,
         # -- never driver-verified before round 5 (38 oracled + bpe_encode) --
         "host_quality": host_quality,
@@ -2049,7 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "multimodal_near_dup": multimodal_near_dup,
         "lines_confidence_checked": lines_confidence_checked,
-        # -- round-5 additions (slots 42..50 of the driver window) ----------
+        # -- round-5 additions (slots 41..50 of the driver window) ----------
         "events_asof_join": events_asof_join,
         "events_sessionize": events_sessionize,
         "events_rollup": events_rollup,
@@ -2059,9 +2058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": sketch_heavy_hitters,
         "sample_reservoir": sample_reservoir,
         "graph_hits": graph_hits,
-        # -- beyond the 50-slot window (local rehearsal + pytest gates) -----
         "events_asof_forward": events_asof_forward,
         # -- previously driver-verified (r1-r4 green rows on file) ----------
+        "q01_pricing_summary": q01_pricing_summary,
         "q02_topk_orders": q02_topk_orders,
         "q03_region_revenue": q03_region_revenue,
         "q04_anti_join": q04_anti_join,
