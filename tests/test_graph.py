@@ -88,6 +88,20 @@ def test_pagerank_plan_constant_in_iterations(spark, edges_df):
 def test_pagerank_rejects_zero_iters(spark, edges_df):
     with pytest.raises(ValueError):
         pagerank(edges_df, iters=0)
+    with pytest.raises(ValueError):
+        pagerank(edges_df, iters=3, checkpoint_every=0)
+
+
+def test_pagerank_checkpoint_cadence_is_value_invariant(spark, edges_df):
+    """The lineage-cut cadence is a pure materialization knob: integer
+    fixed-point scores must be bit-identical at every cadence,
+    including 'never cut mid-run' (checkpoint_every > iters)."""
+    want = _py_pagerank(EDGES, iters=5)
+    for ck in (1, 2, 5, 99):
+        got = {r["node"]: r["score"]
+               for r in pagerank(edges_df, iters=5,
+                                 checkpoint_every=ck).collect()}
+        assert got == want, f"cadence {ck} diverged"
 
 
 def test_degrees(spark, edges_df):
@@ -298,3 +312,14 @@ def test_hits_partition_invariance(spark, edges_df):
     a = sorted(map(tuple, hits(edges_df, iters=2).collect()))
     b = sorted(map(tuple, hits(edges_df.repartition(5), iters=2).collect()))
     assert a == b
+
+
+def test_hits_checkpoint_cadence_is_value_invariant(spark, edges_df):
+    from origami_spark.operators.graph import hits
+
+    want = _py_hits(EDGES, iters=3)
+    for ck in (1, 2, 99):
+        got = {r["node"]: (r["hub"], r["authority"])
+               for r in hits(edges_df, iters=3,
+                             checkpoint_every=ck).collect()}
+        assert got == want, f"cadence {ck} diverged"
