@@ -44,6 +44,13 @@ def get_spark(app: str = "origami_spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("ORIGAMI_DRIVER_MEM", "8g"))
+        # local[N] pinned under `taskset` still leaves the JVM sizing
+        # its GC/JIT/fork-join pools from the HOST's cpu count (32) —
+        # at a 2-core scaling leg ~23 ParallelGCThreads thrash the two
+        # pinned cpus and add run-to-run variance.  A real cluster
+        # executor knows its core count; tell the local JVM the same.
+        .config("spark.driver.extraJavaOptions",
+                f"-XX:ActiveProcessorCount={cores}")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
