@@ -1674,6 +1674,31 @@ def sketch_kmv_distinct(spark, sf):
     return kmv_distinct(toks, "tok", k=128, by=["source"])
 
 
+def sketch_kmv_merge(spark, sf):
+    """Distributed-merge contract of the KMV sketch (operators/
+    sketch.kmv_build / kmv_merge): shard the corpus by
+    pmod(doc_id, 3), build one k-smallest-hash signature PER SHARD,
+    then merge the three signatures and estimate.  The merge is
+    lossless — any hash in the global k-minimum set is in its own
+    shard's k-minimum set — so the oracle is the plain whole-corpus
+    KMV SQL: cross-engine hash equality of this gate proves the merge
+    identity itself, not just the estimator.  This is the shape a
+    1000-executor crawl uses: per-shard signatures persisted, corpus
+    cardinality = merge over ≤ k-row relations, never a re-scan."""
+    from origami_spark.operators.sketch import kmv_build, kmv_merge
+    from origami_spark.operators.text import tokens_col
+
+    toks = _t(spark, sf, "documents").select(
+        "source", F.pmod(F.col("doc_id"), F.lit(3)).alias("_shard"),
+        F.explode(tokens_col("text")).alias("tok"))
+    sigs = [
+        kmv_build(toks.filter(F.col("_shard") == i), "tok",
+                  k=96, by=["source"])
+        for i in range(3)
+    ]
+    return kmv_merge(sigs, k=96, by=["source"])
+
+
 def sketch_countmin(spark, sf):
     """Count-min frequency sketch (operators/sketch.py, Cormode &
     Muthukrishnan 2005) over the corpus token stream: 4 hash rows x
@@ -2124,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_gopher_gate": text_gopher_gate,
         "multimodal_payload": multimodal_payload,
+        "sketch_kmv_merge": sketch_kmv_merge,
         "extract_blocks": extract_blocks,
         "lines_confidence": lines_confidence,
     }
@@ -3698,6 +3724,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_kept, kth_hash,
                    CAST(CASE WHEN n_kept < 128 THEN n_kept
                         ELSE floor(127.0 * 1152921504606846976.0
+                                   / CAST(kth_hash AS DOUBLE))
+                        END AS BIGINT) AS est_distinct
+            FROM agg""",
+        # the merge identity makes the oracle the WHOLE-corpus KMV —
+        # matching it hash-for-hash proves merged shard signatures
+        # equal the unsharded sketch exactly.
+        "sketch_kmv_merge": f"""
+            WITH toks AS (
+              SELECT source, unnest({_TOKENS}) AS tok FROM documents),
+            h AS (
+              SELECT DISTINCT source, {_H60.format(x="tok")} AS h
+              FROM toks),
+            r AS (
+              SELECT source, h,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY h ASC) AS rn
+              FROM h),
+            agg AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                     CAST(max(h) AS BIGINT) AS kth_hash
+              FROM r WHERE rn <= 96 GROUP BY source)
+            SELECT source, n_kept, kth_hash,
+                   CAST(CASE WHEN n_kept < 96 THEN n_kept
+                        ELSE floor(95.0 * 1152921504606846976.0
                                    / CAST(kth_hash AS DOUBLE))
                         END AS BIGINT) AS est_distinct
             FROM agg""",

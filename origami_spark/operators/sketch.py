@@ -32,6 +32,15 @@ sum (associative — partition-order independent); the single division
 in the KMV estimate is one exact-IEEE double expression over exactly
 representable operands (the bm25_topk precedent), floored to BIGINT.
 
+Every sketch is an associative monoid with an explicit merge
+(:func:`kmv_merge`, :func:`countmin_merge`, :func:`bloom_merge`,
+:func:`hist_merge`): shards/days persist small signature relations and
+the corpus-wide answer is a merge over signatures, never a re-scan.
+The merges are LOSSLESS — merged state is bit-identical to state built
+over the concatenated input (tested per sketch) — which is the
+property that lets a 1000-executor job combine per-partition sketches
+without any accuracy cliff.
+
 Scale design: KMV shuffles the distinct (group, hash) relation once,
 then ranks inside 64 hash sub-groups so no task ever sorts more than
 one sub-group (the host_cap/bm25 recipe); count-min's aggregation key
@@ -54,10 +63,18 @@ from .text import portable_hash60
 
 __all__ = [
     "kmv_distinct",
+    "kmv_build",
+    "kmv_merge",
     "countmin_build",
     "countmin_estimate",
+    "countmin_merge",
     "bloom_build",
     "bloom_probe",
+    "bloom_merge",
+    "hist_build",
+    "hist_quantile",
+    "hist_merge",
+    "countmin_topk",
 ]
 
 # the hash domain of portable_hash60: 15 hex chars = 60 bits.
@@ -102,16 +119,29 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256,
     vals = df.select(
         *by, portable_hash60(F.col(col).cast("string")).alias("h")
     ).distinct()
+    return _kmv_finalize(_kmv_topk(vals, k, by, groups), k, by)
+
+
+def _kmv_topk(vals: DataFrame, k: int, by: list[str],
+              groups: int) -> DataFrame:
+    """Keep the k smallest hashes per group from a distinct ``(by...,
+    h)`` relation, via the decomposed two-level rank (no task sorts a
+    whole group)."""
     sub = F.pmod(F.col("h"), F.lit(groups))
     w1 = Window.partitionBy(*by, "_g").orderBy(F.asc("h"))
     w2 = Window.partitionBy(*by).orderBy(F.asc("h"))
-    kept = (
+    return (
         vals.withColumn("_g", sub)
         .withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= k)
         .withColumn("_r2", F.row_number().over(w2))
         .filter(F.col("_r2") <= k)
+        .select(*by, "h")
     )
+
+
+def _kmv_finalize(kept: DataFrame, k: int, by: list[str]) -> DataFrame:
+    """Estimate from a k-smallest-hashes signature relation."""
     agg = kept.groupBy(*by).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         F.max("h").cast("bigint").alias("kth_hash"),
@@ -125,6 +155,84 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256,
         .cast("bigint")
         .alias("est_distinct"),
     )
+
+
+def kmv_build(df: DataFrame, col: str, k: int = 256,
+              by: list[str] | None = None,
+              groups: int = 64) -> DataFrame:
+    """Build the persistable KMV *signature*: the k smallest distinct
+    hashes per group, as a ``(by..., h)`` relation (≤ k rows/group).
+
+    This is the state a 1000-executor crawl persists per shard/day:
+    signatures are losslessly mergeable (see :func:`kmv_merge`), so
+    corpus-wide cardinality never re-scans history — the same
+    persisted-index pattern as dedup.digest_index.
+    """
+    by = list(by or [])
+    vals = df.select(
+        *by, portable_hash60(F.col(col).cast("string")).alias("h")
+    ).distinct()
+    return _kmv_topk(vals, k, by, groups)
+
+
+def kmv_merge(sigs: list[DataFrame], k: int = 256,
+              by: list[str] | None = None,
+              groups: int = 64) -> DataFrame:
+    """Merge KMV signatures and estimate: union → distinct → keep the
+    k smallest per group → the same estimator as :func:`kmv_distinct`.
+
+    Identity (tested bit-for-bit): the k smallest of a union of
+    per-shard k-smallest sets equal the k smallest of the union of the
+    raw sets — any hash in the true global top-k is in its own shard's
+    top-k — so ``kmv_merge(map(kmv_build, shards)) ==
+    kmv_distinct(union(shards))`` exactly, not approximately.  That
+    associativity is what makes the sketch distributable: shards never
+    exchange raw values, only ≤ k·groups hashes each.
+
+    Output: ``by..., n_kept, kth_hash, est_distinct`` (all BIGINT).
+    """
+    by = list(by or [])
+    u = sigs[0]
+    for s in sigs[1:]:
+        u = u.unionByName(s)
+    vals = u.select(*by, "h").distinct()
+    return _kmv_finalize(_kmv_topk(vals, k, by, groups), k, by)
+
+
+def countmin_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Union of count-min sketches = per-cell counter sum (integer
+    addition is associative/commutative, so the merged sketch is
+    bit-identical to one built over the concatenated input).  The
+    aggregation key space stays ≤ d·w regardless of shard count."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return (u.groupBy("row", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+
+
+def bloom_merge(blooms: list[DataFrame]) -> DataFrame:
+    """Union of Bloom filters = bitwise OR = distinct union of set bit
+    positions (≤ m rows).  Merged filter ≡ filter built over the
+    concatenated keys — no false negatives survive a merge."""
+    u = blooms[0]
+    for b in blooms[1:]:
+        u = u.unionByName(b)
+    return u.select("pos").distinct()
+
+
+def hist_merge(hists: list[DataFrame],
+               by: list[str] | None = None) -> DataFrame:
+    """Union of equi-width histograms (same lo/hi/bins) = per-bin
+    count sum; merged histogram ≡ histogram of the concatenated input,
+    so :func:`hist_quantile` over the merge carries the same ≤ one-bin
+    error bound."""
+    by = list(by or [])
+    u = hists[0]
+    for h in hists[1:]:
+        u = u.unionByName(h)
+    return (u.groupBy(*by, "bin")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt")))
 
 
 def _cm_bucket(item_col, row_col, width: int):
