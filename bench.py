@@ -151,22 +151,33 @@ def _cpu_times() -> tuple[int, int]:
     return steal, max(total, 1)
 
 
-def timed_with_steal(fn, retries: int = None, threshold: float = None):
+def timed_with_steal(fn, retries: int = None, threshold: float = None,
+                     min_runs: int = 1):
     """Run fn() under a wall clock + steal meter; retry on a stolen
-    window; return (best_wall_sec, fn_result, steal_share_of_best)."""
+    window; return (best_wall_sec, fn_result, steal_share_of_best).
+
+    ``min_runs`` > 1 takes the min-of-k even on clean windows — the
+    standard mitigation for one-off cold costs (codegen, allocator
+    settle, GC pause) that the steal meter cannot see.  The extraction
+    legs already run best-of-2 for exactly this reason; the per-query
+    phase uses min_runs=2 since round 5 (capture D stamped
+    dedup_paragraphs at 8.0 s on a clean window where the settled
+    number is 1.5 — a cold artifact, not a plan property)."""
     retries = STEAL_RETRIES if retries is None else retries
     threshold = STEAL_THRESHOLD if threshold is None else threshold
     best = None
-    for _ in range(retries + 1):
+    runs = 0
+    for _ in range(max(retries + 1, min_runs)):
         s0, c0 = _cpu_times()
         t0 = time.monotonic()
         out = fn()
         wall = time.monotonic() - t0
         s1, c1 = _cpu_times()
         steal = (s1 - s0) / max(c1 - c0, 1)
+        runs += 1
         if best is None or wall < best[0]:
             best = (wall, out, steal)
-        if steal <= threshold:
+        if steal <= threshold and runs >= min_runs:
             break
     return best
 
@@ -255,7 +266,8 @@ def run_bench(cores: int, extract_only: bool = False) -> dict:
                 # the extraction corpus generation above
                 qs[name](spark, SF_DIR).agg(F.count(F.lit(1))).collect()
             wall, _, steal = timed_with_steal(
-                lambda: qs[name](spark, SF_DIR).agg(F.count(F.lit(1))).collect())
+                lambda: qs[name](spark, SF_DIR).agg(F.count(F.lit(1))).collect(),
+                min_runs=int(os.environ.get("ORIGAMI_BENCH_QUERY_RUNS", "2")))
             qtimes[name] = round(wall, 3)
             qsteal[name] = round(steal, 4)
     result["queries"] = qtimes
