@@ -397,6 +397,24 @@ def _ivf_topk_served_relational(emb: DataFrame, centroids_df: DataFrame,
     return _exact_rerank(cand, k)
 
 
+def cluster_assign(emb: DataFrame, centroids_df: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest staged centroid — the public
+    entry for consumers that need the k-means PARTITION itself
+    (cluster-balanced diversity sampling, per-cluster stats) rather
+    than pairs or top-k.  Same contract as the IVF/SemDeDup paths: the
+    broadcast Arrow argmin kernel (:func:`assign_ivf`) adds the
+    ``cluster`` column with zero Exchange, bit-compatible with the
+    relational/DuckDB window-argmin over the same staged floats.
+
+    Output: the input columns plus ``cluster`` (BIGINT)."""
+    cmat, csq, cids = _load_centroids(centroids_df)
+    e = emb.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")))
+    return (assign_ivf(e, cmat, csq, cids)
+            .withColumn("cluster", F.col("cluster").cast("bigint")))
+
+
 def semantic_dedup_pairs(emb: DataFrame, centroids_df: DataFrame,
                          threshold: float = 0.95) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): exact

@@ -97,6 +97,9 @@ def test_no_per_row_python_in_any_query(spark):
             "dedup_embedding_lsh", "ann_lsh_topk", "ann_ivf_topk",
             "dedup_semantic", "ann_ivfpq_topk",
             "dedup_embedding_contamination",
+            # cluster_assign is the same Arrow argmin kernel as the
+            # IVF family above
+            "sample_cluster_balanced",
         ), name
 
 

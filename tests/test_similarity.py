@@ -369,3 +369,37 @@ def test_ivfpq_topk_partition_independent(spark):
                    ivfpq_topk(emb.repartition(13), cdf, cbdf,
                               QUERIES, k=K).collect()))
     assert a == b and len(a) == len(QUERIES) * K
+
+
+def test_cluster_assign_balanced_reservoir(spark):
+    """cluster_assign + reservoir_sample = the cluster-balanced
+    diversity sample: every cluster contributes min(k, size) rows,
+    deterministic across re-runs and partitioning."""
+    from origami_spark.operators.sampling import reservoir_sample
+    from origami_spark.operators.similarity import (
+        cluster_assign,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_clusters=8, iters=2)
+    cdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in c],
+          float(sum(float(v) * float(v) for v in c)))
+         for i, c in enumerate(cents)],
+        "cluster int, centroid array<double>, c_sq double")
+    assigned = cluster_assign(emb, cdf).select("vec_id", "cluster")
+    sizes = {r["cluster"]: r["n"] for r in
+             assigned.groupBy("cluster").agg(
+                 F.count(F.lit(1)).alias("n")).collect()}
+    out = reservoir_sample(assigned, k=3, by="cluster",
+                           id_col="vec_id", seed="cb0")
+    got = sorted(map(tuple, out.collect()))
+    per = {}
+    for _, c, _ in got:
+        per[c] = per.get(c, 0) + 1
+    assert per == {c: min(3, n) for c, n in sizes.items()}
+    again = sorted(map(tuple, reservoir_sample(
+        assigned.repartition(13), k=3, by="cluster",
+        id_col="vec_id", seed="cb0").collect()))
+    assert got == again
