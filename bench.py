@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "text_tfidf_topk",
     "sketch_heavy_hitters",
     "graph_hits",
+    "sketch_kmv_merge",
+    "sample_cluster_balanced",
 ]
 
 # queries whose first call trains + stages a model artifact that the
@@ -104,6 +106,8 @@ BENCH_QUERIES = [
 # run-on-a-sample step at real scale)
 WARM_FIRST = {"ann_pq_topk", "ann_ivfpq_topk", "text_bm25_topk",
               "text_classifier_score", "text_dsir_score",
+              # first call trains + stages the k-means quantizer
+              "sample_cluster_balanced",
               # first call stages the derived html pages / parsed
               # robots rules parquet; the timed run measures the query
               "html_metadata", "robots_allowed", "graph_anchor_topk",
