@@ -1701,6 +1701,34 @@ def sketch_kmv_merge(spark, sf):
     return kmv_merge(sigs, k=96, by=["source"])
 
 
+def sketch_kmv_jaccard(spark, sf):
+    """Corpus-overlap estimation from signatures alone (operators/
+    sketch.kmv_set_ops — Beyer et al. 2007 set operations): split the
+    corpus into two halves by pmod(doc_id, 2), build one KMV signature
+    per half, and estimate union cardinality / intersection / Jaccard
+    of their token vocabularies WITHOUT any corpus-vs-corpus join —
+    the two ≤ 128-row signatures are the only inputs to the estimate.
+    At crawl scale this is the "how much vocabulary do two
+    crawls/days/sources share" answer from persisted signature state.
+    The vocabulary is word BIGRAMS (shingles_expr, the dedup feature
+    space) so the corpus' distinct count exceeds k and the gate
+    exercises the ESTIMATOR arithmetic cross-engine, not just the
+    exact below-k path.  Portability: counts and the intersection
+    estimate are integer arithmetic; jaccard is one IEEE division of
+    exactly-representable integers — DuckDB reproduces every output
+    bit-for-bit."""
+    from origami_spark.operators.sketch import kmv_build, kmv_set_ops
+    from origami_spark.operators.text import shingles_expr, tokens_col
+
+    grams = _t(spark, sf, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("half"),
+        F.explode(
+            shingles_expr(tokens_col("text"), 2)).alias("tok"))
+    sig_a = kmv_build(grams.filter("half = 0"), "tok", k=128)
+    sig_b = kmv_build(grams.filter("half = 1"), "tok", k=128)
+    return kmv_set_ops(sig_a, sig_b, k=128)
+
+
 def sketch_countmin(spark, sf):
     """Count-min frequency sketch (operators/sketch.py, Cormode &
     Muthukrishnan 2005) over the corpus token stream: 4 hash rows x
@@ -2173,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_payload": multimodal_payload,
         "sketch_kmv_merge": sketch_kmv_merge,
         "sample_cluster_balanced": sample_cluster_balanced,
+        "sketch_kmv_jaccard": sketch_kmv_jaccard,
         "extract_blocks": extract_blocks,
         "lines_confidence": lines_confidence,
     }
@@ -3774,6 +3803,54 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(kth_hash AS DOUBLE))
                         END AS BIGINT) AS est_distinct
             FROM agg""",
+        # KMV set operations: both half-signatures re-derived, the
+        # union's 128 smallest hashes flagged by membership, then the
+        # identical integer/one-IEEE-division arithmetic
+        "sketch_kmv_jaccard": f"""
+            WITH tt AS (
+              SELECT doc_id % 2 AS half, {_TOKENS} AS t FROM documents),
+            toks AS (
+              SELECT half, t[i] || ' ' || t[i + 1] AS tok
+              FROM tt, LATERAL unnest(range(1, len(t))) AS r(i)
+              WHERE len(t) >= 2),
+            ha AS (
+              SELECT DISTINCT {_H60.format(x="tok")} AS h
+              FROM toks WHERE half = 0),
+            hb AS (
+              SELECT DISTINCT {_H60.format(x="tok")} AS h
+              FROM toks WHERE half = 1),
+            sa AS (SELECT h FROM (
+                     SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+                     FROM ha) WHERE rn <= 128),
+            sb AS (SELECT h FROM (
+                     SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+                     FROM hb) WHERE rn <= 128),
+            u AS (
+              SELECT COALESCE(sa.h, sb.h) AS h,
+                     CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS ia,
+                     CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS ib
+              FROM sa FULL OUTER JOIN sb ON sa.h = sb.h),
+            kept AS (SELECT * FROM (
+                       SELECT *, row_number() OVER (ORDER BY h ASC) AS rn
+                       FROM u) WHERE rn <= 128),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_kept,
+                     CAST(max(h) AS BIGINT) AS kth_hash,
+                     CAST(sum(ia * ib) AS BIGINT) AS n_both
+              FROM kept),
+            e AS (
+              SELECT n_kept, kth_hash, n_both,
+                     CAST(CASE WHEN n_kept < 128 THEN n_kept
+                          ELSE floor(127.0 * 1152921504606846976.0
+                                     / CAST(kth_hash AS DOUBLE))
+                          END AS BIGINT) AS est_union
+              FROM agg)
+            SELECT n_kept, kth_hash, est_union, n_both,
+                   CAST((n_both * est_union) // n_kept AS BIGINT)
+                     AS est_intersection,
+                   CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE)
+                     AS jaccard
+            FROM e""",
         "sketch_countmin": f"""
             WITH toks AS (
               SELECT unnest({_TOKENS}) AS tok FROM documents),

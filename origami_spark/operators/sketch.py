@@ -65,6 +65,7 @@ __all__ = [
     "kmv_distinct",
     "kmv_build",
     "kmv_merge",
+    "kmv_set_ops",
     "countmin_build",
     "countmin_estimate",
     "countmin_merge",
@@ -197,6 +198,62 @@ def kmv_merge(sigs: list[DataFrame], k: int = 256,
         u = u.unionByName(s)
     vals = u.select(*by, "h").distinct()
     return _kmv_finalize(_kmv_topk(vals, k, by, groups), k, by)
+
+
+def kmv_set_ops(sig_a: DataFrame, sig_b: DataFrame, k: int = 256,
+                by: list[str] | None = None,
+                groups: int = 64) -> DataFrame:
+    """Set-operation estimates from two KMV signatures (Beyer et al.,
+    SIGMOD 2007 §4): take the k smallest distinct hashes of the union;
+    of those, count ``n_both`` present in BOTH signatures.  Then
+
+    * ``est_union``        — the standard KMV estimator over the union
+      signature (exact ``n_kept`` when fewer than k survive);
+    * ``jaccard``          — ``n_both / n_kept`` (the union signature
+      is a uniform sample of the union, so the fraction landing in the
+      intersection is an unbiased Jaccard estimate);
+    * ``est_intersection`` — ``(n_both * est_union) div n_kept``.
+
+    This answers "how much vocabulary do two crawls share?" from two
+    ≤ k-row signatures — no corpus join, no re-scan; the signatures
+    are the same persistable state :func:`kmv_build` emits for
+    :func:`kmv_merge`.  Portability: counts and the intersection
+    estimate are integer arithmetic; ``jaccard`` is one IEEE division
+    of two exactly-representable integers — bit-identical in DuckDB.
+
+    Output: ``by..., n_kept, kth_hash, est_union, n_both,
+    est_intersection (BIGINT), jaccard (DOUBLE)``.
+    """
+    by = list(by or [])
+    a = sig_a.select(*by, "h").distinct().withColumn("_a", F.lit(1))
+    b = sig_b.select(*by, "h").distinct().withColumn("_b", F.lit(1))
+    u = a.join(b, [*by, "h"], "full_outer").select(
+        *by, "h",
+        F.coalesce(F.col("_a"), F.lit(0)).alias("_a"),
+        F.coalesce(F.col("_b"), F.lit(0)).alias("_b"),
+    )
+    kept = _kmv_topk(u.select(*by, "h"), k, by, groups).join(
+        u, [*by, "h"])
+    agg = kept.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h").cast("bigint").alias("kth_hash"),
+        F.sum((F.col("_a") * F.col("_b")).cast("bigint"))
+        .cast("bigint").alias("n_both"),
+    )
+    est_union = (
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(_kmv_estimate_col(k))
+        .cast("bigint")
+    )
+    out = agg.select(*by, "n_kept", "kth_hash",
+                     est_union.alias("est_union"), "n_both")
+    return out.select(
+        *by, "n_kept", "kth_hash", "est_union", "n_both",
+        F.expr("(n_both * est_union) div n_kept")
+        .cast("bigint").alias("est_intersection"),
+        (F.col("n_both").cast("double")
+         / F.col("n_kept").cast("double")).alias("jaccard"),
+    )
 
 
 def countmin_merge(sketches: list[DataFrame]) -> DataFrame:

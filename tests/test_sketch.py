@@ -317,3 +317,39 @@ def test_hist_grouped_quantiles(spark):
         h, 1, 2, 0.0, 1000.0, 100, by=["g"]).collect()}
     assert abs(got["a"] - 50.0) <= 10 + 1e-9
     assert abs(got["b"] - 950.0) <= 10 + 1e-9
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    """With fewer than k distinct union hashes everything is exact:
+    est_union = |A∪B|, n_both = est_intersection = |A∩B|, jaccard =
+    the true Jaccard."""
+    from origami_spark.operators.sketch import kmv_build, kmv_set_ops
+
+    a_vals = [f"x{i}" for i in range(40)]          # 0..39
+    b_vals = [f"x{i}" for i in range(30, 70)]      # 30..69, overlap 10
+    mk = lambda vs: spark.createDataFrame([(v,) for v in vs], "v string")
+    out = kmv_set_ops(kmv_build(mk(a_vals), "v", k=256),
+                      kmv_build(mk(b_vals), "v", k=256), k=256).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_kept"] == 70 and r["est_union"] == 70
+    assert r["n_both"] == 10 and r["est_intersection"] == 10
+    assert abs(r["jaccard"] - 10 / 70) < 1e-12
+
+
+def test_kmv_set_ops_estimates_within_bound(spark):
+    """Sketch-sized signatures estimate a 5000/2500-overlap pair: the
+    Jaccard and intersection estimates land within 3 standard errors
+    of truth (k=256 -> se ~ sqrt(J(1-J)/k) for the Jaccard fraction)."""
+    from origami_spark.operators.sketch import kmv_build, kmv_set_ops
+
+    a_vals = [f"v{i}" for i in range(5000)]
+    b_vals = [f"v{i}" for i in range(2500, 7500)]
+    mk = lambda vs: spark.createDataFrame([(v,) for v in vs], "v string")
+    r = kmv_set_ops(kmv_build(mk(a_vals), "v", k=256),
+                    kmv_build(mk(b_vals), "v", k=256), k=256).collect()[0]
+    true_j = 2500 / 7500
+    se = (true_j * (1 - true_j) / 256) ** 0.5
+    assert abs(r["jaccard"] - true_j) < 3 * se
+    assert abs(r["est_intersection"] - 2500) < 0.35 * 2500
+    assert abs(r["est_union"] - 7500) < 0.25 * 7500
