@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "graph_hits",
     "sketch_kmv_merge",
     "sample_cluster_balanced",
+    "sketch_kmv_jaccard",
 ]
 
 # queries whose first call trains + stages a model artifact that the
