@@ -1717,16 +1717,21 @@ def sketch_kmv_jaccard(spark, sf):
     estimate are integer arithmetic; jaccard is one IEEE division of
     exactly-representable integers — DuckDB reproduces every output
     bit-for-bit."""
-    from origami_spark.operators.sketch import kmv_build, kmv_set_ops
+    from origami_spark.operators.sketch import (kmv_build,
+                                                kmv_set_ops_grouped)
     from origami_spark.operators.text import shingles_expr, tokens_col
 
-    grams = _t(spark, sf, "documents").select(
+    # materialize the token array BEFORE shingling (the dsir._features
+    # pattern): passing the raw split expression into shingles_expr
+    # re-evaluates the split per element_at — measured 6.6 s vs 0.9 s
+    # at sf0.1
+    t = _t(spark, sf, "documents").select(
         F.pmod(F.col("doc_id"), F.lit(2)).alias("half"),
-        F.explode(
-            shingles_expr(tokens_col("text"), 2)).alias("tok"))
-    sig_a = kmv_build(grams.filter("half = 0"), "tok", k=128)
-    sig_b = kmv_build(grams.filter("half = 1"), "tok", k=128)
-    return kmv_set_ops(sig_a, sig_b, k=128)
+        tokens_col("text").alias("_toks"))
+    grams = t.select(
+        "half", F.explode(shingles_expr("_toks", 2)).alias("tok"))
+    sig = kmv_build(grams, "tok", k=128, by=["half"])
+    return kmv_set_ops_grouped(sig, "half", 0, 1, k=128)
 
 
 def sketch_countmin(spark, sf):

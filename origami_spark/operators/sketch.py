@@ -66,6 +66,7 @@ __all__ = [
     "kmv_build",
     "kmv_merge",
     "kmv_set_ops",
+    "kmv_set_ops_grouped",
     "countmin_build",
     "countmin_estimate",
     "countmin_merge",
@@ -232,6 +233,38 @@ def kmv_set_ops(sig_a: DataFrame, sig_b: DataFrame, k: int = 256,
         F.coalesce(F.col("_a"), F.lit(0)).alias("_a"),
         F.coalesce(F.col("_b"), F.lit(0)).alias("_b"),
     )
+    return _kmv_setops_finalize(u, k, by, groups)
+
+
+def kmv_set_ops_grouped(sig: DataFrame, side_col: str, a_val, b_val,
+                        k: int = 256, by: list[str] | None = None,
+                        groups: int = 64) -> DataFrame:
+    """:func:`kmv_set_ops` from ONE grouped signature relation —
+    ``kmv_build(..., by=[side_col])`` computes BOTH sides' signatures
+    in a single corpus pass, and this derives the membership flags by
+    grouping on ``h`` instead of a two-relation join.
+
+    Value-identical to ``kmv_set_ops(sig.filter(side=a),
+    sig.filter(side=b))`` (within the union's k smallest, membership
+    in a side's top-k equals membership in the side: the union's kth
+    hash is <= each side's kth), but the two-filter form scans the
+    corpus once per side while this scans it once total — the shape
+    that matters when the "corpus" is a crawl, not a parquet sample.
+    """
+    by = list(by or [])
+    u = sig.groupBy(*by, "h").agg(
+        F.max(F.when(F.col(side_col) == a_val, 1).otherwise(0))
+        .alias("_a"),
+        F.max(F.when(F.col(side_col) == b_val, 1).otherwise(0))
+        .alias("_b"),
+    )
+    return _kmv_setops_finalize(u, k, by, groups)
+
+
+def _kmv_setops_finalize(u: DataFrame, k: int, by: list[str],
+                         groups: int) -> DataFrame:
+    """Shared tail: union top-k over the flagged hash relation, then
+    the integer/one-IEEE-division estimate arithmetic."""
     kept = _kmv_topk(u.select(*by, "h"), k, by, groups).join(
         u, [*by, "h"])
     agg = kept.groupBy(*by).agg(

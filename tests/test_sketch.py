@@ -353,3 +353,26 @@ def test_kmv_set_ops_estimates_within_bound(spark):
     assert abs(r["jaccard"] - true_j) < 3 * se
     assert abs(r["est_intersection"] - 2500) < 0.35 * 2500
     assert abs(r["est_union"] - 7500) < 0.25 * 7500
+
+
+def test_kmv_set_ops_grouped_equivalence(spark):
+    """kmv_set_ops_grouped over one grouped signature equals
+    kmv_set_ops over the two per-side signatures (single-corpus-pass
+    form vs two-relation form): within the union's k smallest hashes,
+    membership in a side's top-k equals membership in the side."""
+    from origami_spark.operators.sketch import (
+        kmv_build,
+        kmv_set_ops,
+        kmv_set_ops_grouped,
+    )
+
+    rows = ([(0, f"v{i}") for i in range(3000)]
+            + [(1, f"v{i}") for i in range(1500, 4500)])
+    df = spark.createDataFrame(rows, "half int, v string")
+    two = kmv_set_ops(
+        kmv_build(df.filter("half = 0"), "v", k=64),
+        kmv_build(df.filter("half = 1"), "v", k=64), k=64).collect()
+    one = kmv_set_ops_grouped(
+        kmv_build(df, "v", k=64, by=["half"]), "half", 0, 1,
+        k=64).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, two))
