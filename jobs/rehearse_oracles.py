@@ -19,43 +19,18 @@ SQL reads those files, so run ONE rehearsal at a time.
 """
 
 import json
-import math
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb  # noqa: E402
-
-TABLES = ("region nation customer supplier part orders lineitem events "
-          "documents embeddings").split()
+from origami_spark.oracle_compare import canon as _canon  # noqa: E402
+from origami_spark.oracle_compare import duck_connect  # noqa: E402
 
 
 def _duck(sql: str, sf_dir: str):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    return con.execute(sql).df()
-
-
-def _canon(df):
-    """Order-insensitive canonical form: sorted columns, sorted rows,
-    floats normalized (the test_oracle_parity.py form)."""
-    cols = sorted(df.columns)
-    rows = []
-    for _, r in df[cols].iterrows():
-        row = []
-        for v in r:
-            if isinstance(v, float):
-                row.append("NaN" if math.isnan(v) else f"{v:.6f}")
-            elif v is None:
-                row.append("NULL")
-            else:
-                row.append(str(v))
-        rows.append(tuple(row))
-    return cols, sorted(rows)
+    return duck_connect(sf_dir).execute(sql).df()
 
 
 def main():

@@ -191,6 +191,14 @@ def kmv_merge(sigs: list[DataFrame], k: int = 256,
     associativity is what makes the sketch distributable: shards never
     exchange raw values, only ≤ k·groups hashes each.
 
+    Precondition: ``k`` must be ≤ the smallest k the signatures were
+    BUILT with (a signature carries no k metadata).  Merging DOWN
+    (e.g. k=64 over k=256 signatures) is exact — the union's 64
+    smallest are within every shard's 256 smallest; merging UP would
+    silently bias ``est_distinct`` low once n_kept exceeds the build
+    k, because hashes between the build kth and the requested kth
+    were discarded at build time.
+
     Output: ``by..., n_kept, kth_hash, est_distinct`` (all BIGINT).
     """
     by = list(by or [])
@@ -218,7 +226,8 @@ def kmv_set_ops(sig_a: DataFrame, sig_b: DataFrame, k: int = 256,
     This answers "how much vocabulary do two crawls share?" from two
     ≤ k-row signatures — no corpus join, no re-scan; the signatures
     are the same persistable state :func:`kmv_build` emits for
-    :func:`kmv_merge`.  Portability: counts and the intersection
+    :func:`kmv_merge`, under the same precondition: ``k`` ≤ the
+    smallest build k.  Portability: counts and the intersection
     estimate are integer arithmetic; ``jaccard`` is one IEEE division
     of two exactly-representable integers — bit-identical in DuckDB.
 
@@ -250,8 +259,14 @@ def kmv_set_ops_grouped(sig: DataFrame, side_col: str, a_val, b_val,
     hash is <= each side's kth), but the two-filter form scans the
     corpus once per side while this scans it once total — the shape
     that matters when the "corpus" is a crawl, not a parquet sample.
+
+    Rows with other ``side_col`` values are filtered out (so a
+    20-source grouped signature answers any pairwise overlap) —
+    without the filter their hashes would enter the union top-k with
+    both flags 0 and deflate every estimate.
     """
     by = list(by or [])
+    sig = sig.filter(F.col(side_col).isin(a_val, b_val))
     u = sig.groupBy(*by, "h").agg(
         F.max(F.when(F.col(side_col) == a_val, 1).otherwise(0))
         .alias("_a"),

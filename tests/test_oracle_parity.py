@@ -1,45 +1,21 @@
 """Mimics the driver's correctness gate: run every queries() entry on
 Spark AND its oracle_sql() on DuckDB over the same parquet tables,
-compare row count + sorted column names + order-insensitive values."""
+compare row count + sorted column names + order-insensitive values.
 
-import math
+Canonicalization is shared with jobs/rehearse_oracles.py via
+origami_spark.oracle_compare (one implementation, column-wise so
+BIGINTs never upcast through a row Series and lose >2^53 precision)."""
 
-import duckdb
 import pytest
 
+from origami_spark.oracle_compare import canon as _canon
+from origami_spark.oracle_compare import duck_connect
+
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ("region nation customer supplier part orders lineitem events "
-          "documents embeddings").split()
 
 
 def _duck(sql: str):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
-    return con.execute(sql).df()
-
-
-def _canon(df):
-    """Order-insensitive canonical form: sorted columns, sorted rows,
-    floats normalized."""
-    cols = sorted(df.columns)
-    rows = []
-    for _, r in df[cols].iterrows():
-        row = []
-        for v in r:
-            if isinstance(v, float):
-                if math.isnan(v):
-                    row.append("NaN")
-                else:
-                    row.append(f"{v:.6f}")
-            elif v is None:
-                row.append("NULL")
-            else:
-                row.append(str(v))
-        rows.append(tuple(row))
-    return cols, sorted(rows)
+    return duck_connect(SF_DIR).execute(sql).df()
 
 
 def _pairs():

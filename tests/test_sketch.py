@@ -172,16 +172,24 @@ def test_kmv_merge_identity(spark, words_df):
 
 def test_kmv_merge_grouped_identity(spark):
     """Same identity with a group key and a shard split that puts some
-    groups entirely in one shard (signature missing from the others)."""
+    groups entirely in one shard: shard a holds groups {g0, g1}, shard
+    b holds {g1, g2}, so g0's signature is absent from b's relation
+    and g2's from a's — the missing-signature merge path."""
     from origami_spark.operators.sketch import kmv_build, kmv_merge
 
     rows = [(f"g{i % 3}", f"v{i}") for i in range(900)]
     df = spark.createDataFrame(rows, "g string, v string")
-    a, b = df.filter("v < 'v5'"), df.filter("v >= 'v5'")
-    merged = kmv_merge(
-        [kmv_build(a, "v", k=32, by=["g"]),
-         kmv_build(b, "v", k=32, by=["g"])],
-        k=32, by=["g"]).collect()
+    a = df.filter("g IN ('g0', 'g1')")
+    b = df.filter("g IN ('g1', 'g2')")
+    # g1 appears in both shards: drop duplicate values on one side so
+    # the union is still exactly df's value set per group
+    b = b.filter("g != 'g1' OR v >= 'v5'")
+    a = a.filter("g != 'g1' OR v < 'v5'")
+    sig_a = kmv_build(a, "v", k=32, by=["g"])
+    sig_b = kmv_build(b, "v", k=32, by=["g"])
+    assert sig_a.filter("g = 'g2'").count() == 0
+    assert sig_b.filter("g = 'g0'").count() == 0
+    merged = kmv_merge([sig_a, sig_b], k=32, by=["g"]).collect()
     whole = kmv_distinct(df, "v", k=32, by=["g"]).collect()
     assert sorted(map(tuple, merged)) == sorted(map(tuple, whole))
 
@@ -367,7 +375,11 @@ def test_kmv_set_ops_grouped_equivalence(spark):
     )
 
     rows = ([(0, f"v{i}") for i in range(3000)]
-            + [(1, f"v{i}") for i in range(1500, 4500)])
+            + [(1, f"v{i}") for i in range(1500, 4500)]
+            # a third side the pairwise estimate must IGNORE — its
+            # hashes would deflate every estimate if they leaked into
+            # the union top-k (regression: the side filter)
+            + [(2, f"w{i}") for i in range(2000)])
     df = spark.createDataFrame(rows, "half int, v string")
     two = kmv_set_ops(
         kmv_build(df.filter("half = 0"), "v", k=64),
