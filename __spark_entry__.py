@@ -2039,8 +2039,18 @@ def sketch_heavy_hitters(spark, sf):
 
     toks = _t(spark, sf, "documents").select(
         F.explode(tokens_col("text")).alias("tok"))
-    sk = countmin_build(toks, "tok", width=512, depth=4)
-    return countmin_topk(sk, toks, "tok", k=20, width=512, depth=4)
+    # pre-aggregate to (token, count) once: the sketch counters are
+    # integer sums, so building from weighted distinct tokens is
+    # bit-identical to building from the raw stream, while the md5
+    # bucket hash runs per VOCABULARY entry instead of per occurrence
+    # (guide §2.3 aggregate-before-shuffle; both consumers share the
+    # same aggregation subtree, which Spark de-duplicates via
+    # ReuseExchange)
+    tok_counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_w"))
+    sk = countmin_build(tok_counts, "tok", width=512, depth=4,
+                        weight_col="_w")
+    return countmin_topk(sk, tok_counts, "tok", k=20, width=512, depth=4)
 
 
 def sample_reservoir(spark, sf):
