@@ -43,6 +43,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan an unsplittable scan out to the session's parallelism.
+
+    The sf tables are single-row-group parquet files, so their scans
+    yield ONE non-empty partition and every scan-fused projection
+    (tokenize, md5, regexp, JSON extraction) runs on one core — the
+    "one huge unsplittable file" input-skew case of the optimization
+    guide (§2.5: repartition immediately after the read).  Round-robin
+    repartition is deterministic (Spark local-sorts before assigning
+    since SPARK-23207) and never changes row content, only placement.
+    The target derives from the session (never a hard-coded core
+    count); when the source already has that many partitions — a real
+    cluster's splittable inputs — no repartition node is added, so the
+    scale plan keeps scan-level pushdown and pays no extra exchange.
+    Applied per-query to the compute-heavy paths only, AFTER any
+    pushable filters."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Common-Crawl-style pages keyed by doc_id (seed=42).
 
@@ -834,7 +856,7 @@ def text_classifier_score(spark, sf):
     broadcast join, and integer aggregation."""
     from origami_spark.operators.classifier import nb_score
 
-    docs = _t(spark, sf, "documents")
+    docs = _spread(_t(spark, sf, "documents"))
     staged = _stage_nb_model(spark, sf)
     return nb_score(docs, staged)
 
@@ -853,7 +875,7 @@ def text_classifier_keep(spark, sf):
     them."""
     from origami_spark.operators.classifier import nb_keep, nb_score
 
-    docs = _t(spark, sf, "documents")
+    docs = _spread(_t(spark, sf, "documents"))
     staged = _stage_nb_model(spark, sf)
     kept = nb_keep(docs, nb_score(docs, staged),
                    min_llr_per_token=-0.52)
@@ -888,7 +910,7 @@ def text_dsir_score(spark, sf):
     bucket hash, broadcast join, and integer aggregation."""
     from origami_spark.operators.dsir import dsir_score
 
-    docs = _t(spark, sf, "documents")
+    docs = _spread(_t(spark, sf, "documents"))
     return dsir_score(docs, _stage_dsir_model(spark, sf))
 
 
@@ -901,7 +923,7 @@ def sample_dsir_topk(spark, sf):
     decomposed == serial is exactly the claim under test."""
     from origami_spark.operators.dsir import dsir_score, dsir_topk
 
-    docs = _t(spark, sf, "documents")
+    docs = _spread(_t(spark, sf, "documents"))
     scored = dsir_score(docs, _stage_dsir_model(spark, sf))
     return dsir_topk(scored, 50)
 
@@ -931,7 +953,7 @@ def sample_dsir_gumbel(spark, sf):
     perturbed keys is the oracle formulation."""
     from origami_spark.operators.dsir import dsir_sample, dsir_score
 
-    docs = _t(spark, sf, "documents")
+    docs = _spread(_t(spark, sf, "documents"))
     scored = dsir_score(docs, _stage_dsir_model(spark, sf))
     return dsir_sample(scored, 50, seed="g0",
                        noise=_stage_gumbel(spark, sf))
@@ -1011,7 +1033,7 @@ def text_hash_embedding(spark, sf):
     window tiny; the engine default is 64."""
     from origami_spark.operators.embed import hashed_embedding_rows
 
-    return hashed_embedding_rows(_t(spark, sf, "documents"), dim=16)
+    return hashed_embedding_rows(_spread(_t(spark, sf, "documents")), dim=16)
 
 
 def text_bm25_topk(spark, sf):
@@ -1180,7 +1202,7 @@ def dedup_paragraphs(spark, sf):
     the line-synthesized corpus plus the boilerplate sentinel gives
     every doc a paragraph shared corpus-wide — only its globally first
     occurrence survives."""
-    docs = _t(spark, sf, "documents")
+    docs = _spread(_t(spark, sf, "documents"))
     sent = F.lit("\nthe copied boilerplate line")
     text2 = F.concat(
         F.concat_ws("\n", _lines8_cols()),
@@ -1400,7 +1422,7 @@ def graph_degrees(spark, sf):
     projection union.  The oracle is the direct per-side formulation."""
     from origami_spark.operators.graph import degrees, event_edges
 
-    return degrees(event_edges(_t(spark, sf, "events")))
+    return degrees(event_edges(_spread(_t(spark, sf, "events"))))
 
 
 def graph_pagerank(spark, sf):
@@ -1412,7 +1434,7 @@ def graph_pagerank(spark, sf):
     graph algorithm can be made engine-exact."""
     from origami_spark.operators.graph import event_edges, pagerank
 
-    return pagerank(event_edges(_t(spark, sf, "events")), iters=6)
+    return pagerank(event_edges(_spread(_t(spark, sf, "events"))), iters=6)
 
 
 def graph_hits(spark, sf):
@@ -1424,7 +1446,7 @@ def graph_hits(spark, sf):
     subquery maxima — must hash-match bit-for-bit."""
     from origami_spark.operators.graph import event_edges, hits
 
-    return hits(event_edges(_t(spark, sf, "events")), iters=4)
+    return hits(event_edges(_spread(_t(spark, sf, "events"))), iters=4)
 
 
 def _stage_html_pages(spark, sf):
@@ -1671,7 +1693,7 @@ def sketch_kmv_distinct(spark, sf):
     from origami_spark.operators.sketch import kmv_distinct
     from origami_spark.operators.text import tokens_col
 
-    toks = _t(spark, sf, "documents").select(
+    toks = _spread(_t(spark, sf, "documents")).select(
         "source", F.explode(tokens_col("text")).alias("tok"))
     return kmv_distinct(toks, "tok", k=128, by=["source"])
 
@@ -1690,7 +1712,7 @@ def sketch_kmv_merge(spark, sf):
     from origami_spark.operators.sketch import kmv_build, kmv_merge
     from origami_spark.operators.text import tokens_col
 
-    toks = _t(spark, sf, "documents").select(
+    toks = _spread(_t(spark, sf, "documents")).select(
         "source", F.pmod(F.col("doc_id"), F.lit(3)).alias("_shard"),
         F.explode(tokens_col("text")).alias("tok"))
     sigs = [
@@ -1725,7 +1747,7 @@ def sketch_kmv_jaccard(spark, sf):
     # pattern): passing the raw split expression into shingles_expr
     # re-evaluates the split per element_at — measured 6.6 s vs 0.9 s
     # at sf0.1
-    t = _t(spark, sf, "documents").select(
+    t = _spread(_t(spark, sf, "documents")).select(
         F.pmod(F.col("doc_id"), F.lit(2)).alias("half"),
         tokens_col("text").alias("_toks"))
     grams = t.select(
@@ -1744,12 +1766,19 @@ def sketch_countmin(spark, sf):
                                                 countmin_estimate)
     from origami_spark.operators.text import tokens_col
 
-    toks = _t(spark, sf, "documents").select(
+    toks = _spread(_t(spark, sf, "documents")).select(
         F.explode(tokens_col("text")).alias("tok"))
-    sk = countmin_build(toks, "tok", width=512, depth=4)
+    # one shared (token, count) aggregation feeds the sketch build
+    # (weighted — integer sums make the counters bit-identical to the
+    # per-occurrence build), the true counts, AND the probe set; the
+    # md5 bucket hash runs per vocabulary entry instead of per
+    # occurrence (same restructuring as sketch_heavy_hitters)
+    tok_counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    sk = countmin_build(tok_counts, "tok", width=512, depth=4,
+                        weight_col="true_cnt")
     top = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        tok_counts
         .orderBy(F.desc("true_cnt"), F.asc("tok"))
         .limit(20)
         .withColumnRenamed("tok", "item")
@@ -1804,7 +1833,7 @@ def text_phrases(spark, sf):
     pure count arithmetic (no libm)."""
     from origami_spark.operators.text import phrase_scores
 
-    return phrase_scores(_t(spark, sf, "documents"), min_count=5)
+    return phrase_scores(_spread(_t(spark, sf, "documents")), min_count=5)
 
 
 def multimodal_payload(spark, sf):
@@ -2024,7 +2053,7 @@ def text_tfidf_topk(spark, sf):
     both engines."""
     from origami_spark.operators.text import tfidf_topk
 
-    return tfidf_topk(_t(spark, sf, "documents"), k=5)
+    return tfidf_topk(_spread(_t(spark, sf, "documents")), k=5)
 
 
 def sketch_heavy_hitters(spark, sf):
@@ -2037,7 +2066,7 @@ def sketch_heavy_hitters(spark, sf):
     from origami_spark.operators.sketch import countmin_build, countmin_topk
     from origami_spark.operators.text import tokens_col
 
-    toks = _t(spark, sf, "documents").select(
+    toks = _spread(_t(spark, sf, "documents")).select(
         F.explode(tokens_col("text")).alias("tok"))
     # pre-aggregate to (token, count) once: the sketch counters are
     # integer sums, so building from weighted distinct tokens is
