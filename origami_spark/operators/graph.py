@@ -44,11 +44,57 @@ engine for crawl-grade curation like operators/hosts.py does.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["event_edges", "html_link_edges", "degrees", "pagerank",
            "pagerank_base", "hits"]
+
+# iteration shuffle sizing: enough edge rows per reduce partition that
+# a K-iteration program is not dominated by empty-task scheduling
+_EDGE_ROWS_PER_PARTITION = 200_000
+
+
+@contextmanager
+def _iteration_width(spark, n_edges: int):
+    """Scale the iterative program's shuffle width to the MEASURED edge
+    count instead of the session default (guide §2: make partitioning
+    scale-adaptive, never a constant).
+
+    A K-iteration fixed-point program issues ~2K exchanges; with the
+    session's static ``spark.sql.shuffle.partitions`` every one of them
+    launches that many tasks even when the graph has a few thousand
+    edges (AQE's coalescing keeps ``parallelismFirst`` semantics, so it
+    will not shrink below the default parallelism) — measured at sf1.0
+    the 9,900-edge event graph spent ~5 s scheduling near-empty tasks.
+    Width = ceil(edges / rows-per-partition), capped at the session
+    setting: a billion-edge cluster graph keeps the configured width,
+    only small graphs narrow.  The conf is runtime-scoped and restored
+    on exit; every eager materialization of the iteration (the
+    per-round checkpoints) happens inside the scope."""
+    key = "spark.sql.shuffle.partitions"
+    aqe_key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key)
+    old_aqe = spark.conf.get(aqe_key)
+    width = max(1, min(int(old),
+                       (n_edges + _EDGE_ROWS_PER_PARTITION - 1)
+                       // _EDGE_ROWS_PER_PARTITION))
+    spark.conf.set(key, str(width))
+    if width == 1:
+        # a one-partition iteration leaves AQE nothing to adapt
+        # (no skew to split, nothing to coalesce) while each AQE
+        # query-stage materialization still inserts a barrier per
+        # exchange — ~2K of them.  Measured: 6-iteration pagerank on a
+        # 9.9k-edge graph 3.7 s -> 2.6 s with AQE off.  Cluster-scale
+        # graphs keep width > 1 and full AQE.
+        spark.conf.set(aqe_key, "false")
+    try:
+        yield width
+    finally:
+        spark.conf.set(key, old)
+        spark.conf.set(aqe_key, old_aqe)
 
 
 def _resolve_href(href_col, origin_col):
@@ -322,53 +368,66 @@ def pagerank(edges: DataFrame, iters: int = 6, scale: int = 1 << 20,
         raise ValueError("pagerank needs checkpoint_every >= 1")
     base = pagerank_base(scale, d_num, d_den)
 
+    # one edge-derivation pass: without this persist, each consumer
+    # below (out-weight agg, join, node-universe distinct) re-runs the
+    # full upstream edge derivation — for event/html graphs that is a
+    # corpus-wide window or regexp pass, paid 3x (guide §5 caching:
+    # reused AND expensive to recompute)
     e = edges.select(F.col("src").cast("bigint"),
                      F.col("dst").cast("bigint"),
-                     F.col("weight").cast("bigint"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    outw = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    # the big relation, partitioned by the join key ONCE and reused by
-    # every iteration (persist pins the output partitioning, so the
-    # per-iteration join re-shuffles only the small score relation)
-    ew = (
-        e.join(outw, "src")
-        .repartition(F.col("src"))
-        .persist()
-    )
-    nodes = nodes.persist()
+                     F.col("weight").cast("bigint")).persist()
+    # materializes the one edge-derivation pass AND sizes the
+    # iteration's shuffle width from the real edge count
+    n_edges = e.count()
+    spark = e.sparkSession
+    with _iteration_width(spark, n_edges) as width:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        outw = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+        # the big relation, partitioned by the join key ONCE and reused
+        # by every iteration (persist pins the output partitioning, so
+        # the per-iteration join re-shuffles only the small score
+        # relation)
+        ew = (
+            e.join(outw, "src")
+            .repartition(width, F.col("src"))
+            .persist()
+        )
+        nodes = nodes.persist()
 
-    scores = nodes.withColumn("score", F.lit(scale).cast("bigint"))
-    contrib_expr = F.expr(
-        f"(score * weight * {d_num}L) div (out_w * {d_den}L)")
-    for it in range(iters):
-        contribs = (
-            ew.join(scores.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"),
-                    contrib_expr.alias("contrib"))
-            .groupBy("node")
-            .agg(F.sum("contrib").alias("received"))
-        )
-        scores = nodes.join(contribs, "node", "left").select(
-            "node",
-            (F.lit(base).cast("bigint")
-             + F.coalesce(F.col("received"), F.lit(0)).cast("bigint")
-             ).alias("score"),
-        )
-        # Materialize every `checkpoint_every` rounds (and on the last)
-        # and cut lineage: the plan stays O(checkpoint_every) in K, and
-        # the persisted edge relation is actually hit instead of being
-        # re-derived inside one giant DAG.  (localCheckpoint trades
-        # executor-loss recomputability for speed — swap for reliable
-        # checkpoint() on a lossy cluster.)
-        if (it + 1) % checkpoint_every == 0 or it + 1 == iters:
-            scores = scores.localCheckpoint(eager=True)
+        scores = nodes.withColumn("score", F.lit(scale).cast("bigint"))
+        contrib_expr = F.expr(
+            f"(score * weight * {d_num}L) div (out_w * {d_den}L)")
+        for it in range(iters):
+            contribs = (
+                ew.join(scores.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"),
+                        contrib_expr.alias("contrib"))
+                .groupBy("node")
+                .agg(F.sum("contrib").alias("received"))
+            )
+            scores = nodes.join(contribs, "node", "left").select(
+                "node",
+                (F.lit(base).cast("bigint")
+                 + F.coalesce(F.col("received"), F.lit(0)).cast("bigint")
+                 ).alias("score"),
+            )
+            # Materialize every `checkpoint_every` rounds (and on the
+            # last) and cut lineage: the plan stays O(checkpoint_every)
+            # in K, and the persisted edge relation is actually hit
+            # instead of being re-derived inside one giant DAG.
+            # (localCheckpoint trades executor-loss recomputability for
+            # speed — swap for reliable checkpoint() on a lossy
+            # cluster.)
+            if (it + 1) % checkpoint_every == 0 or it + 1 == iters:
+                scores = scores.localCheckpoint(eager=True)
     out = scores.select("node", F.col("score").cast("bigint").alias("score"))
     ew.unpersist()
     nodes.unpersist()
+    e.unpersist()
     return out
 
 
@@ -420,62 +479,77 @@ def hits(edges: DataFrame, iters: int = 4,
         raise ValueError("hits needs iters >= 1")
     if checkpoint_every < 1:
         raise ValueError("hits needs checkpoint_every >= 1")
+    # one edge-derivation pass shared by the node universe and both
+    # pre-partitioned edge relations (same rationale as pagerank);
+    # the count also sizes the iteration's shuffle width
     e = edges.select(F.col("src").cast("bigint"),
                      F.col("dst").cast("bigint"),
-                     F.col("weight").cast("bigint"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    e_src = e.repartition(F.col("src")).persist()
-    e_dst = e.repartition(F.col("dst")).persist()
+                     F.col("weight").cast("bigint")).persist()
+    n_edges = e.count()
+    spark = e.sparkSession
+    with _iteration_width(spark, n_edges) as width:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        e_src = e.repartition(width, F.col("src")).persist()
+        e_dst = e.repartition(width, F.col("dst")).persist()
 
-    def norm(raw, col):
-        mx = raw.agg(F.max(col).alias("_mx"))
-        return (
-            raw.crossJoin(F.broadcast(mx))
-            .select("node",
-                    F.expr(f"({col} * {scale}L) div _mx").alias(col))
-        )
+        def norm(raw, col):
+            mx = raw.agg(F.max(col).alias("_mx"))
+            return (
+                raw.crossJoin(F.broadcast(mx))
+                .select("node",
+                        F.expr(f"({col} * {scale}L) div _mx").alias(col))
+            )
 
-    hub = nodes.withColumn("hub", F.lit(scale).cast("bigint"))
-    auth = None
-    for it in range(iters):
-        a_raw = (
-            e_src.join(hub.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"),
-                    (F.col("hub") * F.col("weight")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("authority"))
+        hub = nodes.withColumn("hub", F.lit(scale).cast("bigint"))
+        auth = None
+        for it in range(iters):
+            a_raw = (
+                e_src.join(hub.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"),
+                        (F.col("hub") * F.col("weight")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("authority"))
+            )
+            # only the hub half-step checkpoints: the auth relation
+            # feeds h_raw inside the same plan (its shuffle output is
+            # reused), so materializing it too just doubles the sync
+            # barriers — measured 16.1 s vs 7.7 s cold at sf0.01,
+            # values identical
+            auth = norm(a_raw, "authority")
+            h_raw = (
+                e_dst.join(auth.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"),
+                        (F.col("authority") * F.col("weight")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("hub"))
+            )
+            hub = norm(h_raw, "hub")
+            if (it + 1) % checkpoint_every == 0 or it + 1 == iters:
+                hub = hub.localCheckpoint(eager=True)
+        out = (
+            nodes.join(hub, "node", "left")
+            .join(auth, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub"),
+                F.coalesce("authority", F.lit(0)).cast("bigint")
+                .alias("authority"),
+            )
         )
-        # only the hub half-step checkpoints: the auth relation feeds
-        # h_raw inside the same plan (its shuffle output is reused),
-        # so materializing it too just doubles the sync barriers —
-        # measured 16.1 s vs 7.7 s cold at sf0.01, values identical
-        auth = norm(a_raw, "authority")
-        h_raw = (
-            e_dst.join(auth.withColumnRenamed("node", "dst"), "dst")
-            .select(F.col("src").alias("node"),
-                    (F.col("authority") * F.col("weight")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("hub"))
-        )
-        hub = norm(h_raw, "hub")
-        if (it + 1) % checkpoint_every == 0 or it + 1 == iters:
-            hub = hub.localCheckpoint(eager=True)
-    out = (
-        nodes.join(hub, "node", "left")
-        .join(auth, "node", "left")
-        .select(
-            "node",
-            F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub"),
-            F.coalesce("authority", F.lit(0)).cast("bigint")
-            .alias("authority"),
-        )
-    )
+        # the final auth half-step and the node universe still
+        # reference the persisted relations; cut the result's lineage
+        # BEFORE unpersisting, or the caller's materialization
+        # re-derives the whole edge relation from scratch (measured: 2
+        # extra corpus passes at collect time).  |V| rows — the same
+        # materialization cadence as the per-iteration checkpoints.
+        out = out.localCheckpoint(eager=True)
     e_src.unpersist()
     e_dst.unpersist()
     nodes.unpersist()
+    e.unpersist()
     return out
