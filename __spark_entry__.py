@@ -592,7 +592,7 @@ def dedup_embedding_lsh(spark, sf):
     # planes=8 -> 256 buckets/table keeps candidate sets small (the
     # bucket-size/recall tradeoff: 4 tables still give ~0.9 recall at
     # the cos>=0.95 design point); 6x8 was 30x more candidate pairs
-    return D.embedding_near_dups_lsh(_t(spark, sf, "embeddings"),
+    return D.embedding_near_dups_lsh(_spread(_t(spark, sf, "embeddings")),
                                      threshold=0.4, planes=8, tables=8)
 
 
@@ -609,7 +609,8 @@ def dedup_embedding_contamination(spark, sf):
 
 
 def ann_cosine_topk(spark, sf):
-    return S.cosine_topk(_t(spark, sf, "embeddings"), list(range(8)), k=5)
+    return S.cosine_topk(_spread(_t(spark, sf, "embeddings")),
+                         list(range(8)), k=5, dim=64)
 
 
 def ann_lsh_topk(spark, sf):

@@ -983,29 +983,51 @@ def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95,
     Recall per table is (1 - theta/pi)^planes; L tables lift it to
     1 - (1 - r)^L (e.g. cos 0.95: ~0.46/table -> ~0.99 with 8 tables).
     At 10^12 rows this bucket-equality join is the only viable shape —
-    the exact pair join below is the small-scale oracle."""
+    the exact pair join below is the small-scale oracle.
+
+    Shuffle/codegen discipline (measured at sf1.0 — 20k vectors, 7.2M
+    bucket-pair candidates, 20k verified pairs): the signature pass is
+    cached (it feeds both self-join sides), each candidate pair is
+    emitted once at its SMALLEST shared table (kept iff no earlier
+    table's buckets also match — the banded_hamming_pairs recipe,
+    value-identical to the old cross-table ``distinct`` but without
+    shuffling the 7M-row pair relation), and the verify runs the
+    dim-unrolled cosine (see :func:`~.similarity._cosine`) instead of
+    the interpreted higher-order fold."""
     from .similarity import _cosine, hyperplane_buckets
 
+    dim = 64
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     # table t uses planes [t*planes, (t+1)*planes) of one coefficient
     # stream -> independent tables, still fully deterministic/portable
-    signed = hyperplane_buckets(emb, planes, tables)
+    signed = _tracked_cache(
+        hyperplane_buckets(emb, planes, tables, dim).select(
+            "vec_id", "buckets"))
     banded = signed.select(
-        "vec_id",
+        "vec_id", "buckets",
         F.posexplode("buckets").alias("tbl", "tbucket"),
     )
+    # true iff some table j < tbl also bucket-matches: the pair was
+    # already emitted there, so this row is the cross-table duplicate
+    earlier_equal = F.lit(False)
+    for j in range(tables - 1):
+        earlier_equal = earlier_equal | (
+            (F.col("a.tbl") > j)
+            & (F.element_at("a.buckets", j + 1)
+               == F.element_at("b.buckets", j + 1))
+        )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"),
               (F.col("a.tbl") == F.col("b.tbl"))
               & (F.col("a.tbucket") == F.col("b.tbucket"))
               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(~earlier_equal)
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"))
-        .distinct()
     )
     return (
         cand.join(e.select(F.col("vec_id").alias("vec_a"),
@@ -1014,7 +1036,7 @@ def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95,
                        F.col("embedding").alias("eb")), "vec_b")
         .select(
             "vec_a", "vec_b",
-            F.round(_cosine("ea", "eb"), 4).alias("cosine"),
+            F.round(_cosine("ea", "eb", dim), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

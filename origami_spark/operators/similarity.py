@@ -17,21 +17,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _cosine(a: str, b: str):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+def _cosine(a: str, b: str, dim: int | None = None):
+    """Cosine of two equal-length double-array columns.
+
+    With ``dim`` given, the three sums unroll into a flat expression
+    tree with the SAME left-to-right IEEE accumulation (0.0 init
+    included) as the higher-order fold — bit-identical results — but
+    whole-stage-codegen-compiled: Spark evaluates ``aggregate``/
+    ``zip_with`` lambdas interpreted per element, which dominates a
+    multi-million-pair verify (measured ~2.5 s of a 7M-pair verify at
+    sf1.0).  Callers must only pass ``dim`` when the arrays are exactly
+    that long (element_at past the end yields NULL and would drop the
+    row); dim=None keeps the length-generic fold."""
+    if dim is None:
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        na = F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                                lambda acc, x: acc + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0).cast("double"),
+                                lambda acc, x: acc + x * x))
+        return dot / (na * nb)
+    dot = F.lit(0.0).cast("double")
+    sa = F.lit(0.0).cast("double")
+    sb = F.lit(0.0).cast("double")
+    for i in range(1, dim + 1):
+        ea, eb = F.element_at(a, i), F.element_at(b, i)
+        dot = dot + ea * eb
+        sa = sa + ea * ea
+        sb = sb + eb * eb
+    return dot / (F.sqrt(sa) * F.sqrt(sb))
 
 
-def cosine_topk(emb: DataFrame, query_ids, k: int = 5) -> DataFrame:
+def cosine_topk(emb: DataFrame, query_ids, k: int = 5,
+                dim: int | None = None) -> DataFrame:
     """Exact top-k neighbours for the given query vec_ids (excluding
     self).  Query side is tiny -> broadcast join, no shuffle of the
-    corpus."""
+    corpus.  Pass ``dim`` when the embedding width is known to get the
+    codegen-unrolled cosine (bit-identical; see :func:`_cosine`)."""
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -44,7 +69,7 @@ def cosine_topk(emb: DataFrame, query_ids, k: int = 5) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(_cosine("qv", "embedding"), 4).alias("cosine"),
+            F.round(_cosine("qv", "embedding", dim), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -436,6 +461,7 @@ def semantic_dedup_pairs(emb: DataFrame, centroids_df: DataFrame,
     matters.  Consume pairs with ``components.keep_one_per_component``
     (src='vec_a', dst='vec_b') for the keep-one decision."""
     cmat, csq, cids = _load_centroids(centroids_df)
+    dim = cmat.shape[1]  # embeddings assigned against these centroids
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -449,7 +475,7 @@ def semantic_dedup_pairs(emb: DataFrame, centroids_df: DataFrame,
         a.join(b, "cluster")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "cluster",
-                F.round(_cosine("ea", "eb"), 4).alias("cosine"))
+                F.round(_cosine("ea", "eb", dim), 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
