@@ -110,28 +110,38 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     realistic corpus; never silently mislabels).  ``reliable=True``
     uses reliable checkpoints (requires ``setCheckpointDir``) instead
     of executor-local ones."""
+    from .graph import _iteration_width
+
     e = _canonical_edges(edges, src, dst)
     e = e.checkpoint(eager=True) if reliable else e.localCheckpoint(eager=True)
     prev = _checksum(e)
     converged = prev[0] == 0
-    for _ in range(max_iter):
-        if converged:
-            break
-        e = _small_star(_large_star(e))
-        e = e.checkpoint(eager=True) if reliable \
-            else e.localCheckpoint(eager=True)
-        cur = _checksum(e)
-        converged = cur == prev
-        prev = cur
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"(edge checksum still moving: {prev}) — raise max_iter")
-    nbr = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    lab = nbr.groupBy("u").agg(
-        F.least(F.min("v"), F.col("u")).alias("component"))
-    out = lab.select(F.col("u").alias(node_col), "component")
+    # the initial checksum's count sizes the alternating rounds'
+    # shuffle width (graph._iteration_width: a ~12-round loop over a
+    # small edge set otherwise schedules hundreds of near-empty tasks;
+    # cluster-scale edge sets keep the configured width).  Star rounds
+    # only shrink the edge set, so the start count is an upper bound.
+    with _iteration_width(e.sparkSession, int(prev[0])):
+        for _ in range(max_iter):
+            if converged:
+                break
+            e = _small_star(_large_star(e))
+            e = e.checkpoint(eager=True) if reliable \
+                else e.localCheckpoint(eager=True)
+            cur = _checksum(e)
+            converged = cur == prev
+            prev = cur
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds (edge checksum still moving: {prev}) — raise "
+                f"max_iter")
+        nbr = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lab = nbr.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("component"))
+        out = lab.select(F.col("u").alias(node_col), "component") \
+            .localCheckpoint(eager=True)
     if nodes is None:
         return out
     base = nodes.select(F.col(node_col).cast("bigint").alias(node_col)) \

@@ -956,7 +956,11 @@ def substring_dup_pairs(docs: DataFrame, window: int = 64,
             .filter(F.col("df") <= max_df)
             .select("gram")
         )
-        fp = fp.join(rare, "gram")
+        # cache the filtered relation too: it feeds BOTH self-join
+        # sides, and without this the rare-gram aggregate and the join
+        # against it execute twice (the fp cache alone does not cover
+        # the joined subtree)
+        fp = _tracked_cache(fp.join(rare, "gram"))
     return (
         fp.alias("a")
         .join(fp.alias("b"),
@@ -1124,7 +1128,9 @@ def duplicate_spans(docs: DataFrame, window: int = 64, k: int = 16,
             .filter(F.col("df") <= max_df)
             .select("gram")
         )
-        fp = fp.join(rare, "gram")
+        # cache the filtered relation: it feeds both self-join sides
+        # (same rationale as substring_dup_pairs)
+        fp = _tracked_cache(fp.join(rare, "gram"))
     anchors = (
         fp.alias("a")
         .join(fp.alias("b"),

@@ -40,6 +40,13 @@ def get_spark(app: str = "origami_spark", cores: int | None = None,
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("ORIGAMI_ADVISORY_PARTITION", "8m"),
         )
+        # allow shuffled-hash join where the per-partition build side
+        # fits (guide §9/§3.1): SMJ pays a full sort of both sides that
+        # a hash build avoids; AQE still rewrites to broadcast when a
+        # side is small, and SMJ remains the planner's fallback when
+        # the size conditions fail
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("ORIGAMI_PREFER_SMJ", "false"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.sql.files.maxPartitionBytes", "128m")
