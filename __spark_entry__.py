@@ -43,25 +43,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, key: str | None = None) -> DataFrame:
     """Fan an unsplittable scan out to the session's parallelism.
 
     The sf tables are single-row-group parquet files, so their scans
     yield ONE non-empty partition and every scan-fused projection
     (tokenize, md5, regexp, JSON extraction) runs on one core — the
     "one huge unsplittable file" input-skew case of the optimization
-    guide (§2.5: repartition immediately after the read).  Round-robin
-    repartition is deterministic (Spark local-sorts before assigning
-    since SPARK-23207) and never changes row content, only placement.
-    The target derives from the session (never a hard-coded core
-    count); when the source already has that many partitions — a real
-    cluster's splittable inputs — no repartition node is added, so the
-    scale plan keeps scan-level pushdown and pays no extra exchange.
+    guide (§2.5: repartition immediately after the read).  Repartition
+    never changes row content, only placement.  Pass ``key`` (a
+    unique/high-cardinality column) to hash-partition WITHOUT the
+    local sort that keyless round-robin pays first
+    (spark.sql.execution.sortBeforeRepartition, the SPARK-23207 retry
+    guard): on a one-partition source that sort runs serially over the
+    whole table — measured 2x on the 1M-row events table.  The target
+    derives from the session (never a hard-coded core count); when the
+    source already has that many partitions — a real cluster's
+    splittable inputs — no repartition node is added, so the scale
+    plan keeps scan-level pushdown and pays no extra exchange.
     Applied per-query to the compute-heavy paths only, AFTER any
     pushable filters."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if key is not None:
+        return df.repartition(target, F.col(key))
     return df.repartition(target)
 
 
@@ -602,7 +608,7 @@ def dedup_embedding_lsh(spark, sf):
     # planes=8 -> 256 buckets/table keeps candidate sets small (the
     # bucket-size/recall tradeoff: 4 tables still give ~0.9 recall at
     # the cos>=0.95 design point); 6x8 was 30x more candidate pairs
-    return D.embedding_near_dups_lsh(_spread(_t(spark, sf, "embeddings")),
+    return D.embedding_near_dups_lsh(_spread(_t(spark, sf, "embeddings"), "vec_id"),
                                      threshold=0.4, planes=8, tables=8)
 
 
@@ -619,7 +625,7 @@ def dedup_embedding_contamination(spark, sf):
 
 
 def ann_cosine_topk(spark, sf):
-    return S.cosine_topk(_spread(_t(spark, sf, "embeddings")),
+    return S.cosine_topk(_spread(_t(spark, sf, "embeddings"), "vec_id"),
                          list(range(8)), k=5, dim=64)
 
 
@@ -867,7 +873,7 @@ def text_classifier_score(spark, sf):
     broadcast join, and integer aggregation."""
     from origami_spark.operators.classifier import nb_score
 
-    docs = _spread(_t(spark, sf, "documents"))
+    docs = _spread(_t(spark, sf, "documents"), "doc_id")
     staged = _stage_nb_model(spark, sf)
     return nb_score(docs, staged)
 
@@ -886,7 +892,7 @@ def text_classifier_keep(spark, sf):
     them."""
     from origami_spark.operators.classifier import nb_keep, nb_score
 
-    docs = _spread(_t(spark, sf, "documents"))
+    docs = _spread(_t(spark, sf, "documents"), "doc_id")
     staged = _stage_nb_model(spark, sf)
     kept = nb_keep(docs, nb_score(docs, staged),
                    min_llr_per_token=-0.52)
@@ -921,7 +927,7 @@ def text_dsir_score(spark, sf):
     bucket hash, broadcast join, and integer aggregation."""
     from origami_spark.operators.dsir import dsir_score
 
-    docs = _spread(_t(spark, sf, "documents"))
+    docs = _spread(_t(spark, sf, "documents"), "doc_id")
     return dsir_score(docs, _stage_dsir_model(spark, sf))
 
 
@@ -934,7 +940,7 @@ def sample_dsir_topk(spark, sf):
     decomposed == serial is exactly the claim under test."""
     from origami_spark.operators.dsir import dsir_score, dsir_topk
 
-    docs = _spread(_t(spark, sf, "documents"))
+    docs = _spread(_t(spark, sf, "documents"), "doc_id")
     scored = dsir_score(docs, _stage_dsir_model(spark, sf))
     return dsir_topk(scored, 50)
 
@@ -964,7 +970,7 @@ def sample_dsir_gumbel(spark, sf):
     perturbed keys is the oracle formulation."""
     from origami_spark.operators.dsir import dsir_sample, dsir_score
 
-    docs = _spread(_t(spark, sf, "documents"))
+    docs = _spread(_t(spark, sf, "documents"), "doc_id")
     scored = dsir_score(docs, _stage_dsir_model(spark, sf))
     return dsir_sample(scored, 50, seed="g0",
                        noise=_stage_gumbel(spark, sf))
@@ -1044,7 +1050,7 @@ def text_hash_embedding(spark, sf):
     window tiny; the engine default is 64."""
     from origami_spark.operators.embed import hashed_embedding_rows
 
-    return hashed_embedding_rows(_spread(_t(spark, sf, "documents")), dim=16)
+    return hashed_embedding_rows(_spread(_t(spark, sf, "documents"), "doc_id"), dim=16)
 
 
 def text_bm25_topk(spark, sf):
@@ -1213,7 +1219,7 @@ def dedup_paragraphs(spark, sf):
     the line-synthesized corpus plus the boilerplate sentinel gives
     every doc a paragraph shared corpus-wide — only its globally first
     occurrence survives."""
-    docs = _spread(_t(spark, sf, "documents"))
+    docs = _spread(_t(spark, sf, "documents"), "doc_id")
     sent = F.lit("\nthe copied boilerplate line")
     text2 = F.concat(
         F.concat_ws("\n", _lines8_cols()),
@@ -1433,7 +1439,7 @@ def graph_degrees(spark, sf):
     projection union.  The oracle is the direct per-side formulation."""
     from origami_spark.operators.graph import degrees, event_edges
 
-    return degrees(event_edges(_spread(_t(spark, sf, "events"))))
+    return degrees(event_edges(_spread(_t(spark, sf, "events"), "event_id")))
 
 
 def graph_pagerank(spark, sf):
@@ -1445,7 +1451,7 @@ def graph_pagerank(spark, sf):
     graph algorithm can be made engine-exact."""
     from origami_spark.operators.graph import event_edges, pagerank
 
-    return pagerank(event_edges(_spread(_t(spark, sf, "events"))), iters=6)
+    return pagerank(event_edges(_spread(_t(spark, sf, "events"), "event_id")), iters=6)
 
 
 def graph_hits(spark, sf):
@@ -1457,7 +1463,7 @@ def graph_hits(spark, sf):
     subquery maxima — must hash-match bit-for-bit."""
     from origami_spark.operators.graph import event_edges, hits
 
-    return hits(event_edges(_spread(_t(spark, sf, "events"))), iters=4)
+    return hits(event_edges(_spread(_t(spark, sf, "events"), "event_id")), iters=4)
 
 
 def _stage_html_pages(spark, sf):
@@ -1470,7 +1476,7 @@ def _stage_html_pages(spark, sf):
         pages.write.mode("overwrite").parquet(_staged(HTML_PAGES_PATH))
         _TRAIN_STAGED[HTML_PAGES_PATH] = sf
     # the staged parquet is one file; fan the regexp-heavy consumers out
-    return _spread(spark.read.parquet(HTML_PAGES_PATH))
+    return _spread(spark.read.parquet(HTML_PAGES_PATH), "url")
 
 
 def graph_html_links(spark, sf):
@@ -1653,7 +1659,7 @@ def _stage_linked_pages(spark, sf):
         linked.write.mode("overwrite").parquet(_staged(LINKED_PAGES_PATH))
         _TRAIN_STAGED[LINKED_PAGES_PATH] = sf
     # the staged parquet is one file; fan the regexp-heavy consumers out
-    return _spread(spark.read.parquet(LINKED_PAGES_PATH))
+    return _spread(spark.read.parquet(LINKED_PAGES_PATH), "url")
 
 
 def graph_host_edges(spark, sf):
@@ -1706,7 +1712,7 @@ def sketch_kmv_distinct(spark, sf):
     from origami_spark.operators.sketch import kmv_distinct
     from origami_spark.operators.text import tokens_col
 
-    toks = _spread(_t(spark, sf, "documents")).select(
+    toks = _spread(_t(spark, sf, "documents"), "doc_id").select(
         "source", F.explode(tokens_col("text")).alias("tok"))
     return kmv_distinct(toks, "tok", k=128, by=["source"])
 
@@ -1725,7 +1731,7 @@ def sketch_kmv_merge(spark, sf):
     from origami_spark.operators.sketch import kmv_build, kmv_merge
     from origami_spark.operators.text import tokens_col
 
-    toks = _spread(_t(spark, sf, "documents")).select(
+    toks = _spread(_t(spark, sf, "documents"), "doc_id").select(
         "source", F.pmod(F.col("doc_id"), F.lit(3)).alias("_shard"),
         F.explode(tokens_col("text")).alias("tok"))
     sigs = [
@@ -1760,7 +1766,7 @@ def sketch_kmv_jaccard(spark, sf):
     # pattern): passing the raw split expression into shingles_expr
     # re-evaluates the split per element_at — measured 6.6 s vs 0.9 s
     # at sf0.1
-    t = _spread(_t(spark, sf, "documents")).select(
+    t = _spread(_t(spark, sf, "documents"), "doc_id").select(
         F.pmod(F.col("doc_id"), F.lit(2)).alias("half"),
         tokens_col("text").alias("_toks"))
     grams = t.select(
@@ -1779,7 +1785,7 @@ def sketch_countmin(spark, sf):
                                                 countmin_estimate)
     from origami_spark.operators.text import tokens_col
 
-    toks = _spread(_t(spark, sf, "documents")).select(
+    toks = _spread(_t(spark, sf, "documents"), "doc_id").select(
         F.explode(tokens_col("text")).alias("tok"))
     # one shared (token, count) aggregation feeds the sketch build
     # (weighted — integer sums make the counters bit-identical to the
@@ -1846,11 +1852,11 @@ def text_phrases(spark, sf):
     pure count arithmetic (no libm)."""
     from origami_spark.operators.text import phrase_scores
 
-    return phrase_scores(_spread(_t(spark, sf, "documents")), min_count=5)
+    return phrase_scores(_spread(_t(spark, sf, "documents"), "doc_id"), min_count=5)
 
 
 def multimodal_payload(spark, sf):
-    media = M.media_from_documents(_spread(_t(spark, sf, "documents")))
+    media = M.media_from_documents(_spread(_t(spark, sf, "documents"), "doc_id"))
     feats = M.media_features(media)
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2023,7 +2029,7 @@ def events_sessionize(spark, sf):
     millisecond durations."""
     from origami_spark.operators.events import sessionize
 
-    return sessionize(_spread(_t(spark, sf, "events")), gap_seconds=21600)
+    return sessionize(_t(spark, sf, "events"), gap_seconds=21600)
 
 
 def events_rollup(spark, sf):
@@ -2033,7 +2039,7 @@ def events_rollup(spark, sf):
     reuse, so the daily never rescans raw at 10^12 events."""
     from origami_spark.operators.events import time_rollup
 
-    return time_rollup(_spread(_t(spark, sf, "events")))
+    return time_rollup(_t(spark, sf, "events"))
 
 
 def events_funnel(spark, sf):
@@ -2046,7 +2052,7 @@ def events_funnel(spark, sf):
     from origami_spark.operators.events import window_funnel
 
     return window_funnel(
-        _spread(_t(spark, sf, "events")), ("view", "click", "purchase"),
+        _t(spark, sf, "events"), ("view", "click", "purchase"),
         horizon_ms=7 * 24 * 3600 * 1000)
 
 
@@ -2056,7 +2062,7 @@ def events_retention(spark, sf):
     (cohort_week, week_offset)."""
     from origami_spark.operators.events import cohort_retention
 
-    return cohort_retention(_spread(_t(spark, sf, "events")))
+    return cohort_retention(_t(spark, sf, "events"))
 
 
 def text_tfidf_topk(spark, sf):
@@ -2066,7 +2072,7 @@ def text_tfidf_topk(spark, sf):
     both engines."""
     from origami_spark.operators.text import tfidf_topk
 
-    return tfidf_topk(_spread(_t(spark, sf, "documents")), k=5)
+    return tfidf_topk(_spread(_t(spark, sf, "documents"), "doc_id"), k=5)
 
 
 def sketch_heavy_hitters(spark, sf):
@@ -2079,7 +2085,7 @@ def sketch_heavy_hitters(spark, sf):
     from origami_spark.operators.sketch import countmin_build, countmin_topk
     from origami_spark.operators.text import tokens_col
 
-    toks = _spread(_t(spark, sf, "documents")).select(
+    toks = _spread(_t(spark, sf, "documents"), "doc_id").select(
         F.explode(tokens_col("text")).alias("tok"))
     # pre-aggregate to (token, count) once: the sketch counters are
     # integer sums, so building from weighted distinct tokens is
