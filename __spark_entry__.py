@@ -618,7 +618,7 @@ def dedup_embedding_contamination(spark, sf):
     10 'benchmark' vectors (ids 0..9 of the same table — real usage
     is a disjoint suite) sits within cosine 0.4; bench signatures
     broadcast, corpus never shuffles, flags broadcast back."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _spread(_t(spark, sf, "embeddings"), "vec_id")
     bench = emb.filter(F.col("vec_id") < 10)
     return D.embedding_contamination(emb, bench, threshold=0.4,
                                      planes=8, tables=8)
@@ -636,7 +636,8 @@ def ann_lsh_topk(spark, sf):
     # true top-5 sit at cos ~0.3 (theta ~72deg -> per-plane agreement
     # ~0.6), so few planes + many tables buys recall ~0.95; a 0.95-cosine
     # near-dup task uses 8 planes instead (see dedup_embedding_lsh)
-    return S.lsh_topk(_t(spark, sf, "embeddings"), list(range(8)), k=5,
+    return S.lsh_topk(_spread(_t(spark, sf, "embeddings"), "vec_id"),
+                      list(range(8)), k=5,
                       planes=4, tables=16)
 
 
@@ -682,7 +683,7 @@ def ann_ivf_topk(spark, sf):
     reruns the bit-compatible relational window-argmin SQL over the
     same staged centroids (parity: tests/test_similarity.py).  Recall
     vs the exact scan is asserted in tests/test_similarity.py."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _spread(_t(spark, sf, "embeddings"), "vec_id")
     staged = _stage_centroids(spark, emb, IVF_CENTROIDS_PATH, sf)
     return S.ivf_topk_served(emb, staged, list(range(8)), k=5, nprobe=4)
 
@@ -697,7 +698,7 @@ def ann_pq_topk(spark, sf):
     is the iterative driver loop (not SQL-expressible); its codebook
     table is staged and the oracle re-derives codes, LUTs, and the ADC
     ranking from the staged floats bit-for-bit."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _spread(_t(spark, sf, "embeddings"), "vec_id")
     staged = _stage_pq_codebooks(spark, emb, PQ_CODEBOOKS_PATH, sf)
     return S.pq_topk(emb, staged, list(range(8)), k=5, refine=50)
 
@@ -737,7 +738,7 @@ def ann_ivfpq_topk(spark, sf):
     refine plan whose corpus side is never exchanged before scoring;
     the DuckDB oracle re-derives cluster assignment, probes, codes,
     integer ADC, and the refine cut from the same staged floats."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _spread(_t(spark, sf, "embeddings"), "vec_id")
     cents = _stage_centroids(spark, emb, IVFPQ_CENTROIDS_PATH, sf)
     cbs = _stage_pq_codebooks(spark, emb, IVFPQ_CODEBOOKS_PATH, sf)
     return S.ivfpq_topk(emb, cents, cbs, list(range(8)), k=5, nprobe=6,
@@ -780,7 +781,7 @@ def dedup_semantic(spark, sf):
     bit-compatible relational assignment (window argmin over the
     _round6 distance) and the same rounded-cosine filter.  Builds
     eagerly — the ann_ivf_topk trainer precedent."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _spread(_t(spark, sf, "embeddings"), "vec_id")
     staged = _stage_centroids(spark, emb, SEMDEDUP_CENTROIDS_PATH, sf)
     # the testdata corpus has no true near-dup embeddings (max pairwise
     # cosine ~0.5), so the evidence-bearing threshold sits at the
@@ -798,7 +799,7 @@ def dedup_semantic_keep(spark, sf):
     filter, then recursive min-label propagation — the
     dedup_components CTE shape.  Eager-builder (the clustering loop
     runs at build time — ann_ivf_topk precedent)."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _spread(_t(spark, sf, "embeddings"), "vec_id")
     staged = _stage_centroids(spark, emb, SEMDEDUP_CENTROIDS_PATH, sf)
     pairs = S.semantic_dedup_pairs(emb, staged, threshold=0.35)
     return _component_keep(pairs, emb.select("vec_id"),
@@ -1074,7 +1075,7 @@ def text_bm25_topk(spark, sf):
             _staged(BM25_STATS_PATH))
         _TRAIN_STAGED[BM25_STATS_PATH] = sf
     staged = spark.read.parquet(BM25_STATS_PATH)
-    return bm25_topk(docs, staged, k=10)
+    return bm25_topk(_spread(docs, "doc_id"), staged, k=10)
 
 
 def text_quality(spark, sf):
@@ -1734,12 +1735,13 @@ def sketch_kmv_merge(spark, sf):
     toks = _spread(_t(spark, sf, "documents"), "doc_id").select(
         "source", F.pmod(F.col("doc_id"), F.lit(3)).alias("_shard"),
         F.explode(tokens_col("text")).alias("tok"))
-    sigs = [
-        kmv_build(toks.filter(F.col("_shard") == i), "tok",
-                  k=96, by=["source"])
-        for i in range(3)
-    ]
-    return kmv_merge(sigs, k=96, by=["source"])
+    # ONE grouped build computes every shard's signature in a single
+    # corpus pass (by=[source, _shard] keeps the k smallest per shard
+    # exactly as three filtered builds would — the same rows); the
+    # merge then unions the per-shard signatures as before.  Three
+    # separate builds scanned and exploded the corpus three times.
+    sig = kmv_build(toks, "tok", k=96, by=["source", "_shard"])
+    return kmv_merge([sig.select("source", "h")], k=96, by=["source"])
 
 
 def sketch_kmv_jaccard(spark, sf):
@@ -2126,7 +2128,7 @@ def sample_cluster_balanced(spark, sf):
     single-window reservoir over the same hash."""
     from origami_spark.operators.sampling import reservoir_sample
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _spread(_t(spark, sf, "embeddings"), "vec_id")
     staged = _stage_centroids(spark, emb, CLUSTER_SAMPLE_CENTROIDS_PATH, sf)
     assigned = S.cluster_assign(emb, staged).select("vec_id", "cluster")
     return reservoir_sample(assigned, k=5, by="cluster",
