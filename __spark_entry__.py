@@ -683,7 +683,12 @@ def ann_ivf_topk(spark, sf):
     reruns the bit-compatible relational window-argmin SQL over the
     same staged centroids (parity: tests/test_similarity.py).  Recall
     vs the exact scan is asserted in tests/test_similarity.py."""
-    emb = _spread(_t(spark, sf, "embeddings"), "vec_id")
+    # NO _spread here: this entry's serving contract is "zero Exchange/
+    # Sort between the scan and the Arrow argmin assignment"
+    # (test_plan_quality.test_ivf_assignment_is_exchange_free, VERDICT
+    # r3 item 1) — a scan fan-out would be a hashpartitioning(vec_id)
+    # exchange on the corpus side, exactly what the contract forbids
+    emb = _t(spark, sf, "embeddings")
     staged = _stage_centroids(spark, emb, IVF_CENTROIDS_PATH, sf)
     return S.ivf_topk_served(emb, staged, list(range(8)), k=5, nprobe=4)
 
@@ -1476,8 +1481,10 @@ def _stage_html_pages(spark, sf):
             "url", F.col("html").cast("string").alias("html"))
         pages.write.mode("overwrite").parquet(_staged(HTML_PAGES_PATH))
         _TRAIN_STAGED[HTML_PAGES_PATH] = sf
-    # the staged parquet is one file; fan the regexp-heavy consumers out
-    return _spread(spark.read.parquet(HTML_PAGES_PATH), "url")
+    # NOT spread here: robots_allowed's gate contract keeps the page
+    # side un-hash-partitioned (test_robots); the regexp-heavy link/
+    # anchor consumers spread at their own call sites
+    return spark.read.parquet(HTML_PAGES_PATH)
 
 
 def graph_html_links(spark, sf):
@@ -1490,7 +1497,7 @@ def graph_html_links(spark, sf):
     RE2-safe regexp over the staged pages."""
     from origami_spark.operators.graph import html_link_edges
 
-    return html_link_edges(_stage_html_pages(spark, sf))
+    return html_link_edges(_spread(_stage_html_pages(spark, sf), "url"))
 
 
 def graph_html_pagerank(spark, sf):
@@ -1502,7 +1509,8 @@ def graph_html_pagerank(spark, sf):
     from origami_spark.operators.graph import html_link_edges, pagerank
     from origami_spark.operators.text import portable_hash60
 
-    e = html_link_edges(_stage_html_pages(spark, sf)).select(
+    e = html_link_edges(_spread(_stage_html_pages(spark, sf),
+                             "url")).select(
         portable_hash60(F.col("src")).alias("src"),
         portable_hash60(F.col("dst")).alias("dst"),
         "weight",
@@ -1519,7 +1527,7 @@ def graph_html_anchors(spark, sf):
     same two capture groups over the staged pages."""
     from origami_spark.operators.graph import html_anchor_texts
 
-    return html_anchor_texts(_stage_html_pages(spark, sf))
+    return html_anchor_texts(_spread(_stage_html_pages(spark, sf), "url"))
 
 
 ROBOTS_RULES_PATH = os.path.join(_STAGE_DIR, "robots_rules.parquet")
@@ -1699,7 +1707,9 @@ def graph_anchor_topk(spark, sf):
     value-identical single-window form."""
     from origami_spark.operators.graph import anchor_topk, html_anchor_texts
 
-    return anchor_topk(html_anchor_texts(_stage_html_pages(spark, sf)), k=3)
+    return anchor_topk(
+        html_anchor_texts(_spread(_stage_html_pages(spark, sf), "url")),
+        k=3)
 
 
 def sketch_kmv_distinct(spark, sf):
